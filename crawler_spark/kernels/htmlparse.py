@@ -1,0 +1,142 @@
+"""HTML -> spans / links / normalized-text kernel (X1-X7, C2 in SURVEY.md §2.6).
+
+The reference extracts content with CSS/XPath selectors over lxml/BeautifulSoup
+(``/root/reference/crawler/services/html_parser.py``,
+``selector_processor.py:34-91``, ``url_extractor.py:121-236``) and normalizes
+boilerplate away (``content_normalizer.py:122-186``). This container has no
+lxml/bs4/selectolax, so the kernel is a single-pass stdlib ``html.parser``
+walk that produces, in DOM order:
+
+  * spans: interleaved text + media span sequence — the input_hint shape
+    (kind, text, media_ref, offset); text spans are per block element, media
+    spans are document links (<a class~=download / media-extension href>) and
+    images. Offset is the 0-based emission index: the per-row invariant is
+    span-sequence equality on (kind, text, media_ref, order).
+  * links: every <a href> with its anchor text and position (the frontier
+    expansion input; within-page order drives within-page dedup U5).
+  * title: first <title> or <h1> text.
+
+``normalize_text`` is the content-hash/simhash input: boilerplate tags
+dropped, whitespace collapsed, lowercased.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+BLOCK_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "td", "th", "title"}
+SKIP_TAGS = {"script", "style", "noscript", "iframe", "form", "nav", "header", "footer", "aside"}
+MEDIA_EXTENSIONS = (".pdf", ".doc", ".docx", ".xls", ".xlsx", ".zip", ".jpg", ".jpeg", ".png", ".mp4", ".mp3")
+_WS = re.compile(r"\s+")
+
+
+def _collapse(text: str) -> str:
+    return _WS.sub(" ", text).strip()
+
+
+class _SpanParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.spans: list[tuple[str, str | None, str | None]] = []  # (kind, text, media_ref)
+        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        self.title: str | None = None
+        self._skip_depth = 0
+        self._block_stack: list[tuple[str, list[str]]] = []
+        self._link_stack: list[tuple[str, list[str], bool]] = []  # (href, text_parts, is_media)
+
+    @staticmethod
+    def _is_media_anchor(href: str, cls: str) -> bool:
+        h = href.lower().split("?")[0]
+        return "download" in cls.lower() or h.endswith(MEDIA_EXTENSIONS)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        ad = dict(attrs)
+        if tag in BLOCK_TAGS:
+            self._block_stack.append((tag, []))
+        if tag == "a" and ad.get("href"):
+            self._link_stack.append((ad["href"], [], self._is_media_anchor(ad["href"], ad.get("class", ""))))
+        elif tag == "img" and ad.get("src"):
+            self.spans.append(("media", None, ad["src"]))
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a" and self._link_stack:
+            href, parts, is_media = self._link_stack.pop()
+            anchor = _collapse("".join(parts))
+            self.links.append((href, anchor))
+            if is_media:
+                self.spans.append(("media", None, href))
+        elif tag in BLOCK_TAGS and self._block_stack:
+            open_tag, parts = self._block_stack.pop()
+            text = _collapse("".join(parts))
+            if text:
+                self.spans.append(("text", text, None))
+                if self.title is None and open_tag in ("title", "h1"):
+                    self.title = text
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._link_stack:
+            self._link_stack[-1][1].append(data)
+        if self._block_stack:
+            self._block_stack[-1][1].append(data)
+
+
+def extract_page(html: str) -> dict:
+    """Parse one HTML document.
+
+    Returns {"title": str|None,
+             "spans": [(kind, text, media_ref, offset)],
+             "links": [(href, anchor_text, pos)]}.
+    """
+    parser = _SpanParser()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was parsed before the error
+    spans = [(k, t, m, i) for i, (k, t, m) in enumerate(parser.spans)]
+    links = [(h, a, i) for i, (h, a) in enumerate(parser.links)]
+    return {"title": parser.title, "spans": spans, "links": links}
+
+
+class _TextParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+    def handle_data(self, data):
+        if not self._skip_depth:
+            self.parts.append(data)
+
+
+def normalize_text(html: str) -> str:
+    """Boilerplate-stripped, whitespace-collapsed, lowercased page text
+    (the exact-hash / simhash input, C2-equivalent)."""
+    parser = _TextParser()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception:
+        pass
+    return _collapse(" ".join(parser.parts)).lower()

@@ -1,0 +1,83 @@
+"""Golden + property tests for the simhash kernel (C3-C6).
+
+Fingerprint goldens minted from the reference simhash implementation
+(/root/reference/crawler/utils/simhash.py) by direct execution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.kernels.simhash import (
+    bands,
+    from_signed64,
+    hamming,
+    similarity_pct,
+    simhash64,
+    simhash64_signed,
+    to_signed64,
+    tokenize,
+)
+
+GOLDENS = {
+    "The quick brown fox jumps over the lazy dog": 3279303472042380063,
+    "The quick brown fox jumps over a lazy dog": 3279233653056375355,
+    "Peraturan Pemerintah Republik Indonesia Nomor 12 Tahun 2021": 735952415407866384,
+    "a": 3585878926028121697,
+    "Hello, World! Hello... world?": 1243275522156529026,
+    "tok1 tok2 tok3 tok1": 5784222811388379681,
+}
+
+
+@pytest.mark.parametrize("text,fp", list(GOLDENS.items()))
+def test_fingerprint_golden(text, fp):
+    assert simhash64(text) == fp
+
+
+def test_distance_and_similarity_golden():
+    a = simhash64("The quick brown fox jumps over the lazy dog")
+    b = simhash64("The quick brown fox jumps over a lazy dog")
+    assert hamming(a, b) == 7
+    assert similarity_pct(a, b) == pytest.approx(89.0625)
+
+
+def test_tokenize_matches_reference_semantics():
+    assert tokenize("Hello, World! it's 42 äöü-test") == [
+        "hello", "world", "it", "s", "42", "äöü", "test",
+    ]
+
+
+def test_order_invariance():
+    # bag-of-words: token order does not change the fingerprint
+    assert simhash64("alpha beta gamma") == simhash64("gamma alpha beta")
+
+
+def test_multiset_sensitivity():
+    # repeated tokens vote more than once
+    assert simhash64("tok1 tok2 tok3 tok1") != simhash64("tok1 tok2 tok3")
+
+
+def test_empty_returns_none():
+    assert simhash64("") is None
+    assert simhash64("   ") is None
+    assert simhash64("!!! ...") is None  # punctuation-only -> no tokens
+
+
+def test_signed_roundtrip():
+    for u in [0, 1, (1 << 63) - 1, 1 << 63, (1 << 64) - 1, 9223372036854775808]:
+        assert from_signed64(to_signed64(u)) == u
+    assert to_signed64((1 << 64) - 1) == -1
+    assert to_signed64(1 << 63) == -9223372036854775808
+    assert simhash64_signed("a") == to_signed64(3585878926028121697)
+
+
+def test_band_pigeonhole():
+    # if hamming(a,b) <= 3, at least one of the 4 16-bit bands is identical
+    a = GOLDENS["The quick brown fox jumps over the lazy dog"]
+    for flip in [(0,), (1, 17), (2, 30, 63)]:
+        b = a
+        for bit in flip:
+            b ^= 1 << bit
+        assert hamming(a, b) == len(flip)
+        shared = set(enumerate(bands(a))) & set(enumerate(bands(b)))
+        assert shared, f"no shared band at distance {len(flip)}"
