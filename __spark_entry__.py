@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementations live in crawler_spark/queries_crawl.py (frontier, URL dedup,
+scheduling, retry — SURVEY.md §2.1/2.3-2.5) and crawler_spark/queries_content.py
+(content dedup, simhash, minhash, ANN, text analysis, spans — §2.2/2.6-2.8).
+Engine-level (stateful, non-SQL-expressible) entries return rows-only checks.
 """
 
 from __future__ import annotations
@@ -15,24 +19,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: schedule one politeness-paced frontier round on sf0.001 —
+    normalize+hash -> within-batch dedup -> seen anti-join -> priority rank
+    per host -> token-bucket pacing (the reference's core crawl loop as one
+    declarative plan)."""
+    from crawler_spark.queries_crawl import q_politeness_pacing
+
+    return q_politeness_pacing(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_spark import queries_content, queries_crawl
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(queries_crawl.QUERIES)
+    out.update(queries_content.QUERIES)
+    try:  # engine-level rows-only entries (added as the engine lands)
+        from crawler_spark import queries_engine
+
+        out.update(queries_engine.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_spark import queries_content, queries_crawl
+
+    out: dict[str, str] = {}
+    out.update(queries_crawl.ORACLES)
+    out.update(queries_content.ORACLES)
+    return out

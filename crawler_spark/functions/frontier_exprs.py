@@ -1,0 +1,77 @@
+"""Frontier scheduling column expressions (S1-S6, R1-R5) — pure Catalyst.
+
+Everything here is built-in expressions: priority score, HTTP/error
+classification CASE chains, backoff arithmetic, retry routing predicates.
+No Python in the hot path; each compiles into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from crawler_spark.kernels.classify import RETRYABLE
+from crawler_spark.kernels.scoring import PRIORITY_MAX, PRIORITY_MIN, PRIORITY_MULTIPLIER
+
+
+def priority_score_col(priority: Column, scheduled_at: Column) -> Column:
+    """S1: (10 - clamp(priority,0,10)) * 10^12 + epoch_millis(scheduled_at),
+    exact int64 (priority_queue.py:89-155 semantics)."""
+    clamped = F.greatest(F.lit(PRIORITY_MIN), F.least(F.lit(PRIORITY_MAX), priority))
+    # driver parquet carries TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    ts_ms = F.unix_millis(scheduled_at.cast("timestamp"))
+    return (F.lit(PRIORITY_MAX) - clamped).cast("long") * F.lit(PRIORITY_MULTIPLIER) + ts_ms
+
+
+def classify_http_col(status: Column) -> Column:
+    """R1: HTTP status -> error category (retry_policy.py:33-140 semantics)."""
+    return (
+        F.when(status == 404, "not_found")
+        .when(status.isin(401, 403), "auth_error")
+        .when(status == 429, "rate_limit")
+        .when(status == 408, "timeout")
+        .when((status >= 400) & (status < 500), "client_error")
+        .when((status >= 500) & (status < 600), "server_error")
+        .otherwise("unknown")
+    )
+
+
+def is_retryable_col(category: Column) -> Column:
+    return category.isin(*sorted(RETRYABLE))
+
+
+def backoff_col(
+    attempt: Column,
+    strategy: str = "exponential",
+    initial: int = 1,
+    max_delay: int = 300,
+    multiplier: float = 2.0,
+) -> Column:
+    """R3 (jitter-free form): truncate-then-cap, absolute 300 s max.
+    Deterministic; the jittered variant adds a seeded rand column."""
+    if strategy == "exponential":
+        raw = F.lit(initial) * F.pow(F.lit(multiplier), attempt.cast("double") - 1)
+    elif strategy == "linear":
+        raw = F.lit(initial) + F.lit(multiplier) * (attempt.cast("double") - 1)
+    elif strategy == "fixed":
+        raw = F.lit(initial).cast("double")
+    else:
+        raise ValueError(f"Unknown backoff strategy: {strategy}")
+    return F.least(F.floor(raw), F.lit(max_delay), F.lit(300)).cast("long")
+
+
+def backoff_jittered_col(base_delay: Column, seed: int, jitter_pct: float = 0.2) -> Column:
+    """R3 with deterministic (seeded) ±jitter_pct jitter."""
+    jitter_amount = F.floor(base_delay * F.lit(jitter_pct))
+    offset = F.floor(F.rand(seed) * (2 * jitter_amount + 1)) - jitter_amount
+    return F.greatest(F.lit(0), base_delay + offset).cast("long")
+
+
+def salt_col(host: Column, pending_count: Column, hot_threshold: int, n_salts: int, url_hash: Column) -> Column:
+    """Hot-host salting: hosts with more pending URLs than `hot_threshold`
+    spread over `n_salts` sub-partitions keyed by url_hash; cold hosts keep
+    salt 0 so their per-host groups stay intact."""
+    return F.when(
+        pending_count > hot_threshold,
+        F.pmod(F.xxhash64(url_hash), F.lit(n_salts)),
+    ).otherwise(F.lit(0)).cast("int")

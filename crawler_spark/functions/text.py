@@ -1,0 +1,92 @@
+"""Text-analysis column expressions — pure Catalyst, no Python in the hot path.
+
+Each builder mirrors the executable spec in kernels/textstats.py exactly and
+has a line-for-line ANSI-SQL equivalent used by the DuckDB oracle (see
+__spark_entry__.py). All of it codegens: regexp_count, array lambdas
+(filter/transform/aggregate), md5 — no UDF round-trips for 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from crawler_spark.kernels.textstats import (
+    BPE_TOKEN_RE,
+    FP_BASE,
+    FP_HEX_CHARS,
+    FP_MOD,
+    PUNCT_RE,
+    STOPWORDS_EN,
+    STOPWORDS_ID,
+)
+
+
+def ws_tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (== str.split() semantics)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_ws_col(text: Column) -> Column:
+    return F.size(ws_tokens_col(text))
+
+
+def token_count_bpe_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    return F.when(F.length(text) > 0, F.regexp_count(text, F.lit(PUNCT_RE)) / F.length(text)).otherwise(0.0)
+
+
+def stopword_hits_col(text: Column, stopwords: tuple[str, ...]) -> Column:
+    stoplist = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(ws_tokens_col(text), lambda t: F.array_contains(stoplist, F.lower(t))))
+
+
+def lang_id_col(text: Column) -> Column:
+    id_hits = stopword_hits_col(text, STOPWORDS_ID)
+    en_hits = stopword_hits_col(text, STOPWORDS_EN)
+    return (
+        F.when(id_hits > en_hits, "id").when(en_hits > id_hits, "en").otherwise("und")
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    n = F.length(text)
+    ntok = token_count_ws_col(text)
+    len_score = F.least(n, F.lit(2000)).cast("double") / 2000.0
+    hits = (stopword_hits_col(text, STOPWORDS_ID) + stopword_hits_col(text, STOPWORDS_EN)).cast("double")
+    stop_ratio = F.when(ntok > 0, F.least(hits / ntok, F.lit(0.4)) / 0.4).otherwise(0.0)
+    punct_pen = F.lit(1.0) - F.least(punct_ratio_col(text) * 5.0, F.lit(1.0))
+    return F.round(0.4 * len_score + 0.4 * stop_ratio + 0.2 * punct_pen, 4)
+
+
+def token_hash60_col(token: Column) -> Column:
+    """60-bit md5-substring hash (big-endian), kept < 2^63 so the rolling-hash
+    products stay in int64."""
+    return F.conv(F.substring(F.md5(token), 17, FP_HEX_CHARS), 16, 10).cast("long")
+
+
+def doc_fingerprint_col(text: Column, max_tokens: int = 64) -> Column:
+    """Order-sensitive polynomial rolling hash over the first `max_tokens`
+    tokens (kernels.textstats.doc_fingerprint)."""
+    hashed = F.transform(F.slice(ws_tokens_col(text), 1, max_tokens), token_hash60_col)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(FP_BASE) + t) % F.lit(FP_MOD),
+    )
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). array_distinct preserves
+    first-occurrence order, matching the kernel."""
+    toks = ws_tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # guard: sequence(1, m) with m < 1 generates a DESCENDING sequence in Spark
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )

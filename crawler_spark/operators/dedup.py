@@ -1,0 +1,223 @@
+"""Deduplication operators (U5-U7, C5-C9 + training-data dedup family).
+
+Every operator is a declarative DataFrame plan — Catalyst handles pushdown
+and AQE handles skew. Shuffle inventory (what a 100 TB run pays):
+
+  * first_by_order / seen_anti_join: ONE hash shuffle on the dedup key.
+  * exact-content dedup: one shuffle on content_hash (the window and the
+    join-back reuse the same partitioning).
+  * simhash banded join: explode 4x then ONE shuffle on (band_idx, band)
+    — the pigeonhole trick turns an O(n^2) all-pairs scan into a
+    self-equi-join whose cost is the bucket collision count.
+  * minhash LSH: shuffle on (band_idx, band_signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.simhash_udfs import hamming_col
+from crawler_spark.functions.text import token_hash60_col, word_shingles_col, ws_tokens_col
+
+
+def first_by_order(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """U5/U7: keep the first row per `key` by `order_cols` (extraction order).
+    Order is a computed column, never physical row order."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def seen_anti_join(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_hash",
+    ttl_filter: Column | None = None,
+) -> DataFrame:
+    """U6: drop candidates whose hash is in the seen set (optionally only
+    'fresh' seen rows per the 24 h TTL — TTL becomes a partition-prunable
+    predicate on seen_at instead of Redis key expiry)."""
+    s = seen.filter(ttl_filter) if ttl_filter is not None else seen
+    return candidates.join(s.select(key).distinct(), key, "left_anti")
+
+
+def mark_exact_duplicates(
+    pages: DataFrame,
+    id_col: str = "page_id",
+    content_col: str = "content_sha256",
+    order_col: str = "crawled_at",
+) -> DataFrame:
+    """C8/Q2: canonical page = earliest `order_col` (ties: lowest id) per
+    content hash; later pages get is_duplicate / duplicate_of / score 100."""
+    w = Window.partitionBy(content_col).orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__canon", F.first(id_col).over(w))
+        .withColumn("is_duplicate", F.col("__rn") > 1)
+        .withColumn("duplicate_of", F.when(F.col("__rn") > 1, F.col("__canon")))
+        .withColumn("similarity_score", F.when(F.col("__rn") > 1, F.lit(100)))
+        .drop("__rn", "__canon")
+    )
+
+
+def content_hash_stats(pages: DataFrame, content_col: str = "content_sha256") -> DataFrame:
+    """C7: occurrence counting per content hash (the MERGE INTO source)."""
+    return pages.groupBy(content_col).agg(
+        F.count("*").alias("occurrence_count"),
+        F.min("page_id").alias("first_seen_page_id"),
+        F.first("simhash", ignorenulls=True).alias("simhash_fingerprint"),
+    )
+
+
+def simhash_near_dup_join(
+    df: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+    threshold: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """C5/C6 at scale: banded LSH self-join.
+
+    Split each 64-bit fingerprint into `n_bands` contiguous bands; by
+    pigeonhole, hamming(a,b) <= n_bands-1 implies >=1 identical band, so the
+    self-equi-join on (band_idx, band_value) is a lossless candidate
+    generator for threshold <= n_bands-1. Verify with JVM-side bit_count.
+    Emits (id_a < id_b, distance, similarity_pct), deduped across bands.
+    """
+    if threshold > n_bands - 1:
+        raise ValueError(f"threshold {threshold} needs n_bands >= threshold+1")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    src = df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    banded = src.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", "b.band_idx", "b.band")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in >1 band
+    )
+    return (
+        pairs.withColumn("distance", hamming_col(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("distance") <= threshold)
+        .withColumn("similarity_pct", (1 - F.col("distance") / 64.0) * 100.0)
+        .select("id_a", "id_b", "distance", "similarity_pct")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signatures over word shingles, fully JVM-side.
+
+    Per-shingle 40-bit base hash h (md5-substring, engine-portable; 40 bits
+    keeps a_i*h + b_i inside int64 for exact cross-engine arithmetic), k
+    universal-hash permutations h_i = (a_i*h + b_i) mod p, signature_i =
+    min over shingles. a_i/b_i are fixed odd constants so the signature is
+    deterministic and reproducible in the SQL oracle.
+    """
+    p = 2305843009213693951  # 2^61 - 1 (Mersenne)
+    coeffs = [(2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(k)]
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_words)).alias("shingle"),
+    )
+    hashed = shingles.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 17, 10), 16, 10).cast("long")
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding over minhash signatures: docs sharing any full band are
+    candidate near-dups. Emits distinct (id_a < id_b) candidate pairs."""
+    k = bands * rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "b.band_idx", "b.band_key")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (verification stage after
+    LSH, or directly for bounded pair sets)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(ws_tokens_col(F.col(text_col))).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+                / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Frontier scheduling operators (S1-S6): rank, budget, salting.
+
+The reference drains one Redis ZSET a job at a time; here a whole round is
+ONE window over the frontier partitioned by host — the politeness budget
+becomes a rank predicate, so scheduling 10^8 pending URLs is a single
+shuffle on host (salted when hot) instead of 10^8 queue pops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.frontier_exprs import priority_score_col
+
+
+def with_priority_score(df: DataFrame, priority: str = "priority", scheduled_at: str = "scheduled_at") -> DataFrame:
+    return df.withColumn("priority_score", priority_score_col(F.col(priority), F.col(scheduled_at)))
+
+
+def due_filter(df: DataFrame, round_start, not_before: str = "not_before") -> DataFrame:
+    """R6: retry-scheduler poll as a plain predicate (free in batch model)."""
+    return df.filter(F.col(not_before).isNull() | (F.col(not_before) <= F.lit(round_start)))
+
+
+def per_host_budget_selection(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    host: str = "host",
+    score: str = "priority_score",
+    budget_col: str = "budget",
+    tiebreak: str = "url_hash",
+) -> DataFrame:
+    """S3+S5: within each host, take the `budget` lowest-score rows.
+
+    `budgets` is a small per-host dim (host, budget) — broadcast, no extra
+    shuffle beyond the rank's hash partitioning on host. The deterministic
+    tiebreak column makes crawl order reproducible under any parallelism.
+    """
+    w = Window.partitionBy(host).orderBy(F.col(score).asc(), F.col(tiebreak).asc())
+    return (
+        frontier.join(F.broadcast(budgets), host, "left")
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= F.coalesce(F.col(budget_col), F.lit(0)))
+        .withColumn("fetch_order", F.col("__rank"))
+        .drop("__rank", budget_col)
+    )
+
+
+def politeness_budgets(
+    seeds: DataFrame,
+    round_seconds: float,
+    host: str = "host",
+    rps_col: str = "rate_limit_rps",
+    crawl_delay_col: str | None = "crawl_delay_s",
+    burst: int = 10,
+) -> DataFrame:
+    """Token-bucket budget as data (local_rate_limiter.py:67-104 semantics in
+    aggregate): a host may fetch floor(effective_rate * round_seconds) + burst
+    headroom in a round, where robots crawl-delay lowers the effective rate
+    to min(rps, 1/crawl_delay)."""
+    eff = F.col(rps_col)
+    if crawl_delay_col is not None:
+        eff = F.when(
+            F.col(crawl_delay_col).isNotNull() & (F.col(crawl_delay_col) > 0),
+            F.least(F.col(rps_col), 1.0 / F.col(crawl_delay_col)),
+        ).otherwise(F.col(rps_col))
+    return seeds.groupBy(host).agg(
+        F.least(
+            F.floor(F.max(eff) * round_seconds) + burst, F.lit(10**6)
+        ).cast("long").alias("budget")
+    )
+
+
+def hot_host_salt(
+    frontier: DataFrame, host: str = "host", hot_threshold: int = 10_000, n_salts: int = 16
+) -> DataFrame:
+    """Skew handling: hosts whose pending count exceeds the threshold spread
+    across n_salts fetch sub-groups (politeness budget is split per salt by
+    the caller); cold hosts keep a single group. Counting is one agg; the
+    salt assignment is a broadcast join back."""
+    counts = frontier.groupBy(host).agg(F.count("*").alias("__pending"))
+    return (
+        frontier.join(F.broadcast(counts), host)
+        .withColumn(
+            "host_salt",
+            F.when(
+                F.col("__pending") > hot_threshold,
+                F.pmod(F.xxhash64(F.col("url_hash")), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__pending")
+    )
+
+
+def enqueue_idempotent(frontier: DataFrame, new_rows: DataFrame, key: str = "url_hash") -> DataFrame:
+    """S2 (ZADD NX): first-write-wins — new rows that collide with an
+    existing frontier key are dropped, existing scores never updated."""
+    return frontier.unionByName(
+        new_rows.join(frontier.select(key).distinct(), key, "left_anti"),
+        allowMissingColumns=True,
+    )

@@ -1,0 +1,71 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+Brute-force cosine top-k is the exactness baseline: broadcast the (small)
+query set, one pass over the corpus, JVM-side fold for the dot product,
+window top-k. The scale path is LSH bucketing (random-hyperplane signatures):
+corpus and queries hash to buckets; only same-bucket pairs are scored —
+sublinear candidate sets at 100 TB, tunable recall via n_planes/probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.vectors import cosine_col, simhash_plane_col
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("__qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket equality prunes candidates
+    before exact cosine. Deterministic planes (hash-seeded), no model state."""
+    seeds = list(range(1, n_planes + 1))
+    c = corpus.withColumn("__bucket", simhash_plane_col(F.col(vec_col), seeds))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        simhash_plane_col(F.col(vec_col), seeds).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("__qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )

@@ -1,0 +1,507 @@
+"""Content-side query surface: dedup family (C1-C9 + MinHash/Jaccard), span
+extraction (the input_hint invariant), similarity search, text analysis,
+multimodal plumbing — each with a DuckDB oracle that re-derives the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.parse_udfs import parse_page_udf
+from crawler_spark.functions.simhash_udfs import simhash64_udf
+from crawler_spark.functions.text import (
+    doc_fingerprint_col,
+    lang_id_col,
+    punct_ratio_col,
+    quality_score_col,
+    token_count_bpe_col,
+    token_count_ws_col,
+    ws_tokens_col,
+)
+from crawler_spark.operators.dedup import (
+    content_hash_stats,
+    jaccard_pairs,
+    mark_exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_near_dup_join,
+)
+from crawler_spark.operators.similarity import brute_force_topk
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def q_exact_dup_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/Q2: canonical-page election per content hash + duplicate marking.
+    Content key = sha256 of the first 40 chars (prefix collisions give real
+    duplicate groups in the synthetic corpus)."""
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("page_id"),
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_sha256"),
+        F.col("doc_id").alias("crawled_at"),  # deterministic crawl order proxy
+    )
+    out = mark_exact_duplicates(pages)
+    return out.select(
+        "page_id", "content_sha256", "is_duplicate", "duplicate_of", "similarity_score"
+    )
+
+
+O_EXACT_DUP_MARKING = """
+WITH p AS (
+  SELECT doc_id AS page_id, sha256(substr(text,1,40)) AS content_sha256
+  FROM documents
+),
+w AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY content_sha256 ORDER BY page_id) AS rn,
+    min(page_id) OVER (PARTITION BY content_sha256) AS canon
+  FROM p
+)
+SELECT page_id, content_sha256,
+       rn > 1 AS is_duplicate,
+       CASE WHEN rn > 1 THEN canon END AS duplicate_of,
+       CAST(CASE WHEN rn > 1 THEN 100 END AS INT) AS similarity_score
+FROM w
+"""
+
+
+def q_content_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/Q5: per-content-hash occurrence counts (the MERGE INTO source)."""
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("page_id"),
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_sha256"),
+        F.lit(None).cast("long").alias("simhash"),
+    )
+    return content_hash_stats(pages).select(
+        "content_sha256", "occurrence_count", "first_seen_page_id"
+    )
+
+
+O_CONTENT_HASH_STATS = """
+SELECT sha256(substr(text,1,40)) AS content_sha256,
+       count(*) AS occurrence_count,
+       min(doc_id) AS first_seen_page_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: unique/duplicate counts + conditional average similarity."""
+    marked = q_exact_dup_marking(spark, sf_dir)
+    return marked.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).alias("n_duplicates"),
+        F.sum(F.when(~F.col("is_duplicate"), 1).otherwise(0)).alias("n_unique"),
+        F.avg(F.when(F.col("is_duplicate"), F.col("similarity_score"))).alias("avg_similarity"),
+    )
+
+
+O_PAGE_STATS = """
+WITH w AS (
+  SELECT row_number() OVER (PARTITION BY sha256(substr(text,1,40)) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT count(*) AS n_pages,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
+       CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_unique,
+       avg(CASE WHEN rn > 1 THEN 100 END) AS avg_similarity
+FROM w
+"""
+
+
+# ------------------------------------------------------------------- simhash
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: vectorized simhash (md5 token votes), stored signed-int64. The
+    oracle replays the full algorithm in SQL (unnest -> md5 -> bit votes)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+    )
+
+
+O_SIMHASH_FINGERPRINT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text,'[^\w\s]',' ','g')),'\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok),17,16))::UBIGINT AS th FROM toks
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, LATERAL unnest(generate_series(0,63)) AS g(b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b)::HUGEINT ELSE 0::HUGEINT END) AS ufp
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+                 THEN ufp - 18446744073709551616::HUGEINT ELSE ufp END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C6 banded near-dup join. Fingerprints: portable 60-bit sha-derived
+    hash per doc plus a planted copy at Hamming distance (doc_id%4)+1 — so
+    distances 1-3 pass the threshold and distance 4 is correctly dropped."""
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    flips = (F.col("doc_id") % 4 + 1).cast("int")
+    # perturb `flips` low bits: fp XOR (2^flips - 1)
+    copies = _docs(spark, sf_dir).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        (
+            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10).cast("long")
+            .bitwiseXOR(F.pow(F.lit(2.0), flips).cast("long") - 1)
+        ).alias("fp"),
+    )
+    both = base.unionByName(copies)
+    return simhash_near_dup_join(both, id_col="id", fp_col="fp", threshold=3)
+
+
+O_SIMHASH_NEAR_DUP = """
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS fp
+  FROM documents
+),
+copies AS (
+  SELECT doc_id + 1000000 AS id,
+         xor(CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT),
+             CAST(power(2, CAST(doc_id % 4 AS INT) + 1) AS BIGINT) - 1) AS fp
+  FROM documents
+),
+all_fp AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+banded AS (
+  SELECT id, fp, b AS band_idx,
+         (fp >> (b * 16)) & 65535 AS band
+  FROM all_fp, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS distance,
+       (1 - bit_count(xor(fp_a, fp_b)) / 64.0) * 100.0 AS similarity_pct
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+# ------------------------------------------------------------------- minhash
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 16 permutations over 3-word shingles, 4 bands x 4
+    rows; corpus = docs + planted variants (same text + 3 extra tokens).
+    Candidate pairs verified with exact token-set Jaccard."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+    b = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.concat(F.col("text"), F.lit(" tambahan akhir dokumen")).alias("text"),
+    )
+    corpus = a.unionByName(b)
+    sigs = minhash_signature(corpus, "id", "text", k=16, shingle_words=3)
+    pairs = minhash_lsh_pairs(sigs, bands=4, rows_per_band=4)
+    return jaccard_pairs(corpus, pairs, "id", "text").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+O_MINHASH_LSH = r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text || ' tambahan akhir dokumen' AS text FROM documents
+),
+toks AS (
+  SELECT id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS t FROM corpus
+),
+sh AS (
+  SELECT id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+h AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle),17,10)) AS BIGINT) AS h60 FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM h GROUP BY id
+),
+banded AS (
+  SELECT id, b AS band_idx,
+         CASE b
+           WHEN 0 THEN mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3
+           WHEN 1 THEN mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7
+           WHEN 2 THEN mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11
+           ELSE mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15
+         END AS band_key
+  FROM sig, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+),
+tsets AS (
+  SELECT id, list_distinct(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS ts
+  FROM corpus
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+FROM pairs p JOIN tsets a ON p.id_a = a.id JOIN tsets b ON p.id_b = b.id
+""".replace(
+    "{mins}",
+    ",\n         ".join(
+        f"min((h60 * {2 * i + 1} + {1000003 * (i + 1) + 12345}) % 2305843009213693951) AS mh_{i}"
+        for i in range(16)
+    ),
+)
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 5 query vectors (the ANN baseline);
+    scores rounded to 4dp so the fold order can never flip the comparison."""
+    corpus = _embs(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(corpus, queries, k=5)
+
+
+O_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
+# -------------------------------------------------------------- text analysis
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality score, token counts, punctuation ratio — all
+    JVM-side column expressions (every third doc gets '!!!' appended so the
+    punctuation path is exercised)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "t",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" !!!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        token_count_ws_col(F.col("t")).alias("n_tokens_ws"),
+        token_count_bpe_col(F.col("t")).alias("n_tokens_bpe"),
+        F.round(punct_ratio_col(F.col("t")), 4).alias("punct_ratio"),
+        lang_id_col(F.col("t")).alias("lang_pred"),
+        quality_score_col(F.col("t")).alias("quality"),
+    )
+
+
+def _sql_stopword_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _text_profile_oracle() -> str:
+    from crawler_spark.kernels.textstats import STOPWORDS_EN, STOPWORDS_ID
+
+    sid = _sql_stopword_list(STOPWORDS_ID)
+    sen = _sql_stopword_list(STOPWORDS_EN)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' !!!' ELSE text END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t, list_filter(string_split_regex(t,'\s+'), x -> x <> '') AS toks
+  FROM d
+),
+m AS (
+  SELECT doc_id, t, toks,
+         len(toks) AS n_ws,
+         len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         CASE WHEN length(t) > 0
+              THEN CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(t)
+              ELSE 0.0 END AS pr,
+         len(list_filter(toks, x -> list_contains({sid}, lower(x)))) AS id_hits,
+         len(list_filter(toks, x -> list_contains({sen}, lower(x)))) AS en_hits
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_ws AS INT) AS n_tokens_ws,
+       CAST(n_bpe AS INT) AS n_tokens_bpe,
+       round(pr, 4) AS punct_ratio,
+       CASE WHEN id_hits > en_hits THEN 'id'
+            WHEN en_hits > id_hits THEN 'en' ELSE 'und' END AS lang_pred,
+       round(0.4 * (least(length(t), 2000) / 2000.0)
+           + 0.4 * (CASE WHEN n_ws > 0
+                         THEN least(CAST(id_hits + en_hits AS DOUBLE) / n_ws, 0.4) / 0.4
+                         ELSE 0.0 END)
+           + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 4) AS quality
+FROM m
+"""
+
+
+O_TEXT_PROFILE = _text_profile_oracle()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (first 64 tokens),
+    fully JVM-side (md5 + aggregate fold)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+O_DOC_FINGERPRINT = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks[1:64],
+             t -> CAST(('0x' || substr(md5(t),17,15)) AS BIGINT))),
+         (acc, t) -> (acc * 1000003 + t) % 2147483647) AS fingerprint
+FROM tok
+"""
+
+
+# ------------------------------------------------------------ spans (X1-X7)
+
+def q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input_hint invariant: HTML built from each doc, parsed by the
+    vectorized parse UDF into the interleaved text+media span sequence; the
+    oracle constructs the expected spans directly. Checks (kind, text,
+    media_ref, order) per row."""
+    docs = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ids, F.lit("</title></head><body><h1>Doc "),
+        ids, F.lit("</h1><p>"), F.substring("text", 1, 80),
+        F.lit('</p><a class="download-pdf" href="/files/'), ids,
+        F.lit('.pdf">Unduh</a><p>'), F.substring("text", 81, 80),
+        F.lit('</p><img src="/img/'), ids, F.lit('.png"></body></html>'),
+    )
+    parsed = docs.select("doc_id", parse_page_udf(html).alias("p"))
+    return parsed.select("doc_id", F.explode("p.spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+    )
+
+
+O_SPAN_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(substr(text, 1, 80), '\s+', ' ', 'g')) AS p1,
+         trim(regexp_replace(substr(text, 81, 80), '\s+', ' ', 'g')) AS p2
+  FROM documents
+)
+SELECT doc_id, 'text' AS kind, 'Doc ' || doc_id AS span_text,
+       CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_offset FROM d
+UNION ALL
+SELECT doc_id, 'text', 'Doc ' || doc_id, NULL, 1 FROM d
+UNION ALL
+SELECT doc_id, 'text', p1, NULL, 2 FROM d WHERE p1 <> ''
+UNION ALL
+SELECT doc_id, 'media', NULL, '/files/' || doc_id || '.pdf',
+       CASE WHEN p1 <> '' THEN 3 ELSE 2 END FROM d
+UNION ALL
+SELECT doc_id, 'text', p2, NULL,
+       CASE WHEN p1 <> '' THEN 4 ELSE 3 END FROM d WHERE p2 <> ''
+UNION ALL
+SELECT doc_id, 'media', NULL, '/img/' || doc_id || '.png',
+       (CASE WHEN p1 <> '' THEN 4 ELSE 3 END) + (CASE WHEN p2 <> '' THEN 1 ELSE 0 END)
+FROM d
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents carry an opaque binary payload
+    (encoded text prefix as the deterministic stand-in); typed metadata =
+    byte length + content digest. Decode/feature-extraction stubs live in
+    operators/multimodal.py."""
+    docs = _docs(spark, sf_dir)
+    payload = F.encode(F.substring("text", 1, 64), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(F.substring("text", 1, 64), 256).alias("payload_sha256"),
+    )
+
+
+O_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(substr(text,1,64))) AS INT) AS n_bytes,
+       sha256(substr(text,1,64)) AS payload_sha256
+FROM documents
+"""
+
+
+QUERIES = {
+    "exact_dup_marking": q_exact_dup_marking,
+    "content_hash_stats": q_content_hash_stats,
+    "page_stats": q_page_stats,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_profile": q_text_profile,
+    "doc_fingerprint": q_doc_fingerprint,
+    "span_extract": q_span_extract,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "exact_dup_marking": O_EXACT_DUP_MARKING,
+    "content_hash_stats": O_CONTENT_HASH_STATS,
+    "page_stats": O_PAGE_STATS,
+    "simhash_fingerprint": O_SIMHASH_FINGERPRINT,
+    "simhash_near_dup": O_SIMHASH_NEAR_DUP,
+    "dedup_minhash_lsh": O_MINHASH_LSH,
+    "ann_cosine_topk": O_ANN_COSINE_TOPK,
+    "text_profile": O_TEXT_PROFILE,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
+    "span_extract": O_SPAN_EXTRACT,
+    "multimodal_meta": O_MULTIMODAL_META,
+}

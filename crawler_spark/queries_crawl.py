@@ -1,0 +1,431 @@
+"""Crawl-side query surface (SURVEY.md §2.1, §2.3-2.5) with DuckDB oracles.
+
+Each query synthesizes crawl-shaped inputs DETERMINISTICALLY from the driver's
+parquet tables (events) so an ANSI-SQL oracle can reproduce the expected
+output exactly: the Spark side exercises the real operators/UDFs, the oracle
+side re-derives the result constructively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.frontier_exprs import (
+    backoff_col,
+    classify_http_col,
+    is_retryable_col,
+    priority_score_col,
+)
+from crawler_spark.functions.url_udfs import normalize_url_udf, url_hash
+from crawler_spark.operators.dedup import first_by_order, seen_anti_join
+from crawler_spark.operators.frontier import per_host_budget_selection
+from crawler_spark.sources.fetch import paced_fetch_schedule
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def synth_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic frontier derived from `events`: raw URLs with
+    tracking params / mixed case (normalizing collapses them), a host per
+    user_id bucket, priority 0-10, the event ts as scheduled_at."""
+    ev = _events(spark, sf_dir)
+    host_num = (F.col("user_id") % 50).cast("string")
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("portal"), host_num, F.lit(".go.id")).alias("host"),
+        F.concat(
+            F.lit("HTTPS://Portal"), host_num, F.lit(".GO.ID/cases/"),
+            (F.col("event_id") % 997).cast("string"),
+            F.lit("?utm_source=feed&ref=x&page="),
+            (F.col("event_id") % 7 + 1).cast("string"),
+            F.lit("&b="), (F.col("user_id") % 13).cast("string"),
+            F.lit("&a=1#s"),
+        ).alias("url"),
+        (F.col("event_id") % 11).cast("int").alias("priority"),
+        F.col("ts").alias("scheduled_at"),
+    )
+
+
+# Shared oracle CTE: the constructive normalized form of synth_frontier's URLs.
+_F_CTE = """
+WITH f AS (
+  SELECT event_id,
+         'portal' || (user_id % 50) || '.go.id' AS host,
+         'https://portal' || (user_id % 50) || '.go.id/cases/' || (event_id % 997)
+           || '?a=1&b=' || (user_id % 13) || '&page=' || (event_id % 7 + 1) AS url_norm,
+         CAST(event_id % 11 AS INT) AS priority,
+         ts AS scheduled_at
+  FROM events
+)
+"""
+
+
+def q_url_normalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3: vectorized canonicalization + sha256 seen-set key."""
+    df = synth_frontier(spark, sf_dir)
+    df = df.withColumn("url_norm", normalize_url_udf(F.col("url")))
+    return df.select("event_id", "url_norm", url_hash("url_norm").alias("url_hash"))
+
+
+O_URL_NORMALIZE_HASH = _F_CTE + """
+SELECT event_id, url_norm, sha256(url_norm) AS url_hash FROM f
+"""
+
+
+def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/U7 + U6: within-batch first-wins dedup, then anti-join the seen set
+    (events with event_id % 3 = 0 simulate previously-crawled URLs)."""
+    df = q_url_normalize_hash(spark, sf_dir)
+    batch = first_by_order(df, "url_hash", ["event_id"])
+    seen = df.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    return seen_anti_join(batch, seen).select("event_id", "url_hash")
+
+
+O_URL_SEEN_ANTIJOIN = _F_CTE + """
+, hashed AS (SELECT event_id, sha256(url_norm) AS url_hash FROM f),
+batch AS (
+  SELECT event_id, url_hash FROM (
+    SELECT event_id, url_hash,
+           row_number() OVER (PARTITION BY url_hash ORDER BY event_id) AS rn
+    FROM hashed) WHERE rn = 1
+),
+seen AS (SELECT DISTINCT url_hash FROM hashed WHERE event_id % 3 = 0)
+SELECT b.event_id, b.url_hash FROM batch b ANTI JOIN seen s USING (url_hash)
+"""
+
+
+def q_priority_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3: exact-int priority score, per-host rank, top-5 per host.
+    Tiebreak on event_id keeps order deterministic under any parallelism."""
+    df = synth_frontier(spark, sf_dir).withColumn(
+        "priority_score", priority_score_col(F.col("priority"), F.col("scheduled_at"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority_score").asc(), F.col("event_id").asc())
+    return (
+        df.withColumn("fetch_order", F.row_number().over(w))
+        .filter(F.col("fetch_order") <= 5)
+        .select("event_id", "host", "priority_score", "fetch_order")
+    )
+
+
+O_PRIORITY_FRONTIER = _F_CTE + """
+, scored AS (
+  SELECT event_id, host,
+         CAST(10 - priority AS BIGINT) * 1000000000000 + epoch_ms(scheduled_at)
+           AS priority_score
+  FROM f
+)
+SELECT event_id, host, priority_score,
+       CAST(fetch_order AS INT) AS fetch_order
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority_score, event_id)
+           AS fetch_order
+  FROM scored)
+WHERE fetch_order <= 5
+"""
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as data: per-host budget floor(rps*30)+10 rows per round, selected
+    by priority rank (rps varies by host bucket)."""
+    df = synth_frontier(spark, sf_dir).withColumn(
+        "priority_score", priority_score_col(F.col("priority"), F.col("scheduled_at"))
+    )
+    budgets = (
+        df.groupBy("host")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "rps",
+            ((F.regexp_extract(F.col("host"), r"portal(\d+)", 1).cast("int") % 4 + 1) * 0.5),
+        )
+        .withColumn("budget", (F.floor(F.col("rps") * 30) + 10).cast("long"))
+        .select("host", "budget")
+    )
+    sel = per_host_budget_selection(
+        df, budgets, host="host", score="priority_score", tiebreak="event_id"
+    )
+    return sel.select("event_id", "host", F.col("fetch_order").cast("int").alias("fetch_order"))
+
+
+O_POLITENESS_BUDGET = _F_CTE + """
+, scored AS (
+  SELECT event_id, host,
+         CAST(10 - priority AS BIGINT) * 1000000000000 + epoch_ms(scheduled_at)
+           AS priority_score,
+         CAST(floor(((CAST(regexp_extract(host, 'portal(\\d+)', 1) AS INT) % 4 + 1) * 0.5) * 30)
+              + 10 AS BIGINT) AS budget
+  FROM f
+)
+SELECT event_id, host, CAST(fetch_order AS INT) AS fetch_order
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority_score, event_id)
+           AS fetch_order
+  FROM scored)
+WHERE fetch_order <= budget
+"""
+
+
+def q_politeness_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 token-bucket pacing: the applyInPandas per-host fetch scheduler
+    assigns each URL a virtual fetch time from genuine incremental token-bucket
+    simulation; the oracle is the closed form max(0, (k-burst)/rps)."""
+    df = q_priority_frontier(spark, sf_dir)
+    rps = (F.regexp_extract(F.col("host"), r"portal(\d+)", 1).cast("int") % 4 + 1) * 0.5
+    withr = df.withColumn("rps", rps).withColumn("burst", F.lit(3))
+    return paced_fetch_schedule(withr).select("event_id", "host", "fetch_order", "fetch_at_ms")
+
+
+O_POLITENESS_PACING = _F_CTE + """
+, scored AS (
+  SELECT event_id, host,
+         CAST(10 - priority AS BIGINT) * 1000000000000 + epoch_ms(scheduled_at)
+           AS priority_score,
+         ((CAST(regexp_extract(host, 'portal(\\d+)', 1) AS INT) % 4 + 1) * 0.5) AS rps
+  FROM f
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority_score, event_id)
+           AS fetch_order
+  FROM scored
+)
+SELECT event_id, host, CAST(fetch_order AS INT) AS fetch_order,
+       CAST(floor(greatest(0.0, (fetch_order - 3) / rps) * 1000 + 0.5) AS BIGINT)
+         AS fetch_at_ms
+FROM ranked WHERE fetch_order <= 5
+"""
+
+
+def q_http_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: status classification + retryability as one CASE chain."""
+    ev = _events(spark, sf_dir)
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in [200, 404, 403, 429, 408, 500, 503, 301, 400, 418]]),
+        (F.col("event_id") % 10 + 1).cast("int"),
+    )
+    df = ev.select("event_id", status.alias("status_code"))
+    df = df.withColumn("error_category", classify_http_col(F.col("status_code")))
+    return df.withColumn("retryable", is_retryable_col(F.col("error_category")))
+
+
+O_HTTP_CLASSIFY = """
+WITH s AS (
+  SELECT event_id,
+         ([200,404,403,429,408,500,503,301,400,418])[CAST(event_id % 10 AS INT) + 1]
+           AS status_code
+  FROM events
+)
+SELECT event_id, status_code,
+  CASE WHEN status_code = 404 THEN 'not_found'
+       WHEN status_code IN (401,403) THEN 'auth_error'
+       WHEN status_code = 429 THEN 'rate_limit'
+       WHEN status_code = 408 THEN 'timeout'
+       WHEN status_code >= 400 AND status_code < 500 THEN 'client_error'
+       WHEN status_code >= 500 AND status_code < 600 THEN 'server_error'
+       ELSE 'unknown' END AS error_category,
+  CASE WHEN status_code = 404 THEN FALSE
+       WHEN status_code IN (401,403) THEN FALSE
+       WHEN status_code = 429 THEN TRUE
+       WHEN status_code = 408 THEN TRUE
+       WHEN status_code >= 400 AND status_code < 500 THEN FALSE
+       WHEN status_code >= 500 AND status_code < 600 THEN TRUE
+       ELSE FALSE END AS retryable
+FROM s
+"""
+
+
+def q_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 (deterministic form): exponential backoff, truncate-then-cap-300."""
+    ev = _events(spark, sf_dir)
+    df = ev.select("event_id", (F.col("event_id") % 9 + 1).cast("int").alias("attempt"))
+    return df.withColumn(
+        "delay_s", backoff_col(F.col("attempt"), "exponential", initial=2, max_delay=300, multiplier=2.0)
+    )
+
+
+O_BACKOFF_SCHEDULE = """
+SELECT event_id, CAST(event_id % 9 + 1 AS INT) AS attempt,
+       least(CAST(floor(2 * power(2.0, CAST(event_id % 9 AS INT))) AS BIGINT), 300)
+         AS delay_s
+FROM events
+"""
+
+
+def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/R5: route each fetch outcome to ok / retry / dlq / failed
+    (max_attempts = 3), then count per route — the DLQ dataflow as one agg."""
+    df = q_http_classify(spark, sf_dir).withColumn(
+        "attempt", (F.col("event_id") % 5).cast("int")
+    )
+    route = (
+        F.when(F.col("status_code") < 400, "ok")
+        .when(F.col("retryable") & (F.col("attempt") < 3), "retry")
+        .when(F.col("retryable"), "dlq")
+        .otherwise("failed")
+    )
+    return (
+        df.withColumn("route", route)
+        .groupBy("route", "error_category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_RETRY_ROUTING = """
+WITH s AS (
+  SELECT event_id,
+         ([200,404,403,429,408,500,503,301,400,418])[CAST(event_id % 10 AS INT) + 1]
+           AS status_code,
+         CAST(event_id % 5 AS INT) AS attempt
+  FROM events
+),
+c AS (
+  SELECT *,
+    CASE WHEN status_code = 404 THEN 'not_found'
+         WHEN status_code IN (401,403) THEN 'auth_error'
+         WHEN status_code = 429 THEN 'rate_limit'
+         WHEN status_code = 408 THEN 'timeout'
+         WHEN status_code >= 400 AND status_code < 500 THEN 'client_error'
+         WHEN status_code >= 500 AND status_code < 600 THEN 'server_error'
+         ELSE 'unknown' END AS error_category,
+    CASE WHEN status_code IN (429, 408) THEN TRUE
+         WHEN status_code >= 500 AND status_code < 600 THEN TRUE
+         ELSE FALSE END AS retryable
+  FROM s
+)
+SELECT CASE WHEN status_code < 400 THEN 'ok'
+            WHEN retryable AND attempt < 3 THEN 'retry'
+            WHEN retryable THEN 'dlq'
+            ELSE 'failed' END AS route,
+       error_category, count(*) AS n
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_pagination_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: frontier fan-out — every 100th event is a pagination seed expanded
+    to pages 1..(event_id%5+2) (query-param pattern)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    base = F.concat(
+        F.lit("https://portal"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".go.id/list"),
+    )
+    pages = F.sequence(F.lit(1), (F.col("event_id") % 5 + 2).cast("int"))
+    return ev.select(
+        "event_id", base.alias("base"), F.explode(pages).alias("page_no")
+    ).select(
+        "event_id",
+        "page_no",
+        F.concat(F.col("base"), F.lit("?page="), F.col("page_no").cast("string")).alias("page_url"),
+    )
+
+
+O_PAGINATION_EXPAND = """
+SELECT event_id, CAST(page_no AS INT) AS page_no,
+       'https://portal' || (user_id % 50) || '.go.id/list?page=' || page_no AS page_url
+FROM events, LATERAL unnest(generate_series(1, CAST(event_id % 5 AS INT) + 2)) AS t(page_no)
+WHERE event_id % 100 = 0
+"""
+
+
+def q_stop_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (stateless rules): per-response stop decision for HTTP errors.
+    (The stateful rules — consecutive-empty, duplicate-content, circular —
+    live in the fetch group loop; engine tests cover them.)"""
+    df = q_http_classify(spark, sf_dir).select("event_id", "status_code")
+    stop_reason = (
+        F.when(F.col("status_code") == 404, "404 Not Found - end of pagination")
+        .when(F.col("status_code") == 403, "403 Forbidden - access denied")
+        .when(F.col("status_code") >= 500, F.concat(F.lit("Server error: HTTP "), F.col("status_code").cast("string")))
+    )
+    return df.withColumn("stop_reason", stop_reason).withColumn(
+        "should_stop", F.col("stop_reason").isNotNull()
+    )
+
+
+O_STOP_CLASSIFY = """
+WITH s AS (
+  SELECT event_id,
+         ([200,404,403,429,408,500,503,301,400,418])[CAST(event_id % 10 AS INT) + 1]
+           AS status_code
+  FROM events
+)
+SELECT event_id, status_code,
+  CASE WHEN status_code = 404 THEN '404 Not Found - end of pagination'
+       WHEN status_code = 403 THEN '403 Forbidden - access denied'
+       WHEN status_code >= 500 THEN 'Server error: HTTP ' || status_code
+       END AS stop_reason,
+  CASE WHEN status_code = 404 OR status_code = 403 OR status_code >= 500
+       THEN TRUE ELSE FALSE END AS should_stop
+FROM s
+"""
+
+
+def q_hot_host_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew plan: one deliberately hot host (~50% of rows) gets spread over 16
+    salts, cold hosts keep salt 0; output is the (host, salt) load map.
+    (The production salt is xxhash64(url_hash); here a portable modulus so the
+    oracle can reproduce the exact assignment.)"""
+    ev = _events(spark, sf_dir)
+    host = F.when(F.col("event_id") % 2 == 0, F.lit("hot.go.id")).otherwise(
+        F.concat(F.lit("portal"), (F.col("user_id") % 50).cast("string"), F.lit(".go.id"))
+    )
+    df = ev.select("event_id", host.alias("host"))
+    counts = df.groupBy("host").agg(F.count("*").alias("pending"))
+    joined = df.join(F.broadcast(counts), "host")
+    salt = (
+        F.when(F.col("pending") > 1000, (F.col("event_id") % 16))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        joined.withColumn("salt", salt)
+        .groupBy("host", "salt")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_HOT_HOST_SALTING = """
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN 'hot.go.id'
+              ELSE 'portal' || (user_id % 50) || '.go.id' END AS host
+  FROM events
+),
+c AS (SELECT host, count(*) AS pending FROM d GROUP BY host)
+SELECT d.host,
+       CAST(CASE WHEN c.pending > 1000 THEN d.event_id % 16 ELSE 0 END AS INT) AS salt,
+       count(*) AS n
+FROM d JOIN c USING (host)
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "url_normalize_hash": q_url_normalize_hash,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "priority_frontier": q_priority_frontier,
+    "politeness_budget": q_politeness_budget,
+    "politeness_pacing": q_politeness_pacing,
+    "http_classify": q_http_classify,
+    "backoff_schedule": q_backoff_schedule,
+    "retry_routing": q_retry_routing,
+    "pagination_expand": q_pagination_expand,
+    "stop_classify": q_stop_classify,
+    "hot_host_salting": q_hot_host_salting,
+}
+
+ORACLES = {
+    "url_normalize_hash": O_URL_NORMALIZE_HASH,
+    "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
+    "priority_frontier": O_PRIORITY_FRONTIER,
+    "politeness_budget": O_POLITENESS_BUDGET,
+    "politeness_pacing": O_POLITENESS_PACING,
+    "http_classify": O_HTTP_CLASSIFY,
+    "backoff_schedule": O_BACKOFF_SCHEDULE,
+    "retry_routing": O_RETRY_ROUTING,
+    "pagination_expand": O_PAGINATION_EXPAND,
+    "stop_classify": O_STOP_CLASSIFY,
+    "hot_host_salting": O_HOT_HOST_SALTING,
+}
