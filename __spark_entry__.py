@@ -49,4 +49,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(queries_crawl.ORACLES)
     out.update(queries_content.ORACLES)
+    try:
+        from crawler_spark import queries_engine
+
+        out.update(queries_engine.ORACLES)
+    except ImportError:
+        pass
     return out

@@ -29,10 +29,13 @@ HEADLINE = [
     "simhash_fingerprint",
     "simhash_near_dup",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_profile",
     "doc_fingerprint",
     "span_extract",
+    "multimodal_decode",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Pure-Python reference simulator for scheduler equivalence (SURVEY.md §5.3).
+
+Replays the EXACT superstep semantics of engine/superstep.py — same kernels
+(urlnorm, htmlparse, robots, StopDetector), same invariants (S1 score, budget
+rank with url_hash tiebreak, enqueue==seen, retry recirculation, chain stop)
+— but as a sequential loop with zero Spark. The north-rule gate asserts:
+
+    engine.crawl_order() == simulate(...).crawl_order
+    engine.seen_set()    == simulate(...).seen
+
+i.e. the distributed plan's crawl order and URL-seen set are bit-identical
+to the single-threaded reference execution, under any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+from crawler_spark.kernels.htmlparse import extract_page
+from crawler_spark.kernels.pagination import StopDetector
+from crawler_spark.kernels.robots import RobotsPolicy, parse_robots
+from crawler_spark.kernels.urlnorm import canonical_host, normalize_url, resolve_relative
+
+PRIORITY_LISTING = 7
+PRIORITY_DETAIL = 5
+MAX_ATTEMPTS = 3
+SCOPE_RE = re.compile(r"/putusan")
+RETRYABLE_STATUS = {429, 408}  # plus 5xx, see _retryable
+
+
+def _retryable(status: int) -> bool:
+    return status in RETRYABLE_STATUS or 500 <= status < 600
+
+
+@dataclass
+class SimResult:
+    crawl_order: list[tuple[int, str, int, str]] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    dlq: list[tuple[str, int]] = field(default_factory=list)
+    robots_excluded: list[str] = field(default_factory=list)
+    rounds: int = 0
+
+
+def _mk_row(norm: str, priority: int, scheduled_ms: int, not_before: int) -> dict:
+    h = hashlib.sha256(norm.encode()).hexdigest()
+    host = canonical_host(norm)
+    m = re.match(r"^https?://[^/]+(/.*)?$", norm)
+    path = m.group(1) or "/" if m else "/"
+    is_listing = "?page=" in norm
+    return {
+        "url_norm": norm, "url_hash": h, "host": host, "path": path,
+        "seed_id": f"listing:{host}" if is_listing else f"detail:{h}",
+        "priority": priority, "scheduled_ms": scheduled_ms,
+        "attempt": 0, "not_before": not_before,
+    }
+
+
+def simulate(
+    corpus: dict[str, tuple[int, str, str | None]],
+    robots_by_host: dict[str, str],
+    seeds: list[str],
+    per_host_budget: int = 8,
+    max_rounds: int = 20,
+    user_agent: str = "lexi-spark",
+) -> SimResult:
+    policies: dict[str, RobotsPolicy] = {
+        h: parse_robots(t) for h, t in robots_by_host.items()
+    }
+    res = SimResult()
+    frontier: dict[str, dict] = {}
+    for u in seeds:
+        row = _mk_row(normalize_url(u), PRIORITY_LISTING, 0, 0)
+        frontier[row["url_hash"]] = row
+        res.seen.add(row["url_hash"])
+
+    for rnd in range(0, max_rounds):
+        if not frontier:
+            break
+        due = [r for r in frontier.values() if r["not_before"] <= rnd]
+        if not due:
+            continue
+        res.rounds = rnd + 1
+
+        # robots gate — excluded rows leave the frontier permanently
+        allowed: list[dict] = []
+        for r in due:
+            pol = policies.get(r["host"])
+            if pol is None or pol.is_allowed(user_agent, r["path"]):
+                allowed.append(r)
+            else:
+                res.robots_excluded.append(r["url_norm"])
+                del frontier[r["url_hash"]]
+
+        # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
+        by_host: dict[str, list[dict]] = {}
+        for r in allowed:
+            by_host.setdefault(r["host"], []).append(r)
+        new_rows: list[dict] = []
+        for host in by_host:
+            pol = policies.get(host)
+            cd = pol.crawl_delay(user_agent) if pol else None
+            budget = (
+                min(per_host_budget, int(per_host_budget / cd))
+                if cd and cd > 0
+                else per_host_budget
+            )
+            rows = sorted(
+                by_host[host],
+                key=lambda r: (
+                    (10 - max(0, min(10, r["priority"]))) * 10**12 + r["scheduled_ms"],
+                    r["url_hash"],
+                ),
+            )[:budget]
+            detectors: dict[str, StopDetector] = {}
+            stopped_chains: set[str] = set()
+            for order, r in enumerate(rows, 1):
+                del frontier[r["url_hash"]]
+                if r["seed_id"] in stopped_chains:
+                    continue  # consumed, never fetched (chain ended this round)
+                status, content, _ra = corpus.get(r["url_norm"], (404, "", None))
+                det = detectors.setdefault(r["seed_id"], StopDetector())
+                stop, _reason = det.check(status, content or "", r["url_norm"])
+                if stop:
+                    stopped_chains.add(r["seed_id"])
+                if status == 200:
+                    res.crawl_order.append((rnd, host, order, r["url_norm"]))
+                    page = extract_page(content)
+                    for href, _anchor, _pos in page["links"]:
+                        absu = resolve_relative(href, r["url_norm"])
+                        try:
+                            norm = normalize_url(absu)
+                        except (ValueError, TypeError):
+                            continue
+                        if not SCOPE_RE.search(norm):
+                            continue
+                        row = _mk_row(
+                            norm,
+                            PRIORITY_LISTING if "?page=" in norm else PRIORITY_DETAIL,
+                            rnd + 1,
+                            rnd + 1,
+                        )
+                        if row["url_hash"] in res.seen:
+                            continue
+                        res.seen.add(row["url_hash"])
+                        new_rows.append(row)
+                elif _retryable(status):
+                    if r["attempt"] + 1 < MAX_ATTEMPTS:
+                        r2 = dict(r)
+                        r2["not_before"] = rnd + r["attempt"] + 1
+                        r2["attempt"] = r["attempt"] + 1
+                        new_rows.append(r2)
+                    else:
+                        res.dlq.append((r["url_norm"], r["attempt"] + 1))
+                # non-retryable failures simply leave the frontier
+        for row in new_rows:
+            frontier[row["url_hash"]] = row
+    return res

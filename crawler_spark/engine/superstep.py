@@ -1,0 +1,337 @@
+"""The frontier superstep loop (SURVEY.md §3.1 re-architecture, §7 M2/M3/M6).
+
+One round == the reference's seed_url_crawler.crawl inner loop
+(`seed_url_crawler.py:303-540`) turned into a declarative batch plan:
+
+    frontier snapshot
+      -> due filter (R6: not_before <= round)                 [predicate]
+      -> robots filter (north rule; no reference analogue)    [pandas UDF]
+      -> priority score (S1) + per-host budget (S3+S5)        [window rank]
+      -> paced fetch vs fixture corpus (S5 pacing + P3 stops) [applyInPandas]
+      -> parse (X1-X7, C1-C3: spans/links/sha/simhash)        [pandas UDF]
+      -> link extract + absolutize + normalize (U8, U1-U3)    [UDF + exprs]
+      -> within-round dedup (U5/U7) + seen-set dedup (U6:
+         bloom prefilter -> exact anti-join)                  [window + join]
+      -> retry routing (R1-R5: retry / dlq / drop)            [CASE exprs]
+      -> snapshot commit: frontier/seen/pages/dlq + metrics   [atomic]
+
+Scheduling invariants (shared verbatim with engine/simulator.py — the
+scheduler-equivalence gate):
+  * priority_score = (10 - priority) * 10^12 + scheduled_ms,
+    scheduled_ms = round the URL entered the frontier (monotonic);
+  * within a host+round, fetch order = ascending (priority_score, url_hash);
+  * a URL enters `seen` the moment it is enqueued (reference inserts dedup
+    keys at extraction time: url_extractor.py:240-279);
+  * retryable failures re-enter the frontier with attempt+1 and
+    not_before = round + attempt (data recirculation, R4);
+  * candidates outside the crawl scope regex are dropped at extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.engine.snapshots import SnapshotStore
+from crawler_spark.functions.frontier_exprs import classify_http_col, is_retryable_col
+from crawler_spark.functions.robots_udfs import robots_eval_udfs
+from crawler_spark.functions.parse_udfs import parse_page_udf
+from crawler_spark.functions.url_udfs import (
+    canonical_host_udf,
+    normalize_url_udf,
+    resolve_relative_udf,
+    url_hash,
+)
+from crawler_spark.operators.dedup import first_by_order
+from crawler_spark.operators.frontier import per_host_budget_selection
+from crawler_spark.operators.seenset import (
+    build_seen_shards,
+    collect_shard_blobs,
+    seen_filter_pipeline,
+)
+from crawler_spark.sources.fetch import fetch_against_corpus
+
+# reference score = (10 - priority) * 10^12 + time: HIGHER priority value ==
+# fetched first (priority_queue.py:89-155). Listings outrank details so the
+# frontier keeps expanding before drain.
+PRIORITY_LISTING = 7
+PRIORITY_DETAIL = 5
+MAX_ATTEMPTS = 3
+SCOPE_RE = r"/putusan"  # crawl scope (the reference's detail_urls selector role)
+N_SHARDS = 8
+
+FRONTIER_SCHEMA = (
+    "url_norm string, url_hash string, host string, path string, seed_id string,"
+    " priority int, scheduled_ms long, attempt int, not_before long"
+)
+
+
+class CrawlEngine:
+    """Drives supersteps over a SnapshotStore; resumable at any round."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        corpus: dict[str, tuple[int, str, str | None]],
+        robots_by_host: dict[str, str],
+        per_host_budget: int = 8,
+        user_agent: str = "lexi-spark",
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(store_root)
+        self.corpus = corpus
+        self.robots = robots_by_host
+        self.budget = per_host_budget
+        self.user_agent = user_agent
+
+    # ------------------------------------------------------------- bootstrap
+
+    def init_frontier(self, seeds: list[str]) -> None:
+        """Round -1 commit: seeds enter frontier AND seen (enqueue == seen)."""
+        rows = []
+        for u in seeds:
+            from crawler_spark.kernels.urlnorm import canonical_host, normalize_url
+            import hashlib
+
+            norm = normalize_url(u)
+            h = hashlib.sha256(norm.encode()).hexdigest()
+            host = canonical_host(norm)
+            path = norm.split(host, 1)[1] if host in norm else "/"
+            rows.append((norm, h, host, path or "/", f"listing:{host}",
+                         PRIORITY_LISTING, 0, 0, 0))
+        frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        seen = frontier.select("host", "url_hash")
+        shards = build_seen_shards(seen, n_shards=N_SHARDS, with_cuckoo=False)
+        blobs = {f"bloom-{r['shard']}": r["bloom"] for r in shards.collect()}
+        self.store.commit_round(
+            -1,
+            {"frontier": frontier, "seen": seen,
+             "pages": self._empty_pages(), "dlq": self._empty_dlq()},
+            metrics={"phase": "init", "n_seeds": len(rows)},
+            blobs=blobs,
+        )
+
+    def _empty_pages(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "url_hash string, url_norm string, host string, title string,"
+            " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+            " content_sha256 string, simhash long, status_code int,"
+            " fetched_round int, fetch_order int",
+        )
+
+    def _empty_dlq(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url_norm string, host string, error_category string, attempt int,"
+            " failed_round int"
+        )
+
+    # ------------------------------------------------------------- one round
+
+    def run_round(self, round_no: int) -> dict[str, Any]:
+        spark = self.spark
+        frontier = self.store.read(spark, "frontier")
+        seen = self.store.read(spark, "seen")
+        pages = self.store.read(spark, "pages")
+        dlq = self.store.read(spark, "dlq")
+
+        due = frontier.filter(F.col("not_before") <= round_no)
+        held = frontier.filter(F.col("not_before") > round_no)
+        n_due = due.count()
+        if n_due == 0:
+            # drained only when nothing is held for a later round either
+            entry = self.store.commit_round(
+                round_no, {"frontier": frontier},
+                metrics={"n_due": 0, "done": frontier.count() == 0},
+            )
+            return entry["metrics"]
+
+        # robots gate (path-level) — excluded rows leave the frontier for good
+        allowed_udf, delay_udf = robots_eval_udfs(self.robots, self.user_agent)
+        flagged = due.withColumn("robots_ok", allowed_udf(F.col("host"), F.col("path")))
+        allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok")
+        n_excluded = n_due - allowed.count()
+
+        # S1 score on integral round-granularity time + crawl-delay-aware budget
+        scored = allowed.withColumn(
+            "priority_score",
+            (F.lit(10) - F.greatest(F.lit(0), F.least(F.lit(10), F.col("priority"))))
+            .cast("long") * F.lit(10**12) + F.col("scheduled_ms"),
+        ).withColumn("crawl_delay_s", delay_udf(F.col("host")))
+        budgets = (
+            scored.groupBy("host")
+            .agg(F.max("crawl_delay_s").alias("cd"))
+            .withColumn(
+                "budget",
+                F.when(
+                    F.col("cd").isNotNull() & (F.col("cd") > 0),
+                    F.least(F.lit(self.budget),
+                            F.floor(F.lit(float(self.budget)) / F.col("cd"))),
+                ).otherwise(F.lit(self.budget)).cast("long"),
+            )
+            .select("host", "budget")
+        )
+        selected = per_host_budget_selection(
+            scored, budgets, tiebreak="url_hash"
+        )
+        not_selected = scored.join(
+            selected.select("url_hash"), "url_hash", "left_anti"
+        ).select(*[f.name for f in frontier.schema.fields])
+
+        # paced fetch with stateful per-chain stop detection
+        batch = selected.withColumn("rps", F.lit(2.0)).withColumn("burst", F.lit(3))
+        fetched = fetch_against_corpus(batch, self.corpus).cache()
+
+        ok = fetched.filter(F.col("status_code") == 200)
+        parsed = ok.withColumn(
+            "p", parse_page_udf(F.col("content"))
+        ).select(
+            "url_hash", "url_norm", "host", "seed_id", "fetch_order",
+            "p.title", "p.spans", "p.links", "p.content_sha256", "p.simhash",
+        ).cache()
+
+        new_pages = parsed.select(
+            "url_hash", "url_norm", "host", "title", "spans", "content_sha256",
+            "simhash", F.lit(200).alias("status_code"),
+            F.lit(round_no).alias("fetched_round"),
+            F.col("fetch_order").cast("int"),
+        )
+
+        # ---- link extraction -> absolutize -> normalize -> scope -> dedup
+        links = parsed.select(
+            "url_norm", "host",
+            F.explode_outer("links").alias("l"),
+        ).select(
+            F.col("url_norm").alias("base"), F.col("host").alias("src_host"),
+            F.col("l.href").alias("href"), F.col("l.pos").alias("pos"),
+        ).filter(F.col("href").isNotNull())
+        cands = (
+            links.withColumn("abs_url", resolve_relative_udf(F.col("href"), F.col("base")))
+            .withColumn("cand_norm", normalize_url_udf(F.col("abs_url")))
+            .filter(F.col("cand_norm").rlike(SCOPE_RE))
+            .withColumn("cand_hash", url_hash("cand_norm"))
+            .withColumn("cand_host", canonical_host_udf(F.col("cand_norm")))
+        )
+        cands = first_by_order(
+            cands.select(
+                F.col("cand_norm").alias("url_norm"),
+                F.col("cand_hash").alias("url_hash"),
+                F.col("cand_host").alias("host"),
+                "pos",
+            ),
+            "url_hash", ["url_norm", "pos"],
+        )
+        # two-layer seen dedup: bloom shard probe -> exact anti-join survivors
+        blobs = {
+            int(k.split("-")[1]): v
+            for k, v in self.store.latest_blobs("bloom-").items()
+        }
+        fresh = seen_filter_pipeline(
+            cands, seen, blobs, n_shards=N_SHARDS
+        ).cache()
+
+        is_listing = F.col("url_norm").rlike(r"\?page=")
+        new_frontier = fresh.select(
+            "url_norm", "url_hash", "host",
+            F.concat(F.lit("/"), F.regexp_extract("url_norm", r"^https?://[^/]+/(.*)$", 1)).alias("path"),
+            F.when(is_listing, F.concat(F.lit("listing:"), F.col("host")))
+            .otherwise(F.concat(F.lit("detail:"), F.col("url_hash"))).alias("seed_id"),
+            F.when(is_listing, F.lit(PRIORITY_LISTING)).otherwise(F.lit(PRIORITY_DETAIL)).alias("priority"),
+            F.lit(round_no + 1).cast("long").alias("scheduled_ms"),
+            F.lit(0).alias("attempt"),
+            F.lit(round_no + 1).cast("long").alias("not_before"),
+        )
+
+        # ---- retry routing (R4/R5)
+        failures = fetched.filter(
+            F.col("status_code").isNotNull() & (F.col("status_code") != 200)
+        ).withColumn("error_category", classify_http_col(F.col("status_code")))
+        retryable = failures.filter(
+            is_retryable_col(F.col("error_category")) & (F.col("attempt") + 1 < MAX_ATTEMPTS)
+        )
+        retries = retryable.select(
+            "url_norm", "url_hash", "host", "path", "seed_id", "priority",
+            "scheduled_ms",
+            (F.col("attempt") + 1).cast("int").alias("attempt"),
+            (F.lit(round_no) + F.col("attempt") + 1).cast("long").alias("not_before"),
+        )
+        to_dlq = failures.filter(
+            is_retryable_col(F.col("error_category")) & (F.col("attempt") + 1 >= MAX_ATTEMPTS)
+        ).select(
+            "url_norm", "host", "error_category",
+            (F.col("attempt") + 1).cast("int").alias("attempt"),
+            F.lit(round_no).alias("failed_round"),
+        )
+
+        next_frontier = (
+            held.unionByName(not_selected)
+            .unionByName(retries)
+            .unionByName(new_frontier)
+        )
+        next_seen = seen.unionByName(fresh.select("host", "url_hash"))
+        next_pages = pages.unionByName(new_pages)
+        next_dlq = dlq.unionByName(to_dlq)
+
+        metrics = {
+            "n_due": n_due,
+            "n_robots_excluded": int(n_excluded),
+            "n_selected": selected.count(),
+            "n_fetched": fetched.filter(F.col("status_code").isNotNull()).count(),
+            "n_ok": ok.count(),
+            "n_chain_stopped": fetched.filter(
+                F.col("stopped") & F.col("status_code").isNull()
+            ).count(),
+            "n_new_urls": fresh.count(),
+            "n_dup_dropped": cands.count() - fresh.count(),
+            "n_retry": retries.count(),
+            "n_dlq": to_dlq.count(),
+        }
+        # rebuild seen shards (at scale: incremental per-shard append; here
+        # the rebuild is one shuffle over the seen table)
+        shard_rows = build_seen_shards(
+            next_seen, n_shards=N_SHARDS, with_cuckoo=False
+        ).collect()
+        blob_out = {f"bloom-{r['shard']}": r["bloom"] for r in shard_rows}
+        self.store.commit_round(
+            round_no,
+            {"frontier": next_frontier, "seen": next_seen,
+             "pages": next_pages, "dlq": next_dlq},
+            metrics=metrics,
+            blobs=blob_out,
+        )
+        fetched.unpersist()
+        parsed.unpersist()
+        fresh.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------- the loop
+
+    def run(self, seeds: list[str] | None = None, max_rounds: int = 20) -> list[dict]:
+        """Run (or RESUME — the checkpoint gate) until the frontier drains."""
+        if not self.store.manifest()["rounds"]:
+            if seeds is None:
+                raise ValueError("fresh store needs seeds")
+            self.init_frontier(seeds)
+        start = self.store.latest_round() + 1
+        out = []
+        for rnd in range(start, start + max_rounds):
+            m = self.run_round(rnd)
+            out.append({"round": rnd, **m})
+            if m.get("done"):
+                break
+        return out
+
+    # ------------------------------------------------------------ reporting
+
+    def crawl_order(self) -> list[tuple[int, str, int, str]]:
+        """(round, host, fetch_order, url_norm) for every fetched page —
+        THE order invariant compared against the simulator."""
+        pages = self.store.read(self.spark, "pages")
+        rows = pages.select("fetched_round", "host", "fetch_order", "url_norm").collect()
+        return sorted((r[0], r[1], r[2], r[3]) for r in rows)
+
+    def seen_set(self) -> set[str]:
+        return {r[0] for r in self.store.read(self.spark, "seen").select("url_hash").collect()}

@@ -478,6 +478,139 @@ FROM documents
 """
 
 
+# ------------------------------------------------- embedding dedup + LSH ANN
+
+def _sign_bucket_spark(vec, n_bits: int = 8):
+    """Deterministic LSH bucket: sign bits of the first n dims — engine-
+    portable (scaling-invariant, reproducible in ANSI SQL), the test stand-in
+    for the hash-seeded random-hyperplane bucket in operators/similarity.py."""
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def _sign_bucket_sql(col: str = "embedding", n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(n_bits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: corpus + scaled copies (2x => cosine 1.0);
+    sign-LSH bucket join prunes candidates (scaling preserves signs), exact
+    cosine >= 0.999 verifies. The 100 TB plan: bucket equality turns the
+    O(n^2) scan into per-bucket joins."""
+    base = _embs(spark, sf_dir).select("vec_id", "embedding")
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    corpus = base.unionByName(copies).withColumn("bucket", _sign_bucket_spark("embedding"))
+    l, r = corpus.alias("l"), corpus.alias("r")
+    from crawler_spark.functions.vectors import cosine_col
+
+    pairs = l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))).select(
+        F.col("l.vec_id").alias("id_a"),
+        F.col("r.vec_id").alias("id_b"),
+        F.round(cosine_col(F.col("l.embedding"), F.col("r.embedding")), 4).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.999)
+
+
+O_DEDUP_EMBEDDING_COSINE = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) FROM embeddings
+),
+b AS (SELECT vec_id, embedding, {_sign_bucket_sql()} AS bucket FROM corpus)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(list_cosine_similarity(l.embedding, r.embedding), 4) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4) >= 0.999
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN (the scale path next to brute force): probe only
+    the query's bucket, exact cosine + top-3 within it."""
+    corpus = _embs(spark, sf_dir).withColumn("bucket", _sign_bucket_spark("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "bucket"
+    )
+    from pyspark.sql import Window
+
+    from crawler_spark.functions.vectors import cosine_col
+
+    scored = corpus.join(F.broadcast(queries), "bucket").select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+O_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+         {_sign_bucket_sql()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_cosine_similarity(b.embedding, q.qvec), 4) AS cosine
+  FROM b JOIN q USING (bucket)
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode path end-to-end (deterministic stand-in codec):
+    binary payload -> dims + feature vector; features re-emitted as rounded
+    doubles so the oracle can replay the digest arithmetic exactly."""
+    from crawler_spark.operators.multimodal import decode_media
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("/img/"), F.col("doc_id").cast("string"), F.lit(".png")).alias("media_ref"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
+    )
+    out = decode_media(docs, fake=True, n_features=8)
+    return out.select(
+        "doc_id", "media_ref", "width", "height",
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias("features"),
+    )
+
+
+O_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         '/img/' || doc_id || '.png' AS media_ref,
+         sha256(substr(text, 1, 64)) AS dig
+  FROM documents
+)
+SELECT doc_id, media_ref,
+       CAST(64 + ('0x' || substr(dig, 1, 2))::INT % 192 AS INT) AS width,
+       CAST(64 + ('0x' || substr(dig, 3, 2))::INT % 192 AS INT) AS height,
+       list_transform(generate_series(0, 7),
+         i -> round(CAST((('0x' || substr(dig, 2*(i % 32)+1, 2))::INT * 31 + i) % 256
+                    AS DOUBLE) / 255.0, 4)) AS features
+FROM d
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -490,6 +623,9 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "span_extract": q_span_extract,
     "multimodal_meta": q_multimodal_meta,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES = {
@@ -504,4 +640,7 @@ ORACLES = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "span_extract": O_SPAN_EXTRACT,
     "multimodal_meta": O_MULTIMODAL_META,
+    "dedup_embedding_cosine": O_DEDUP_EMBEDDING_COSINE,
+    "ann_lsh_topk": O_ANN_LSH_TOPK,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
 }

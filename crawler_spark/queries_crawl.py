@@ -402,6 +402,103 @@ GROUP BY 1, 2
 """
 
 
+def q_global_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: sliding-window global limiter as data — requests per (host,
+    60s tumbling window); rows beyond the limit are flagged (the INCR+EXPIRE
+    guard from redis_cache.py:360-463 as one window count)."""
+    df = synth_frontier(spark, sf_dir)
+    w = F.window(F.col("scheduled_at").cast("timestamp"), "60 seconds")
+    counts = (
+        df.groupBy("host", w.alias("win"))
+        .agg(F.count("*").alias("n_requests"))
+        .select(
+            "host",
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "n_requests",
+            (F.col("n_requests") > 50).alias("throttled"),
+        )
+    )
+    return counts
+
+
+O_GLOBAL_RATE_WINDOW = _F_CTE + """
+SELECT host,
+       epoch_ms(time_bucket(INTERVAL 60 SECONDS, scheduled_at)) AS window_start_ms,
+       count(*) AS n_requests,
+       count(*) > 50 AS throttled
+FROM f GROUP BY 1, 2
+"""
+
+
+def q_page_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: newest-first page listing with offset/limit via row_number (the
+    crawled_page.sql:53-71 pattern; deterministic tiebreak on event_id)."""
+    df = synth_frontier(spark, sf_dir)
+    w = Window.orderBy(F.col("scheduled_at").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 40))
+        .select("event_id", "host", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+O_PAGE_LISTING = _F_CTE + """
+SELECT event_id, host, CAST(rn AS INT) AS rn
+FROM (SELECT event_id, host,
+             row_number() OVER (ORDER BY scheduled_at DESC, event_id DESC) AS rn
+      FROM f)
+WHERE rn > 10 AND rn <= 40
+"""
+
+
+def q_topk_common_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: most-shared content hashes above a threshold (content_hash.sql:28-32),
+    deterministic ORDER BY (count desc, hash) LIMIT 20."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(F.sha2(F.substring("text", 1, 40), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("occurrence_count"))
+        .filter(F.col("occurrence_count") > 1)
+    )
+    return counts.orderBy(
+        F.col("occurrence_count").desc(), F.col("content_sha256").asc()
+    ).limit(20)
+
+
+O_TOPK_COMMON_HASHES = """
+SELECT sha256(substr(text,1,40)) AS content_sha256, count(*) AS occurrence_count
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY occurrence_count DESC, content_sha256 LIMIT 20
+"""
+
+
+def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 + TTL semantics: partition the seen set into fresh vs expired by a
+    cutoff on seen_at (24h Redis TTL -> partition-prunable predicate); report
+    per-host counts of each (the DELETE WHERE source set)."""
+    df = synth_frontier(spark, sf_dir)
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        df.withColumn("expired", F.col("scheduled_at").cast("timestamp") < cutoff)
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("expired"), 1).otherwise(0)).alias("n_expired"),
+            F.sum(F.when(~F.col("expired"), 1).otherwise(0)).alias("n_fresh"),
+        )
+    )
+
+
+O_RETENTION_EXPIRY = _F_CTE + """
+SELECT host,
+       CAST(sum(CASE WHEN scheduled_at < TIMESTAMP '2024-01-15 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+       CAST(sum(CASE WHEN scheduled_at < TIMESTAMP '2024-01-15 00:00:00'
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_fresh
+FROM f GROUP BY 1
+"""
+
+
 QUERIES = {
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -414,6 +511,10 @@ QUERIES = {
     "pagination_expand": q_pagination_expand,
     "stop_classify": q_stop_classify,
     "hot_host_salting": q_hot_host_salting,
+    "global_rate_window": q_global_rate_window,
+    "page_listing": q_page_listing,
+    "topk_common_hashes": q_topk_common_hashes,
+    "retention_expiry": q_retention_expiry,
 }
 
 ORACLES = {
@@ -428,4 +529,8 @@ ORACLES = {
     "pagination_expand": O_PAGINATION_EXPAND,
     "stop_classify": O_STOP_CLASSIFY,
     "hot_host_salting": O_HOT_HOST_SALTING,
+    "global_rate_window": O_GLOBAL_RATE_WINDOW,
+    "page_listing": O_PAGE_LISTING,
+    "topk_common_hashes": O_TOPK_COMMON_HASHES,
+    "retention_expiry": O_RETENTION_EXPIRY,
 }

@@ -1,0 +1,125 @@
+"""Engine-level + streaming driver entries.
+
+Streaming entries carry DuckDB oracles (bounded availableNow drains equal the
+batch aggregate). The frontier-engine entries are rows-only: the stateful
+superstep loop (snapshot commits, bloom rebuilds, retry recirculation) is not
+ANSI-SQL-expressible — their correctness gate is the simulator equivalence in
+tests/test_frontier_engine.py (crawl order ==, seen set ==, resume ==).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.streaming.ingest import (
+    run_dedup_counts,
+    run_host_budget,
+    run_windowed_counts,
+)
+
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine(spark: SparkSession):
+    """One tiny end-to-end crawl per process (cached): fixture corpus, robots,
+    politeness, retries, snapshot commits."""
+    if "eng" not in _ENGINE_CACHE:
+        from crawler_spark.engine.corpus import (
+            CorpusSpec,
+            build_corpus,
+            robots_map,
+            seed_urls,
+        )
+        from crawler_spark.engine.superstep import CrawlEngine
+
+        spec = CorpusSpec(n_hosts=2, listing_pages=2, details_per_page=3,
+                          hosts_with_robots=1)
+        eng = CrawlEngine(
+            spark, tempfile.mkdtemp(prefix="crawl_store_"),
+            build_corpus(spec), robots_map(spec), per_host_budget=4,
+        )
+        eng.run(seeds=seed_urls(spec), max_rounds=8)
+        _ENGINE_CACHE["eng"] = eng
+    return _ENGINE_CACHE["eng"]
+
+
+def q_frontier_crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the crawled pages table after a full fixture crawl —
+    deterministic order columns included (the simulator-checked invariant)."""
+    eng = _engine(spark)
+    return (
+        eng.store.read(spark, "pages")
+        .select("url_hash", "url_norm", "host", "content_sha256",
+                "fetched_round", "fetch_order")
+        .orderBy("fetched_round", "host", "fetch_order")
+    )
+
+
+def q_frontier_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-round fetch/parse/dedup metrics from the snapshot
+    manifest (the lineage + metrics requirement)."""
+    eng = _engine(spark)
+    rows = [
+        (
+            int(m["round"]),
+            int(m.get("n_selected", 0)),
+            int(m.get("n_fetched", 0)),
+            int(m.get("n_ok", 0)),
+            int(m.get("n_new_urls", 0)),
+            int(m.get("n_dup_dropped", 0)),
+            int(m.get("n_robots_excluded", 0)),
+            int(m.get("n_retry", 0)),
+            int(m.get("n_dlq", 0)),
+        )
+        for m in eng.store.round_metrics()
+        if m.get("n_selected") is not None
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, n_selected int, n_fetched int, n_ok int, n_new_urls int,"
+        " n_dup_dropped int, n_robots_excluded int, n_retry int, n_dlq int",
+    ).orderBy("round")
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_counts(spark, sf_dir)
+
+
+O_STREAM_WINDOW_COUNTS = """
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+       event_type, count(*) AS n_requests
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_dedup_counts(spark, sf_dir)
+
+
+O_STREAM_DEDUP_COUNTS = """
+SELECT user_id, count(DISTINCT event_id % 500) AS n_unique_urls
+FROM events GROUP BY 1
+"""
+
+
+def q_stream_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (update-mode emissions depend on micro-batch boundaries in
+    general; availableNow gives one batch, but the contract stays rows-only)."""
+    return run_host_budget(spark, sf_dir).orderBy("host")
+
+
+QUERIES = {
+    "frontier_crawl_pages": q_frontier_crawl_pages,
+    "frontier_round_metrics": q_frontier_round_metrics,
+    "stream_window_counts": q_stream_window_counts,
+    "stream_dedup_counts": q_stream_dedup_counts,
+    "stream_host_budget": q_stream_host_budget,
+}
+
+ORACLES = {
+    "stream_window_counts": O_STREAM_WINDOW_COUNTS,
+    "stream_dedup_counts": O_STREAM_DEDUP_COUNTS,
+}

@@ -1,0 +1,179 @@
+"""Streaming frontier ingest (SURVEY.md §2.9 gap-fill: the reference drains a
+NATS work queue continuously; the Spark-native continuous mode is Structured
+Streaming over the same tables).
+
+Batch supersteps stay the primary engine (deterministic, snapshot-committed —
+SURVEY.md §4.3 #4); this module is the continuous-ingest path for the ops
+that benefit from it: rolling rate accounting (S6), streaming URL dedup (U6),
+and a stateful per-host token-bucket ledger via applyInPandasWithState (S5).
+
+All ops are tested with `trigger(availableNow=True)` so a bounded run drains
+the source exactly once — the streaming result then equals the batch result
+(the oracle gate). At scale the same code tails an Iceberg/Kafka source with
+checkpointLocation giving exactly-once per-sink semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_mem_counter = itertools.count()
+
+
+def _run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink, return the result table."""
+    name = f"stream_out_{next(_mem_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table (schema pinned —
+    streaming sources require it). FileStreamSource wants a DIRECTORY; the
+    driver ships single .parquet files, so expose the file through a symlink
+    dir (what a real deployment's landing directory is anyway)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = f"_stream_dir_{sf_dir.replace('/', '_')}"
+    d = getattr(read_events_stream, key, None)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        setattr(read_events_stream, key, d)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(d)
+    )
+
+
+def windowed_request_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """S6 streaming form: tumbling-window request counts per event_type with
+    a watermark bounding state. In availableNow mode the final counts equal
+    the batch GROUP BY (nothing is late on a bounded drain)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_requests"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "event_type",
+            "n_requests",
+        )
+    )
+
+
+def streaming_dedup_counts(events: DataFrame) -> DataFrame:
+    """U6 streaming form: exactly-once URL-key dedup across the stream
+    (state = seen keys, the Redis seen-set as streaming state), then per-user
+    unique counts."""
+    keyed = events.select(
+        F.col("user_id"),
+        F.sha2(F.concat_ws("/", "user_id", (F.col("event_id") % 500).cast("string")), 256).alias(
+            "url_hash"
+        ),
+    )
+    return (
+        keyed.dropDuplicates(["url_hash"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_unique_urls"))
+    )
+
+
+_LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("n_requests", T.LongType()),
+        T.StructField("tokens_left", T.DoubleType()),
+        T.StructField("n_throttled", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_throttled", T.LongType()),
+    ]
+)
+
+
+def stateful_host_budget(
+    events: DataFrame, rps: float = 2.0, burst: float = 10.0, round_seconds: float = 60.0
+) -> DataFrame:
+    """S5 as a custom stateful streaming operator (applyInPandasWithState):
+    per-host token-bucket ledger carried across micro-batches. Each batch
+    refills `rps * round_seconds` tokens (capped at burst + refill) and spends
+    one per request; requests beyond the balance are counted throttled.
+    Deterministic under availableNow (single batch)."""
+
+    def _update(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.exists:
+            tokens, n_seen, n_throttled = state.get
+        else:
+            tokens, n_seen, n_throttled = float(burst), 0, 0
+        tokens = min(float(burst) + rps * round_seconds, tokens + rps * round_seconds)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        grant = min(n, int(tokens))
+        tokens -= grant
+        n_seen += n
+        n_throttled += n - grant
+        state.update((tokens, n_seen, n_throttled))
+        yield pd.DataFrame(
+            [{"host": host, "n_requests": n_seen, "tokens_left": tokens,
+              "n_throttled": n_throttled}]
+        )
+
+    keyed = events.select(
+        F.concat(F.lit("portal"), (F.col("user_id") % 50).cast("string"), F.lit(".go.id")).alias(
+            "host"
+        )
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _update,
+        outputStructType=_LEDGER_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------- bounded-run drivers
+
+def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        windowed_request_counts(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def run_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        streaming_dedup_counts(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def run_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        stateful_host_budget(read_events_stream(spark, sf_dir)), "update"
+    )
