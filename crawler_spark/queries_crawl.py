@@ -8,6 +8,7 @@ side re-derives the result constructively.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -499,6 +500,85 @@ FROM f GROUP BY 1
 """
 
 
+def q_pagination_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: pattern detection over a mixed URL corpus (query-param, offset with
+    limit, path-segment, path-embedded, none) via the vectorized kernel; the
+    oracle reconstructs the expected pattern per flavor."""
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.pagination import detect_pattern
+
+    @pandas_udf("kind string, current_page int")
+    def detect_udf(urls: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u in urls:
+            try:
+                p = detect_pattern(u)
+            except ValueError:
+                p = None
+            rows.append(
+                {"kind": p["kind"] if p else None,
+                 "current_page": p["current_page"] if p else None}
+            )
+        return pd.DataFrame(rows)
+
+    ev = _events(spark, sf_dir)
+    n = (F.col("event_id") % 37 + 1).cast("string")
+    flavor = F.col("event_id") % 5
+    url = (
+        F.when(flavor == 0, F.concat(F.lit("https://x.go.id/list?page="), n))
+        .when(flavor == 1, F.concat(F.lit("https://x.go.id/list?offset="),
+                                    ((F.col("event_id") % 37) * 20).cast("string"),
+                                    F.lit("&limit=20")))
+        .when(flavor == 2, F.concat(F.lit("https://x.go.id/arsip/page/"), n))
+        .when(flavor == 3, F.concat(F.lit("https://x.go.id/berita-"), n, F.lit(".html")))
+        .otherwise(F.lit("https://x.go.id/tentang-kami"))
+    )
+    df = ev.select("event_id", url.alias("url"))
+    return df.select(
+        "event_id", detect_udf(F.col("url")).alias("p")
+    ).select("event_id", F.col("p.kind").alias("kind"), F.col("p.current_page").alias("current_page"))
+
+
+O_PAGINATION_DETECT = """
+SELECT event_id,
+  CASE event_id % 5
+    WHEN 0 THEN 'query_param'
+    WHEN 1 THEN 'query_param'
+    WHEN 2 THEN 'path_segment'
+    WHEN 3 THEN 'path_embedded'
+  END AS kind,
+  CAST(CASE event_id % 5
+    WHEN 0 THEN event_id % 37 + 1
+    WHEN 1 THEN event_id % 37 + 1
+    WHEN 2 THEN event_id % 37 + 1
+    WHEN 3 THEN event_id % 37 + 1
+  END AS INT) AS current_page
+FROM events
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: JSON-path extraction over API-response payloads (events.props)
+    with built-in get_json_object — no UDF."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (F.get_json_object("props", "$.k").cast("int") > 50).alias("k_high"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT) AS k,
+       CAST(props->>'$.k' AS INT) > 50 AS k_high,
+       props->>'$.missing' AS missing_path
+FROM events
+"""
+
+
 QUERIES = {
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -515,6 +595,8 @@ QUERIES = {
     "page_listing": q_page_listing,
     "topk_common_hashes": q_topk_common_hashes,
     "retention_expiry": q_retention_expiry,
+    "pagination_detect": q_pagination_detect,
+    "json_extract": q_json_extract,
 }
 
 ORACLES = {
@@ -533,4 +615,6 @@ ORACLES = {
     "page_listing": O_PAGE_LISTING,
     "topk_common_hashes": O_TOPK_COMMON_HASHES,
     "retention_expiry": O_RETENTION_EXPIRY,
+    "pagination_detect": O_PAGINATION_DETECT,
+    "json_extract": O_JSON_EXTRACT,
 }

@@ -1,0 +1,54 @@
+"""spark-submit entry point for the frontier engine (north-rule packaging).
+
+Usage (what a cluster deployment runs; works identically on local[N]):
+
+    python scripts/package.py                       # -> dist/crawler_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/crawler_spark.zip \
+        scripts/run_crawl.py --store /tmp/crawl_store --budget 8 --rounds 12
+
+On a real cluster only --master changes; the engine's partitioning (host-hash
+shards, salting) and snapshot commits are executor-count-agnostic. Resumes
+automatically if --store already holds a manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True, help="snapshot store root")
+    ap.add_argument("--budget", type=int, default=8, help="per-host budget/round")
+    ap.add_argument("--rounds", type=int, default=12)
+    ap.add_argument("--hosts", type=int, default=4, help="fixture corpus size")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("lexi-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from crawler_spark.engine.corpus import (
+        CorpusSpec,
+        build_corpus,
+        robots_map,
+        seed_urls,
+    )
+    from crawler_spark.engine.superstep import CrawlEngine
+
+    spec = CorpusSpec(n_hosts=args.hosts)
+    eng = CrawlEngine(
+        spark, args.store, build_corpus(spec), robots_map(spec),
+        per_host_budget=args.budget,
+    )
+    seeds = None if eng.store.manifest()["rounds"] else seed_urls(spec)
+    rounds = eng.run(seeds=seeds, max_rounds=args.rounds)
+    print(json.dumps({"rounds": rounds}, default=int))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Plan-shape gates: pushdown, pruning, broadcast, shuffle counts.
+
+These pin the physical properties that matter at 100 TB; a regression here
+is a cluster incident even when results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.audit import (
+    count_shuffles,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_id") > 500)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "ts")
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "event_id" in pf and "event_type" in pf, pf
+
+
+def test_column_pruning_two_column_projection(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
+    cols = read_schema_columns(df)
+    assert cols == {"event_id", "user_id"}, cols
+
+
+def test_budget_selection_broadcasts_dim_and_single_shuffle(spark, docs):
+    from crawler_spark.operators.frontier import per_host_budget_selection
+
+    frontier = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.col("doc_id").alias("priority_score"),
+        F.sha2(F.col("text"), 256).alias("url_hash"),
+    )
+    budgets = spark.createDataFrame(
+        [(f"h{i}", 5) for i in range(20)], "host string, budget long"
+    )
+    sel = per_host_budget_selection(frontier, budgets, tiebreak="url_hash")
+    assert has_broadcast_join(sel)
+    # one hash shuffle for the window on host; the broadcast join adds none
+    assert count_shuffles(sel) == 1
+
+
+def test_window_dedup_is_single_shuffle(spark, docs):
+    from crawler_spark.operators.dedup import first_by_order
+
+    df = docs.select(F.sha2(F.col("text"), 256).alias("k"), "doc_id")
+    assert count_shuffles(first_by_order(df, "k", ["doc_id"])) == 1
+
+
+def test_exact_dup_marking_reuses_partitioning(spark, docs):
+    """The canonical-election window and the duplicate-marking both partition
+    by content hash — must cost ONE shuffle, not two."""
+    from crawler_spark.operators.dedup import mark_exact_duplicates
+
+    pages = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.col("doc_id").alias("crawled_at"),
+    )
+    assert count_shuffles(mark_exact_duplicates(pages)) == 1
+
+
+def test_simhash_banded_join_shuffle_budget(spark, docs):
+    from crawler_spark.operators.dedup import simhash_near_dup_join
+
+    df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    plan = simhash_near_dup_join(df, id_col="id", fp_col="fp")
+    # self-equi-join on (band_idx, band): 2 shuffles for the join sides
+    # + 1 for the pair dedup — NOT a cartesian product
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert count_occurrences(plan, "CartesianProduct") == 0
+    assert count_shuffles(plan) <= 3
+
+
+def test_expressions_stay_in_codegen(spark, docs):
+    from crawler_spark.functions.text import quality_score_col, token_count_ws_col
+
+    df = docs.select(
+        token_count_ws_col(F.col("text")).alias("a"),
+        quality_score_col(F.col("text")).alias("b"),
+    )
+    assert whole_stage_codegen_spans(df) >= 1
+    # and no python UDF in this plan
+    from crawler_spark.plans.audit import formatted_plan
+
+    assert "BatchEvalPython" not in formatted_plan(df)
+    assert "ArrowEvalPython" not in formatted_plan(df)
+
+
+def test_seen_antijoin_no_extra_exchange_on_probe_side(spark, docs):
+    from crawler_spark.operators.dedup import seen_anti_join
+
+    cand = docs.select(F.sha2(F.col("text"), 256).alias("url_hash"), "doc_id")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.sha2(F.col("text"), 256).alias("url_hash")
+    )
+    plan = seen_anti_join(cand, seen)
+    # anti-join compiles to broadcast (small side) or sorted shuffle join;
+    # either way no cartesian and bounded shuffles
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert count_occurrences(plan, "CartesianProduct") == 0
+    assert count_shuffles(plan) <= 3
