@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crawler_spark.kernels import htmlparse, simhash
+from crawler_spark.kernels import contentnorm, htmlparse, simhash
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -57,7 +57,9 @@ def _parse_one(html: str | None) -> dict:
             "norm_text": "", "content_sha256": None, "simhash": None,
         }
     page = htmlparse.extract_page(html)
-    norm = htmlparse.normalize_text(html)
+    # full C2 pipeline (boilerplate/ads/comments/main-extract/timestamps):
+    # dynamic page chrome must never flip the content hash between crawls
+    norm = contentnorm.normalize_for_hash(html)
     return {
         "title": page["title"],
         "spans": [

@@ -31,10 +31,16 @@ from crawler_spark.operators.similarity import brute_force_topk
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file table -> single scan partition; spread so parse/shingle
+    # stages parallelize (at real scale the multi-file scan does this itself)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embeddings stay un-repartitioned: the table is small and every consumer
+    # immediately joins/broadcasts it — an extra shuffle only adds latency
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -576,6 +582,58 @@ WHERE rn <= 3
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup verification (the n-gram flavor of
+    the dedup family): each doc vs a suffixed twin, all JVM-side array ops.
+    High-Jaccard pairs (>= 0.8) are the near-dup verdicts."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 200).alias("t")
+    )
+    twins = docs.select(
+        "doc_id", F.concat("t", F.lit(" ditambahkan teks baru")).alias("t2")
+    )
+    paired = docs.join(twins, "doc_id")
+
+    def grams(col):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(1))),
+                lambda i: col.substr(i, F.lit(3)),
+            )
+        )
+
+    g = paired.select(
+        "doc_id", grams(F.col("t")).alias("ga"), grams(F.col("t2")).alias("gb")
+    )
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    return g.select(
+        "doc_id", F.round(jac, 4).alias("jaccard"), (jac >= 0.8).alias("is_near_dup")
+    )
+
+
+O_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 200) AS t,
+         substr(text, 1, 200) || ' ditambahkan teks baru' AS t2
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                                      i -> substr(t, i, 3))) AS ga,
+         list_distinct(list_transform(generate_series(1, greatest(length(t2) - 2, 1)),
+                                      i -> substr(t2, i, 3))) AS gb
+  FROM d
+)
+SELECT doc_id,
+       round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga, gb))), 4) AS jaccard,
+       CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga, gb))) >= 0.8 AS is_near_dup
+FROM g
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode path end-to-end (deterministic stand-in codec):
     binary payload -> dims + feature vector; features re-emitted as rounded
@@ -626,6 +684,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
 }
 
 ORACLES = {
@@ -643,4 +702,5 @@ ORACLES = {
     "dedup_embedding_cosine": O_DEDUP_EMBEDDING_COSINE,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "multimodal_decode": O_MULTIMODAL_DECODE,
+    "dedup_ngram_jaccard": O_NGRAM_JACCARD,
 }

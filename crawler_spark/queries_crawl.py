@@ -25,7 +25,13 @@ from crawler_spark.sources.fetch import paced_fetch_schedule
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the driver ships ONE parquet file per table -> one scan partition; at
+    # real scale the table is many files and the scan parallelizes itself.
+    # Spread the small file across cores so UDF/explode stages aren't
+    # single-threaded (cheap: <100 MB shuffle).
+    return spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def synth_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +506,70 @@ FROM f GROUP BY 1
 """
 
 
+def q_dlq_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: the dead-letter reporting views — unresolved counts per error
+    category + retry-eligible backlog (partial-index semantics become plain
+    prunable predicates)."""
+    ev = _events(spark, sf_dir)
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in
+                  ["network_error", "timeout", "server_error", "rate_limit",
+                   "parse_error", "auth_error"]]),
+        (F.col("event_id") % 6 + 1).cast("int"),
+    )
+    dlq = ev.select(
+        "event_id",
+        cat.alias("error_category"),
+        (F.col("event_id") % 7 == 0).alias("resolved"),
+        (F.col("event_id") % 3 == 0).alias("retry_eligible"),
+    )
+    return (
+        dlq.filter(~F.col("resolved"))
+        .groupBy("error_category")
+        .agg(
+            F.count("*").alias("n_unresolved"),
+            F.sum(F.when(F.col("retry_eligible"), 1).otherwise(0)).alias("n_retry_eligible"),
+        )
+    )
+
+
+O_DLQ_VIEWS = """
+WITH dlq AS (
+  SELECT event_id,
+         (['network_error','timeout','server_error','rate_limit','parse_error','auth_error'])
+           [CAST(event_id % 6 AS INT) + 1] AS error_category,
+         event_id % 7 = 0 AS resolved,
+         event_id % 3 = 0 AS retry_eligible
+  FROM events
+)
+SELECT error_category, count(*) AS n_unresolved,
+       CAST(sum(CASE WHEN retry_eligible THEN 1 ELSE 0 END) AS BIGINT) AS n_retry_eligible
+FROM dlq WHERE NOT resolved GROUP BY 1
+"""
+
+
+def q_log_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: time-range log scan (partition-prunable predicate on the
+    RANGE-partitioned log table) with per-type counts in the window."""
+    ev = _events(spark, sf_dir)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.filter((ts >= lo) & (ts < hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event_id"))
+    )
+
+
+O_LOG_RANGE_SCAN = """
+SELECT event_type, count(*) AS n, min(event_id) AS first_event_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_pagination_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: pattern detection over a mixed URL corpus (query-param, offset with
     limit, path-segment, path-embedded, none) via the vectorized kernel; the
@@ -597,6 +667,8 @@ QUERIES = {
     "retention_expiry": q_retention_expiry,
     "pagination_detect": q_pagination_detect,
     "json_extract": q_json_extract,
+    "dlq_views": q_dlq_views,
+    "log_range_scan": q_log_range_scan,
 }
 
 ORACLES = {
@@ -617,4 +689,6 @@ ORACLES = {
     "retention_expiry": O_RETENTION_EXPIRY,
     "pagination_detect": O_PAGINATION_DETECT,
     "json_extract": O_JSON_EXTRACT,
+    "dlq_views": O_DLQ_VIEWS,
+    "log_range_scan": O_LOG_RANGE_SCAN,
 }
