@@ -310,7 +310,11 @@ class CrawlEngine:
     # ------------------------------------------------------------- the loop
 
     def run(self, seeds: list[str] | None = None, max_rounds: int = 20) -> list[dict]:
-        """Run (or RESUME — the checkpoint gate) until the frontier drains."""
+        """Run (or RESUME — the checkpoint gate) until the frontier drains.
+
+        Cancellation (S8, worker.py:269-283 semantics): the flag is polled
+        BETWEEN rounds — the in-flight round commits atomically, nothing is
+        half-written, and a later run() resumes from the cancelled point."""
         if not self.store.manifest()["rounds"]:
             if seeds is None:
                 raise ValueError("fresh store needs seeds")
@@ -318,11 +322,38 @@ class CrawlEngine:
         start = self.store.latest_round() + 1
         out = []
         for rnd in range(start, start + max_rounds):
+            if self.is_cancelled():
+                out.append({"round": rnd, "cancelled": True})
+                break
             m = self.run_round(rnd)
             out.append({"round": rnd, **m})
             if m.get("done"):
                 break
         return out
+
+    # -------------------------------------------------------- cancellation
+
+    @property
+    def _cancel_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "_CANCEL")
+
+    def request_cancel(self) -> None:
+        """S8 cancel flag — a control-table write any process can issue."""
+        with open(self._cancel_path, "w") as fh:
+            fh.write("cancelled")
+
+    def clear_cancel(self) -> None:
+        import os
+
+        if os.path.exists(self._cancel_path):
+            os.remove(self._cancel_path)
+
+    def is_cancelled(self) -> bool:
+        import os
+
+        return os.path.exists(self._cancel_path)
 
     # ------------------------------------------------------------ reporting
 

@@ -95,6 +95,52 @@ def hot_host_salt(
     )
 
 
+def salted_budget_selection(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    host: str = "host",
+    score: str = "priority_score",
+    budget_col: str = "budget",
+    tiebreak: str = "url_hash",
+    hot_threshold: int = 10_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe variant of per_host_budget_selection (SURVEY.md §4.3 #2).
+
+    Hot hosts (pending > hot_threshold) are spread over n_salts sub-groups so
+    no single task sorts one giant host partition; the HOST-level politeness
+    budget is split across salts (floor division, remainder to the lowest
+    salt indexes) so the aggregate never exceeds the host budget. Cold hosts
+    keep salt 0 and their exact budget — identical to the unsalted plan.
+
+    The rank shuffle is on (host, host_salt): a host with 10^8 pending URLs
+    costs n_salts parallel sorts of 10^8/n_salts rows instead of one serial
+    sort — the difference between a straggler task and a balanced stage.
+    """
+    salted = hot_host_salt(
+        frontier, host=host, hot_threshold=hot_threshold, n_salts=n_salts
+    ).withColumn(
+        "__is_hot", F.max(F.col("host_salt")).over(Window.partitionBy(host)) > 0
+    )
+    # per-(host,salt) budget: floor(budget/n_salts) + 1 for the first
+    # (budget % n_salts) salts; cold hosts (salt always 0) keep budget intact
+    joined = salted.join(F.broadcast(budgets), host, "left")
+    per_salt = F.when(
+        ~F.col("__is_hot"), F.col(budget_col)
+    ).otherwise(
+        F.floor(F.col(budget_col) / n_salts)
+        + F.when(F.col("host_salt") < F.col(budget_col) % n_salts, 1).otherwise(0)
+    )
+    w = Window.partitionBy(host, "host_salt").orderBy(
+        F.col(score).asc(), F.col(tiebreak).asc()
+    )
+    return (
+        joined.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= F.coalesce(per_salt, F.lit(0)))
+        .drop("__rank", "__is_hot", budget_col)
+    )
+
+
 def enqueue_idempotent(frontier: DataFrame, new_rows: DataFrame, key: str = "url_hash") -> DataFrame:
     """S2 (ZADD NX): first-write-wins — new rows that collide with an
     existing frontier key are dropped, existing scores never updated."""
