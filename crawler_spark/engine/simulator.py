@@ -127,7 +127,7 @@ def simulate(
                 if status == 200:
                     res.crawl_order.append((rnd, host, order, r["url_norm"]))
                     page = extract_page(content)
-                    for href, _anchor, _pos in page["links"]:
+                    for href, *_meta in page["links"]:
                         absu = resolve_relative(href, r["url_norm"])
                         try:
                             norm = normalize_url(absu)

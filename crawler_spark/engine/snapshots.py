@@ -75,14 +75,20 @@ class SnapshotStore:
             "tables": {},
             "metrics": metrics or {},
         }
+        from pyspark.sql import functions as F
+
         for name, df in tables.items():
             path = os.path.join(self.root, name, f"snap-{round_no:05d}")
             df.write.mode("overwrite").parquet(path)
+            # lineage from the WRITTEN snapshot (one cheap scan of the files
+            # just produced), not from re-executing the table's plan — a
+            # recompute would double every round's cost
             lineage = [
-                {"partition": int(i), "rows": int(n)}
-                for i, n in enumerate(
-                    df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
-                )
+                {"partition": os.path.basename(r["f"]), "rows": int(r["n"])}
+                for r in df.sparkSession.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("n"))
+                .collect()
             ]
             entry["tables"][name] = {
                 "path": path,

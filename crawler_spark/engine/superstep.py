@@ -176,7 +176,7 @@ class CrawlEngine:
         )
         selected = per_host_budget_selection(
             scored, budgets, tiebreak="url_hash"
-        )
+        ).cache()
         not_selected = scored.join(
             selected.select("url_hash"), "url_hash", "left_anti"
         ).select(*[f.name for f in frontier.schema.fields])
@@ -275,15 +275,22 @@ class CrawlEngine:
         next_pages = pages.unionByName(new_pages)
         next_dlq = dlq.unionByName(to_dlq)
 
+        # one aggregation over the cached fetch result instead of one job per
+        # metric (per-round fixed cost matters: rounds are the engine's unit)
+        fstats = fetched.agg(
+            F.count(F.when(F.col("status_code").isNotNull(), 1)).alias("fetched"),
+            F.count(F.when(F.col("status_code") == 200, 1)).alias("ok"),
+            F.count(
+                F.when(F.col("stopped") & F.col("status_code").isNull(), 1)
+            ).alias("chain_stopped"),
+        ).first()
         metrics = {
             "n_due": n_due,
             "n_robots_excluded": int(n_excluded),
             "n_selected": selected.count(),
-            "n_fetched": fetched.filter(F.col("status_code").isNotNull()).count(),
-            "n_ok": ok.count(),
-            "n_chain_stopped": fetched.filter(
-                F.col("stopped") & F.col("status_code").isNull()
-            ).count(),
+            "n_fetched": int(fstats["fetched"]),
+            "n_ok": int(fstats["ok"]),
+            "n_chain_stopped": int(fstats["chain_stopped"]),
             "n_new_urls": fresh.count(),
             "n_dup_dropped": cands.count() - fresh.count(),
             "n_retry": retries.count(),
@@ -302,6 +309,7 @@ class CrawlEngine:
             metrics=metrics,
             blobs=blob_out,
         )
+        selected.unpersist()
         fetched.unpersist()
         parsed.unpersist()
         fresh.unpersist()

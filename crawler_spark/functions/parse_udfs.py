@@ -33,6 +33,7 @@ LINK_TYPE = T.ArrayType(
         [
             T.StructField("href", T.StringType()),
             T.StructField("anchor", T.StringType()),
+            T.StructField("preview", T.StringType()),
             T.StructField("pos", T.IntegerType()),
         ]
     )
@@ -66,7 +67,10 @@ def _parse_one(html: str | None) -> dict:
             {"kind": k, "text": t, "media_ref": m, "offset": o}
             for (k, t, m, o) in page["spans"]
         ],
-        "links": [{"href": h, "anchor": a, "pos": p} for (h, a, p) in page["links"]],
+        "links": [
+            {"href": h, "anchor": a, "preview": v, "pos": p}
+            for (h, a, v, p) in page["links"]
+        ],
         "norm_text": norm,
         "content_sha256": hashlib.sha256(norm.encode("utf-8")).hexdigest() if norm else None,
         "simhash": simhash.simhash64_signed(norm),

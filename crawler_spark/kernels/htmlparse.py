@@ -35,15 +35,25 @@ def _collapse(text: str) -> str:
     return _WS.sub(" ", text).strip()
 
 
+CONTAINER_TAGS = {"div", "li", "article", "section", "td", "tr", "ul", "ol"}
+
+
 class _SpanParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.spans: list[tuple[str, str | None, str | None]] = []  # (kind, text, media_ref)
-        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        # (href, anchor_text, container_id) — preview resolved at close
+        self.links: list[tuple[str, str, int | None]] = []
         self.title: str | None = None
         self._skip_depth = 0
         self._block_stack: list[tuple[str, list[str]]] = []
         self._link_stack: list[tuple[str, list[str], bool]] = []  # (href, text_parts, is_media)
+        # X6 container scoping: innermost open container owns each link's
+        # preview (= the container's full subtree text, reference
+        # url_extractor.py:121-236 association semantics)
+        self._container_stack: list[tuple[int, list[str]]] = []
+        self._container_text: dict[int, str] = {}
+        self._next_cid = 0
 
     @staticmethod
     def _is_media_anchor(href: str, cls: str) -> bool:
@@ -59,6 +69,9 @@ class _SpanParser(HTMLParser):
         ad = dict(attrs)
         if tag in BLOCK_TAGS:
             self._block_stack.append((tag, []))
+        if tag in CONTAINER_TAGS:
+            self._container_stack.append((self._next_cid, []))
+            self._next_cid += 1
         if tag == "a" and ad.get("href"):
             self._link_stack.append((ad["href"], [], self._is_media_anchor(ad["href"], ad.get("class", ""))))
         elif tag == "img" and ad.get("src"):
@@ -73,9 +86,16 @@ class _SpanParser(HTMLParser):
         if tag == "a" and self._link_stack:
             href, parts, is_media = self._link_stack.pop()
             anchor = _collapse("".join(parts))
-            self.links.append((href, anchor))
+            cid = self._container_stack[-1][0] if self._container_stack else None
+            self.links.append((href, anchor, cid))
             if is_media:
                 self.spans.append(("media", None, href))
+        elif tag in CONTAINER_TAGS and self._container_stack:
+            cid, parts = self._container_stack.pop()
+            text = _collapse("".join(parts))
+            self._container_text[cid] = text
+            if self._container_stack:  # subtree text bubbles to the parent
+                self._container_stack[-1][1].append(" " + text)
         elif tag in BLOCK_TAGS and self._block_stack:
             open_tag, parts = self._block_stack.pop()
             text = _collapse("".join(parts))
@@ -91,6 +111,8 @@ class _SpanParser(HTMLParser):
             self._link_stack[-1][1].append(data)
         if self._block_stack:
             self._block_stack[-1][1].append(data)
+        if self._container_stack:
+            self._container_stack[-1][1].append(data)
 
 
 def extract_page(html: str) -> dict:
@@ -98,7 +120,9 @@ def extract_page(html: str) -> dict:
 
     Returns {"title": str|None,
              "spans": [(kind, text, media_ref, offset)],
-             "links": [(href, anchor_text, pos)]}.
+             "links": [(href, anchor_text, preview, pos)]} where preview is
+    the full text of the link's innermost container element (X6 container-
+    scoped metadata association), None for container-less links.
     """
     parser = _SpanParser()
     try:
@@ -106,8 +130,15 @@ def extract_page(html: str) -> dict:
         parser.close()
     except Exception:
         pass  # malformed HTML: keep whatever was parsed before the error
+    # unclosed containers still resolve their links' previews
+    while parser._container_stack:
+        cid, parts = parser._container_stack.pop()
+        parser._container_text[cid] = _collapse("".join(parts))
     spans = [(k, t, m, i) for i, (k, t, m) in enumerate(parser.spans)]
-    links = [(h, a, i) for i, (h, a) in enumerate(parser.links)]
+    links = [
+        (h, a, parser._container_text.get(c) if c is not None else None, i)
+        for i, (h, a, c) in enumerate(parser.links)
+    ]
     return {"title": parser.title, "spans": spans, "links": links}
 
 

@@ -570,6 +570,44 @@ GROUP BY 1
 """
 
 
+def q_workflow_result_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: merge per-page ExecutionResults into step results — success = ANY
+    page succeeded, error only if ALL failed (step_orchestrator.py:692-784
+    semantics as one aggregation)."""
+    ev = _events(spark, sf_dir)
+    df = ev.select(
+        F.concat(F.lit("step"), (F.col("event_id") % 4).cast("string")).alias("step"),
+        (F.col("event_id") % 5 != 0).alias("success"),
+        (F.col("event_id") % 7).cast("int").alias("n_extracted"),
+    )
+    return df.groupBy("step").agg(
+        F.count("*").alias("n_results"),
+        F.sum(F.when(F.col("success"), F.col("n_extracted")).otherwise(0)).alias(
+            "total_extracted"
+        ),
+        F.max("success").alias("any_success"),
+        (~F.max("success")).alias("step_failed"),
+        F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("n_failed"),
+    )
+
+
+O_WORKFLOW_RESULT_AGG = """
+WITH r AS (
+  SELECT 'step' || (event_id % 4) AS step,
+         event_id % 5 <> 0 AS success,
+         CAST(event_id % 7 AS INT) AS n_extracted
+  FROM events
+)
+SELECT step, count(*) AS n_results,
+       CAST(sum(CASE WHEN success THEN n_extracted ELSE 0 END) AS BIGINT)
+         AS total_extracted,
+       max(success) AS any_success,
+       NOT max(success) AS step_failed,
+       CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+FROM r GROUP BY 1
+"""
+
+
 def q_pagination_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: pattern detection over a mixed URL corpus (query-param, offset with
     limit, path-segment, path-embedded, none) via the vectorized kernel; the
@@ -669,6 +707,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "dlq_views": q_dlq_views,
     "log_range_scan": q_log_range_scan,
+    "workflow_result_agg": q_workflow_result_agg,
 }
 
 ORACLES = {
@@ -691,4 +730,5 @@ ORACLES = {
     "json_extract": O_JSON_EXTRACT,
     "dlq_views": O_DLQ_VIEWS,
     "log_range_scan": O_LOG_RANGE_SCAN,
+    "workflow_result_agg": O_WORKFLOW_RESULT_AGG,
 }

@@ -1,0 +1,52 @@
+"""X6 container-scoped extraction: each link's preview is its innermost
+container's full text (url_extractor.py:121-236 association semantics)."""
+
+from crawler_spark.kernels.htmlparse import extract_page
+
+
+def test_link_preview_from_container():
+    html = """
+    <body>
+      <div class="item">
+        <a href="/putusan/1">Putusan Satu</a>
+        <span>Pengadilan Negeri Jakarta, perkara perdata</span>
+      </div>
+      <div class="item">
+        <a href="/putusan/2">Putusan Dua</a>
+        <span>Mahkamah Agung, kasasi</span>
+      </div>
+    </body>"""
+    links = extract_page(html)["links"]
+    assert links[0][0] == "/putusan/1"
+    assert "Pengadilan Negeri Jakarta" in links[0][2]
+    assert links[1][0] == "/putusan/2"
+    assert "Mahkamah Agung" in links[1][2]
+    # previews are scoped: item 1's metadata never leaks into item 2's
+    assert "Mahkamah" not in links[0][2]
+    assert "Jakarta" not in links[1][2]
+
+
+def test_nested_container_uses_innermost_but_full_subtree():
+    html = """
+    <body><div class="outer">Outer label
+      <div class="inner"><a href="/x">X</a> inner detail
+        <ul><li>sub item</li></ul>
+      </div>
+    </div></body>"""
+    links = extract_page(html)["links"]
+    preview = links[0][2]
+    assert "inner detail" in preview
+    assert "sub item" in preview  # nested subtree text bubbles up
+    assert "Outer label" not in preview  # innermost container wins
+
+
+def test_containerless_link_has_no_preview():
+    links = extract_page('<body><p><a href="/y">Y</a></p></body>')["links"]
+    assert links[0][2] is None
+
+
+def test_document_wide_fallback_order_preserved():
+    html = '<body><div><a href="/a">A</a></div><a href="/b">B</a></body>'
+    links = extract_page(html)["links"]
+    assert [l[0] for l in links] == ["/a", "/b"]
+    assert [l[3] for l in links] == [0, 1]

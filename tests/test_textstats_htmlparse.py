@@ -80,10 +80,11 @@ def test_extract_page_spans_in_dom_order():
         ("text", "Paragraf kedua.", None, 4),
         ("media", None, "/img/logo.png", 5),
     ]
-    # links: nav/footer are skipped; media + plain anchors both captured
+    # links: nav/footer are skipped; media + plain anchors both captured;
+    # preview = innermost container's full text (X6), None outside containers
     assert page["links"] == [
-        ("/files/putusan-123.pdf", "Unduh PDF", 0),
-        ("/detail/456", "Detail berikutnya", 1),
+        ("/files/putusan-123.pdf", "Unduh PDF", "Unduh PDF", 0),
+        ("/detail/456", "Detail berikutnya", None, 1),
     ]
 
 
