@@ -62,7 +62,14 @@ def page_status(url: str) -> int:
         return 404
     if b % 23 == 1:
         return 500
+    if b % 19 == 2:
+        return 429  # rate-limited: retryable, carries Retry-After
     return 200
+
+
+def retry_after_rounds(url: str) -> str:
+    """Deterministic Retry-After value (in rounds) for 429 responses."""
+    return str(_h("ra:" + url)[1] % 3 + 2)
 
 
 def _effective_det(page: int, slot: int) -> int:
@@ -120,11 +127,13 @@ def build_corpus(spec: CorpusSpec) -> dict[str, tuple[int, str, str | None]]:
         for page in range(1, spec.listing_pages + 1):
             lu = listing_url(host, page)
             st = page_status(lu)
-            corpus[lu] = (st, listing_html(spec, host, page) if st == 200 else "", None)
+            ra = retry_after_rounds(lu) if st == 429 else None
+            corpus[lu] = (st, listing_html(spec, host, page) if st == 200 else "", ra)
             for slot in range(spec.details_per_page):
                 du = detail_url(host, page, slot)
                 st = page_status(du)
-                corpus[du] = (st, detail_html(host, page, slot) if st == 200 else "", None)
+                ra = retry_after_rounds(du) if st == 429 else None
+                corpus[du] = (st, detail_html(host, page, slot) if st == 200 else "", ra)
     return corpus
 
 

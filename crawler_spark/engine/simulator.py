@@ -119,7 +119,7 @@ def simulate(
                 del frontier[r["url_hash"]]
                 if r["seed_id"] in stopped_chains:
                     continue  # consumed, never fetched (chain ended this round)
-                status, content, _ra = corpus.get(r["url_norm"], (404, "", None))
+                status, content, ra = corpus.get(r["url_norm"], (404, "", None))
                 det = detectors.setdefault(r["seed_id"], StopDetector())
                 stop, _reason = det.check(status, content or "", r["url_norm"])
                 if stop:
@@ -148,7 +148,11 @@ def simulate(
                 elif _retryable(status):
                     if r["attempt"] + 1 < MAX_ATTEMPTS:
                         r2 = dict(r)
-                        r2["not_before"] = rnd + r["attempt"] + 1
+                        try:  # Retry-After (rounds) overrides attempt backoff
+                            delta = int(ra) if ra is not None else r["attempt"] + 1
+                        except ValueError:
+                            delta = r["attempt"] + 1
+                        r2["not_before"] = rnd + delta
                         r2["attempt"] = r["attempt"] + 1
                         new_rows.append(r2)
                     else:

@@ -252,11 +252,16 @@ class CrawlEngine:
         retryable = failures.filter(
             is_retryable_col(F.col("error_category")) & (F.col("attempt") + 1 < MAX_ATTEMPTS)
         )
+        # R3 Retry-After override: the server's value (in rounds) wins over
+        # the attempt-based backoff (retry_policy.py:519-748 precedence)
+        backoff_rounds = F.coalesce(
+            F.expr("try_cast(retry_after AS long)"), (F.col("attempt") + 1).cast("long")
+        )
         retries = retryable.select(
             "url_norm", "url_hash", "host", "path", "seed_id", "priority",
             "scheduled_ms",
             (F.col("attempt") + 1).cast("int").alias("attempt"),
-            (F.lit(round_no) + F.col("attempt") + 1).cast("long").alias("not_before"),
+            (F.lit(round_no) + backoff_rounds).cast("long").alias("not_before"),
         )
         to_dlq = failures.filter(
             is_retryable_col(F.col("error_category")) & (F.col("attempt") + 1 >= MAX_ATTEMPTS)

@@ -1,0 +1,180 @@
+"""Cron scheduling kernel (S7 — SURVEY.md §2.4).
+
+Behavior-equivalent to the reference's cron utilities
+(`crawler/utils/cron.py:9-101`, `scheduled_job_processor.py:36-134`) without
+croniter (not in this container): a from-scratch 5-field cron evaluator with
+the extended aliases, IANA-timezone evaluation with UTC storage, and the
+reference's 1-hour catch-up window for missed runs.
+
+Supported field syntax: ``*``, lists ``1,5``, ranges ``1-5``, steps ``*/15``
+and ``10-50/10``, names for months/weekdays (jan-dec, sun-sat), and the
+``@yearly/@monthly/@weekly/@daily/@hourly`` aliases. Day-of-month and
+day-of-week combine with OR when both are restricted (Vixie cron rule).
+
+Driver-side only — the scheduler loop emits rows into the jobs/frontier
+table; nothing here runs on executors.
+"""
+
+from __future__ import annotations
+
+from datetime import UTC, datetime, timedelta
+from zoneinfo import ZoneInfo
+
+ALIASES = {
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+    "@monthly": "0 0 1 * *",
+    "@weekly": "0 0 * * 0",
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@hourly": "0 * * * *",
+}
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"])}
+_DOWS = {d: i for i, d in enumerate(["sun", "mon", "tue", "wed", "thu", "fri", "sat"])}
+
+_FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]
+
+
+class CronError(ValueError):
+    pass
+
+
+def _parse_field(spec: str, lo: int, hi: int, names: dict[str, int] | None) -> set[int]:
+    out: set[int] = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            raise CronError(f"empty field part in {spec!r}")
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            try:
+                step = int(step_s)
+            except ValueError:
+                raise CronError(f"bad step in {spec!r}")
+            if step < 1:
+                raise CronError(f"step must be >= 1 in {spec!r}")
+
+        def _val(tok: str) -> int:
+            t = tok.strip().lower()
+            if names and t in names:
+                return names[t]
+            try:
+                return int(t)
+            except ValueError:
+                raise CronError(f"bad value {tok!r} in {spec!r}")
+
+        if part in ("*", ""):
+            rng = range(lo, hi + 1)
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            va, vb = _val(a), _val(b)
+            if not (lo <= va <= hi and lo <= vb <= hi and va <= vb):
+                raise CronError(f"range out of bounds in {spec!r}")
+            rng = range(va, vb + 1)
+        else:
+            v = _val(part)
+            if not lo <= v <= hi:
+                raise CronError(f"value {v} out of [{lo},{hi}] in {spec!r}")
+            rng = range(v, v + 1)
+        out.update(x for x in rng if (x - rng.start) % step == 0)
+    return out
+
+
+class CronSchedule:
+    def __init__(self, expression: str):
+        expr = ALIASES.get(expression.strip().lower(), expression.strip())
+        fields = expr.split()
+        if len(fields) != 5:
+            raise CronError(f"cron needs 5 fields, got {len(fields)}: {expression!r}")
+        self.minutes = _parse_field(fields[0], 0, 59, None)
+        self.hours = _parse_field(fields[1], 0, 23, None)
+        self.doms = _parse_field(fields[2], 1, 31, None)
+        self.months = _parse_field(fields[3], 1, 12, _MONTHS)
+        # 7 == 0 == Sunday (accept both)
+        dow_raw = fields[4].replace("7", "0")
+        self.dows = _parse_field(dow_raw, 0, 6, _DOWS)
+        self._dom_any = fields[2] == "*"
+        self._dow_any = fields[4] in ("*", "0-7", "0-6")
+
+    def _day_matches(self, dt: datetime) -> bool:
+        dom_ok = dt.day in self.doms
+        dow_ok = ((dt.weekday() + 1) % 7) in self.dows  # python Mon=0 -> cron Sun=0
+        if self._dom_any and self._dow_any:
+            return True
+        if self._dom_any:
+            return dow_ok
+        if self._dow_any:
+            return dom_ok
+        return dom_ok or dow_ok  # Vixie OR rule
+
+    def next_after(self, dt: datetime) -> datetime:
+        """Smallest schedule time strictly after dt (same tz as dt)."""
+        cur = dt.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(4 * 366 * 24 * 60):  # 4-year scan bound (leap-proof)
+            if (
+                cur.month in self.months
+                and self._day_matches(cur)
+                and cur.hour in self.hours
+                and cur.minute in self.minutes
+            ):
+                return cur
+            cur += timedelta(minutes=1)
+        raise CronError("no matching time within 4 years")
+
+
+def is_valid_cron(expression: str) -> bool:
+    try:
+        CronSchedule(expression)
+        return True
+    except CronError:
+        return False
+
+
+def calculate_next_run(
+    cron_expression: str,
+    base_time: datetime | None = None,
+    timezone: str = "UTC",
+) -> datetime:
+    """Next run strictly after base_time: evaluated in the job's IANA
+    timezone, returned in UTC (cron.py:9-73 semantics)."""
+    if base_time is None:
+        base_time = datetime.now(UTC)
+    elif base_time.tzinfo is None:
+        base_time = base_time.replace(tzinfo=UTC)
+    try:
+        tz = ZoneInfo(timezone)
+    except Exception as e:
+        raise CronError(f"invalid timezone {timezone!r}: {e}") from e
+    local = base_time.astimezone(tz)
+    nxt = CronSchedule(cron_expression).next_after(local)
+    if nxt.tzinfo is None:
+        nxt = nxt.replace(tzinfo=tz)
+    return nxt.astimezone(UTC)
+
+
+def due_jobs(
+    jobs: list[dict],
+    now: datetime,
+    catchup_window: timedelta = timedelta(hours=1),
+) -> list[dict]:
+    """scheduled_job_processor.py:36-134 semantics: a job fires when
+    next_run_time <= now; runs missed by MORE than the catch-up window are
+    skipped forward (next_run recomputed from now, no burst of backfills)."""
+    fired = []
+    for job in jobs:
+        if not job.get("is_active", True):
+            continue
+        nrt = job["next_run_time"]
+        if nrt.tzinfo is None:
+            nrt = nrt.replace(tzinfo=UTC)
+        if nrt <= now:
+            fire = now - nrt <= catchup_window
+            base = now if not fire else nrt
+            nxt = calculate_next_run(
+                job["cron_expression"], base, job.get("timezone", "UTC")
+            )
+            fired.append({**job, "fired": fire, "next_run_time": nxt})
+    return fired

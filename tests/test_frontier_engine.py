@@ -17,7 +17,7 @@ from crawler_spark.engine.corpus import (
 from crawler_spark.engine.simulator import simulate
 from crawler_spark.engine.superstep import CrawlEngine
 
-SPEC = CorpusSpec(n_hosts=3, listing_pages=3, details_per_page=4, hosts_with_robots=2)
+SPEC = CorpusSpec(n_hosts=4, listing_pages=4, details_per_page=5, hosts_with_robots=2)
 BUDGET = 6
 MAX_ROUNDS = 14
 
