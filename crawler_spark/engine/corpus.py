@@ -89,6 +89,8 @@ def detail_html(host: str, page: int, slot: int) -> str:
     for i in range(30):
         words.append(_h(f"w:{seed}:{i}").hex()[:6])
     body = " ".join(words)
+    # the back-link keeps a live re-discovery path to the listing (both
+    # twins share (host, page), so planted duplicates stay byte-identical)
     return (
         f"<html><head><title>Putusan {det} {host}</title></head><body>"
         f"<h1>Putusan Nomor {det}</h1>"
@@ -96,6 +98,7 @@ def detail_html(host: str, page: int, slot: int) -> str:
         f'<a class="download-pdf" href="/files/{det}.pdf">Unduh PDF</a>'
         f"<p>Dokumen resmi {seed}</p>"
         f'<img src="/img/{det}.png">'
+        f'<a class="back" href="{listing_url(host, page)}">Kembali</a>'
         f"</body></html>"
     )
 
@@ -105,15 +108,24 @@ def listing_html(spec: CorpusSpec, host: str, page: int) -> str:
     for slot in range(spec.details_per_page):
         u = detail_url(host, page, slot)
         links.append(f'<div class="item"><a href="{u}">Detail {page}-{slot}</a></div>')
-    # last listing page has no next link; StopDetector also stops on 404
+    # last listing page has no next link; StopDetector also stops on 404.
+    # prev links create the re-discovery cycles that exercise TTL'd
+    # (windowed) seen membership; under permanent membership they are
+    # always dedup-dropped.
     nxt = (
         f'<a class="next" href="{listing_url(host, page + 1)}">Next</a>'
         if page < spec.listing_pages
         else ""
     )
+    prv = (
+        f'<a class="prev" href="{listing_url(host, page - 1)}">Prev</a>'
+        if page > 1
+        else ""
+    )
     return (
         f"<html><head><title>Daftar {host} p{page}</title></head><body>"
         + "".join(links)
+        + prv
         + nxt
         + "</body></html>"
     )

@@ -64,16 +64,26 @@ def simulate(
     per_host_budget: int = 8,
     max_rounds: int = 20,
     user_agent: str = "lexi-spark",
+    ttl_rounds: int | None = None,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
     }
     res = SimResult()
     frontier: dict[str, dict] = {}
+    seen_round: dict[str, int] = {}  # hash -> round last enqueued (TTL window)
     for u in seeds:
         row = _mk_row(normalize_url(u), PRIORITY_LISTING, 0, 0)
         frontier[row["url_hash"]] = row
         res.seen.add(row["url_hash"])
+        seen_round[row["url_hash"]] = -1
+
+    def is_seen(h: str, rnd: int) -> bool:
+        if h not in seen_round:
+            return False
+        if ttl_rounds is None:
+            return True
+        return seen_round[h] >= rnd - ttl_rounds
 
     for rnd in range(0, max_rounds):
         if not frontier:
@@ -141,9 +151,12 @@ def simulate(
                             rnd + 1,
                             rnd + 1,
                         )
-                        if row["url_hash"] in res.seen:
+                        if is_seen(row["url_hash"], rnd) or row["url_hash"] in {
+                            x["url_hash"] for x in new_rows
+                        }:
                             continue
                         res.seen.add(row["url_hash"])
+                        seen_round[row["url_hash"]] = rnd
                         new_rows.append(row)
                 elif _retryable(status):
                     if r["attempt"] + 1 < MAX_ATTEMPTS:

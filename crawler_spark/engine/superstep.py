@@ -79,13 +79,20 @@ class CrawlEngine:
         robots_by_host: dict[str, str],
         per_host_budget: int = 8,
         user_agent: str = "lexi-spark",
+        ttl_rounds: int | None = None,
     ):
+        """ttl_rounds: windowed URL-seen membership (the reference's 24 h
+        Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
+        a URL is 'seen' only if enqueued within the last ttl_rounds rounds;
+        older entries expire and the URL becomes crawlable again. None ==
+        permanent membership."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
         self.robots = robots_by_host
         self.budget = per_host_budget
         self.user_agent = user_agent
+        self.ttl_rounds = ttl_rounds
 
     # ------------------------------------------------------------- bootstrap
 
@@ -103,7 +110,9 @@ class CrawlEngine:
             rows.append((norm, h, host, path or "/", f"listing:{host}",
                          PRIORITY_LISTING, 0, 0, 0))
         frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        seen = frontier.select("host", "url_hash")
+        seen = frontier.select(
+            "host", "url_hash", F.lit(-1).cast("int").alias("seen_round")
+        )
         shards = build_seen_shards(seen, n_shards=N_SHARDS, with_cuckoo=False)
         blobs = {f"bloom-{r['shard']}": r["bloom"] for r in shards.collect()}
         self.store.commit_round(
@@ -229,8 +238,16 @@ class CrawlEngine:
             int(k.split("-")[1]): v
             for k, v in self.store.latest_blobs("bloom-").items()
         }
+        # TTL window: only recent entries count as seen; the bloom layer is a
+        # superset (may contain expired keys) — harmless, since its hits are
+        # verified against the TTL-filtered exact table (FPs never lose URLs)
+        seen_active = (
+            seen.filter(F.col("seen_round") >= round_no - self.ttl_rounds)
+            if self.ttl_rounds is not None
+            else seen
+        )
         fresh = seen_filter_pipeline(
-            cands, seen, blobs, n_shards=N_SHARDS
+            cands, seen_active, blobs, n_shards=N_SHARDS
         ).cache()
 
         is_listing = F.col("url_norm").rlike(r"\?page=")
@@ -276,7 +293,15 @@ class CrawlEngine:
             .unionByName(retries)
             .unionByName(new_frontier)
         )
-        next_seen = seen.unionByName(fresh.select("host", "url_hash"))
+        next_seen = seen.unionByName(
+            fresh.select("host", "url_hash", F.lit(round_no).cast("int").alias("seen_round"))
+        )
+        if self.ttl_rounds is not None:
+            # compact: drop entries expired beyond any future window (Iceberg
+            # row-level delete in production; keeps the table bounded)
+            next_seen = next_seen.filter(
+                F.col("seen_round") >= round_no - self.ttl_rounds
+            )
         next_pages = pages.unionByName(new_pages)
         next_dlq = dlq.unionByName(to_dlq)
 
