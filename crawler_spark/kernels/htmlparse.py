@@ -76,6 +76,14 @@ class _SpanParser(HTMLParser):
             self._link_stack.append((ad["href"], [], self._is_media_anchor(ad["href"], ad.get("class", ""))))
         elif tag == "img" and ad.get("src"):
             self.spans.append(("media", None, ad["src"]))
+        else:
+            # X7 data-attribute URLs (url_extractor.py:330-384): JS-driven
+            # navigation targets on non-anchor elements
+            for attr in ("data-url", "data-href", "data-link"):
+                if ad.get(attr):
+                    cid = self._container_stack[-1][0] if self._container_stack else None
+                    self.links.append((ad[attr], "", cid))
+                    break
 
     def handle_endtag(self, tag):
         if tag in SKIP_TAGS:

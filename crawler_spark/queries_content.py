@@ -582,6 +582,51 @@ WHERE rn <= 3
 """
 
 
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 + duplicate_relationship tables: per content-hash duplicate group
+    (canonical page, trigger-maintained size as a recomputed agg) and one
+    relationship row per member with detection_method='exact_hash'
+    (current_schema.sql:471-497,103-120 semantics)."""
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("page_id"),
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_sha256"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_sha256")
+    grouped = (
+        pages.withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_page_id", F.min("page_id").over(w))
+        .filter(F.col("group_size") > 1)
+    )
+    return grouped.select(
+        F.col("content_sha256").alias("group_key"),
+        "canonical_page_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        "page_id",
+        F.lit("exact_hash").alias("detection_method"),
+        (F.col("page_id") == F.col("canonical_page_id")).alias("is_canonical"),
+    )
+
+
+O_DUPLICATE_GROUPS = """
+WITH p AS (
+  SELECT doc_id AS page_id, sha256(substr(text,1,40)) AS content_sha256
+  FROM documents
+),
+g AS (
+  SELECT *, count(*) OVER (PARTITION BY content_sha256) AS group_size,
+         min(page_id) OVER (PARTITION BY content_sha256) AS canonical_page_id
+  FROM p
+)
+SELECT content_sha256 AS group_key, canonical_page_id,
+       CAST(group_size AS BIGINT) AS group_size, page_id,
+       'exact_hash' AS detection_method,
+       page_id = canonical_page_id AS is_canonical
+FROM g WHERE group_size > 1
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dup verification (the n-gram flavor of
     the dedup family): each doc vs a suffixed twin, all JVM-side array ops.
@@ -685,6 +730,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "duplicate_groups": q_duplicate_groups,
 }
 
 ORACLES = {
@@ -703,4 +749,5 @@ ORACLES = {
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
+    "duplicate_groups": O_DUPLICATE_GROUPS,
 }

@@ -50,3 +50,28 @@ def test_document_wide_fallback_order_preserved():
     links = extract_page(html)["links"]
     assert [l[0] for l in links] == ["/a", "/b"]
     assert [l[3] for l in links] == [0, 1]
+
+
+def test_data_attribute_urls_extracted():
+    """X7: data-url/data-href/data-link on non-anchor elements are frontier
+    candidates, with container-scoped previews like regular anchors."""
+    html = """
+    <body>
+      <div class="card" data-url="/putusan/77">Kartu putusan tujuh puluh tujuh</div>
+      <tr data-href="/putusan/78"><td>Baris 78</td></tr>
+      <span data-link="/putusan/79">span 79</span>
+      <div data-url="">empty ignored</div>
+    </body>"""
+    links = extract_page(html)["links"]
+    hrefs = [l[0] for l in links]
+    assert hrefs == ["/putusan/77", "/putusan/78", "/putusan/79"]
+    # the div's own subtree text is the preview
+    assert "tujuh puluh tujuh" in links[0][2]
+    assert links[1][2] is not None and "Baris 78" in links[1][2]
+
+
+def test_data_url_ordering_with_anchors():
+    html = '<body><div data-url="/x">X</div><a href="/y">Y</a></body>'
+    links = extract_page(html)["links"]
+    # data-url links record at element START, anchors at END — both present
+    assert {l[0] for l in links} == {"/x", "/y"}
