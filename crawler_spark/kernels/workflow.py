@@ -108,6 +108,28 @@ def _find_cycle(graph: dict[str, set[str]]) -> list[str]:
     return []
 
 
+# ----------------------------------------------------------------------- W4
+
+_DEEP_MERGE_KEYS = {"rate_limit", "timeout", "retry", "headers"}
+
+
+def merge_config(global_cfg: dict, step_cfg: dict) -> dict:
+    """Global ⊕ step config (step wins), with one-level deep-merge for the
+    nested policy sections (step_orchestrator.py:626-676 semantics): a step
+    overriding rate_limit.rps keeps the global rate_limit.burst."""
+    out = dict(global_cfg)
+    for k, v in step_cfg.items():
+        if (
+            k in _DEEP_MERGE_KEYS
+            and isinstance(v, dict)
+            and isinstance(out.get(k), dict)
+        ):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
+
+
 # ----------------------------------------------------------------------- X8
 
 class SubstitutionError(ValueError):
