@@ -124,12 +124,15 @@ class CrawlEngine:
         )
 
     def _empty_pages(self) -> DataFrame:
+        # raw_html is the blob-store parity column (the reference writes the
+        # raw page to GCS tasks/{task}/{url_hash}.html, storage.py:56-71;
+        # here the blob IS a column of the snapshot table)
         return self.spark.createDataFrame(
             [],
             "url_hash string, url_norm string, host string, title string,"
             " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
             " content_sha256 string, simhash long, status_code int,"
-            " fetched_round int, fetch_order int",
+            " fetched_round int, fetch_order int, raw_html string",
         )
 
     def _empty_dlq(self) -> DataFrame:
@@ -198,7 +201,7 @@ class CrawlEngine:
         parsed = ok.withColumn(
             "p", parse_page_udf(F.col("content"))
         ).select(
-            "url_hash", "url_norm", "host", "seed_id", "fetch_order",
+            "url_hash", "url_norm", "host", "seed_id", "fetch_order", "content",
             "p.title", "p.spans", "p.links", "p.content_sha256", "p.simhash",
         ).cache()
 
@@ -207,6 +210,7 @@ class CrawlEngine:
             "simhash", F.lit(200).alias("status_code"),
             F.lit(round_no).alias("fetched_round"),
             F.col("fetch_order").cast("int"),
+            F.col("content").alias("raw_html"),
         )
 
         # ---- link extraction -> absolutize -> normalize -> scope -> dedup

@@ -122,6 +122,41 @@ def generate_range(pattern: dict, base_url: str, start_page: int, end_page: int)
     return [generate_url(pattern, base_url, n) for n in range(start_page, end_page + 1)]
 
 
+DEFAULT_MAX_PAGES = 100
+DEFAULT_START_PAGE = 1
+
+
+def plan_pagination(seed_url: str, config: dict | None = None) -> tuple[str, list[str]]:
+    """P4 strategy pick (crawler/services/pagination.py:50-143,292-315):
+    template -> auto-detect -> selector fallback -> single page.
+
+    Returns (strategy, urls):
+      * template: every page start_page..max_pages from the {page} template
+        (max_pages is the END page number, reference semantics);
+      * detected:<kind>: the seed plus pages current+1..max_pages;
+      * selector_fallback / single_page / disabled: the seed only (selector
+        pagination is DOM-driven inside the fetch loop).
+    """
+    cfg = config or {}
+    if not cfg.get("enabled", True):
+        return "disabled", [seed_url]
+    max_pages = cfg.get("max_pages") or DEFAULT_MAX_PAGES
+    template = cfg.get("url_template")
+    if template:
+        start = cfg.get("start_page") or DEFAULT_START_PAGE
+        pat = template_pattern(template, start)
+        return "template", generate_range(pat, seed_url, start, max_pages)
+    pattern = detect_pattern(seed_url)
+    if pattern:
+        urls = [seed_url] + generate_range(
+            pattern, seed_url, pattern["current_page"] + 1, max_pages
+        )
+        return f"detected:{pattern['kind']}", urls
+    if cfg.get("selector"):
+        return "selector_fallback", [seed_url]
+    return "single_page", [seed_url]
+
+
 class StopDetector:
     """Stateful pagination stop detection, used inside the per-host fetch group.
 

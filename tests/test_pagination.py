@@ -116,3 +116,52 @@ def test_stop_duplicate_content_and_revisit():
     det2.check(200, "z" * 200, "https://e.com/a")
     stop, reason = det2.check(200, "w" * 200, "https://e.com/a")
     assert stop and reason.startswith("Circular pagination detected")
+
+
+class TestStrategyPick:
+    """P4: template -> auto-detect -> selector fallback -> single page."""
+
+    def test_disabled_returns_seed(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        s, urls = plan_pagination("https://x.go.id/l?page=1", {"enabled": False})
+        assert s == "disabled" and urls == ["https://x.go.id/l?page=1"]
+
+    def test_template_wins_over_detection(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        s, urls = plan_pagination(
+            "https://x.go.id/l?page=1",
+            {"url_template": "https://x.go.id/l?halaman={page}", "max_pages": 3},
+        )
+        assert s == "template"
+        assert urls == [f"https://x.go.id/l?halaman={n}" for n in (1, 2, 3)]
+
+    def test_template_start_page(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        _, urls = plan_pagination(
+            "https://x.go.id/l",
+            {"url_template": "https://x.go.id/p/{page}", "start_page": 5, "max_pages": 7},
+        )
+        assert urls == ["https://x.go.id/p/5", "https://x.go.id/p/6", "https://x.go.id/p/7"]
+
+    def test_autodetect_includes_seed_then_next_pages(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        s, urls = plan_pagination("https://x.go.id/l?page=2", {"max_pages": 5})
+        assert s == "detected:query_param"
+        assert urls[0] == "https://x.go.id/l?page=2"
+        assert urls[1:] == [f"https://x.go.id/l?page={n}" for n in (3, 4, 5)]
+
+    def test_selector_fallback(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        s, urls = plan_pagination("https://x.go.id/tentang", {"selector": "a.next"})
+        assert s == "selector_fallback" and urls == ["https://x.go.id/tentang"]
+
+    def test_single_page_when_nothing_applies(self):
+        from crawler_spark.kernels.pagination import plan_pagination
+
+        s, urls = plan_pagination("https://x.go.id/tentang")
+        assert s == "single_page" and urls == ["https://x.go.id/tentang"]
