@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_profile",
     "doc_fingerprint",
     "span_extract",

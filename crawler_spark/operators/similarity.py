@@ -40,6 +40,77 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF coarse quantization: every vector joins its nearest centroid by
+    cosine (centroids broadcast — the small dim). Scores are rounded before
+    the argmax so the assignment is reproducible across engines; ties break
+    on centroid id. Returns corpus + centroid_id."""
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", F.round(cosine_col(F.col(vec_col), F.col("__cvec")), round_dp)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus partitioned into centroid lists (one assignment
+    pass), each query probes its `nprobe` nearest lists and scores exact
+    cosine only there. At 100 TB the lists are the physical partitioning
+    (write the corpus bucketed by centroid_id -> probes prune partitions);
+    recall tunes with nprobe, cost ~ nprobe/n_centroids of brute force."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cq = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).crossJoin(F.broadcast(cq)).withColumn(
+        "__sim", F.round(cosine_col(F.col("__qvec"), F.col("__cvec")), 4)
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id", "__qvec")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col("__qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

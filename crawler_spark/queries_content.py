@@ -679,6 +679,55 @@ FROM g
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantized lists + nprobe): centroids = the first 16
+    corpus vectors (deterministic, engine-portable), queries probe their 2
+    nearest lists, exact cosine top-3 inside them."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    corpus = _embs(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(corpus, queries, centroids, k=3, nprobe=2)
+
+
+O_ANN_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign_scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 4) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probe_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM q CROSS JOIN cent c
+),
+probes AS (SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 2),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, p.qv), 4) AS cosine
+  FROM assigned a JOIN probes p USING (centroid_id)
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode path end-to-end (deterministic stand-in codec):
     binary payload -> dims + feature vector; features re-emitted as rounded
@@ -731,6 +780,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "duplicate_groups": q_duplicate_groups,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -750,4 +800,5 @@ ORACLES = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "duplicate_groups": O_DUPLICATE_GROUPS,
+    "ann_ivf_topk": O_ANN_IVF_TOPK,
 }
