@@ -93,11 +93,12 @@ class CronSchedule:
         self.hours = _parse_field(fields[1], 0, 23, None)
         self.doms = _parse_field(fields[2], 1, 31, None)
         self.months = _parse_field(fields[3], 1, 12, _MONTHS)
-        # 7 == 0 == Sunday (accept both)
-        dow_raw = fields[4].replace("7", "0")
-        self.dows = _parse_field(dow_raw, 0, 6, _DOWS)
+        # 7 == 0 == Sunday (accept both): parse over 0-7 and fold 7 onto 0
+        # per resolved value, so '1-7', '5-7', '*/7' all stay valid (a blind
+        # string replace would corrupt them).
+        self.dows = {x % 7 for x in _parse_field(fields[4], 0, 7, _DOWS)}
         self._dom_any = fields[2] == "*"
-        self._dow_any = fields[4] in ("*", "0-7", "0-6")
+        self._dow_any = fields[4] in ("*", "0-7", "0-6", "1-7")
 
     def _day_matches(self, dt: datetime) -> bool:
         dom_ok = dt.day in self.doms

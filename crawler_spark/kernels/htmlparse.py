@@ -138,10 +138,15 @@ def extract_page(html: str) -> dict:
         parser.close()
     except Exception:
         pass  # malformed HTML: keep whatever was parsed before the error
-    # unclosed containers still resolve their links' previews
+    # unclosed containers still resolve their links' previews; like
+    # handle_endtag, each popped container's text bubbles into the still-open
+    # parent so outer previews keep inner-subtree text on malformed HTML
     while parser._container_stack:
         cid, parts = parser._container_stack.pop()
-        parser._container_text[cid] = _collapse("".join(parts))
+        text = _collapse("".join(parts))
+        parser._container_text[cid] = text
+        if parser._container_stack:
+            parser._container_stack[-1][1].append(" " + text)
     spans = [(k, t, m, i) for i, (k, t, m) in enumerate(parser.spans)]
     links = [
         (h, a, parser._container_text.get(c) if c is not None else None, i)

@@ -108,7 +108,7 @@ class CuckooFilter:
     """Partial-key cuckoo filter: 4-slot buckets, 16-bit fingerprints,
     supports delete (the TTL-expiry path). ~95% load factor max."""
 
-    MAGIC = b"CKF1"
+    MAGIC = b"CKF2"
     SLOTS = 4
     MAX_KICKS = 500
 
@@ -120,6 +120,10 @@ class CuckooFilter:
         self.n_buckets = n
         self.table = np.zeros((n, self.SLOTS), dtype=np.uint16)  # 0 == empty
         self.n_items = 0
+        # Classic one-entry victim stash: the homeless fingerprint after
+        # MAX_KICKS is kept here (not dropped), so a previously-inserted key
+        # can never probe False. (fp, bucket) or None.
+        self.victim: tuple[int, int] | None = None
 
     @classmethod
     def for_capacity(cls, n: int) -> "CuckooFilter":
@@ -157,6 +161,8 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.n_items += 1
                 return True
+        if self.victim is not None:
+            return False  # full: refuse up front rather than evict + lose a key
         # evict loop
         b = i1
         rng = np.random.default_rng(fp ^ i1)  # deterministic eviction choice
@@ -170,7 +176,12 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.n_items += 1
                 return True
-        return False
+        # Homeless fingerprint after MAX_KICKS: stash it in the victim slot.
+        # The requested key is in the table (swapped in during eviction); the
+        # evicted one stays queryable via the stash — no false negatives.
+        self.victim = (int(fp), int(b))
+        self.n_items += 1
+        return True
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         hashes = np.asarray(hashes)
@@ -180,7 +191,11 @@ class CuckooFilter:
         i2 = self._alt(i1, fp)
         in1 = (self.table[i1] == fp[:, None]).any(axis=1)
         in2 = (self.table[i2] == fp[:, None]).any(axis=1)
-        return in1 | in2
+        hit = in1 | in2
+        if self.victim is not None:
+            vfp, vb = self.victim
+            hit |= (fp == np.uint16(vfp)) & ((i1 == vb) | (i2 == vb))
+        return hit
 
     def delete_many(self, hashes: np.ndarray) -> int:
         """Remove one matching fingerprint per key (TTL expiry); returns the
@@ -189,6 +204,7 @@ class CuckooFilter:
         i2 = self._alt(i1, fp)
         deleted = 0
         for f, b1, b2 in zip(fp, i1, i2):
+            done = False
             for b in (b1, b2):
                 row = self.table[b]
                 hit = np.nonzero(row == f)[0]
@@ -196,20 +212,35 @@ class CuckooFilter:
                     row[hit[0]] = 0
                     self.n_items -= 1
                     deleted += 1
+                    done = True
                     break
+            if not done and self.victim is not None:
+                vfp, vb = self.victim
+                if int(f) == vfp and (int(b1) == vb or int(b2) == vb):
+                    self.victim = None
+                    self.n_items -= 1
+                    deleted += 1
+        # a table delete freed a slot: try to rehome the stashed victim
+        if deleted and self.victim is not None:
+            vfp, vb = self.victim
+            self.victim = None
+            self.n_items -= 1
+            self._insert_one(vfp, vb)  # victim slot is free -> always succeeds
         return deleted
 
     def to_bytes(self) -> bytes:
-        head = self.MAGIC + struct.pack("<QQ", self.n_buckets, self.n_items)
+        vfp, vb = self.victim if self.victim is not None else (0, 0)
+        head = self.MAGIC + struct.pack("<QQQQ", self.n_buckets, self.n_items, vfp, vb)
         return head + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
-        assert blob[:4] == cls.MAGIC, "not a CKF1 blob"
-        n_buckets, n_items = struct.unpack("<QQ", blob[4:20])
+        assert blob[:4] == cls.MAGIC, "not a CKF2 blob"
+        n_buckets, n_items, vfp, vb = struct.unpack("<QQQQ", blob[4:36])
         f = cls(n_buckets)
-        f.table = np.frombuffer(blob[20:], dtype=np.uint16).reshape(
+        f.table = np.frombuffer(blob[36:], dtype=np.uint16).reshape(
             n_buckets, cls.SLOTS
         ).copy()
         f.n_items = n_items
+        f.victim = (vfp, vb) if vfp else None
         return f

@@ -77,7 +77,14 @@ def build_seen_shards(
         cuckoo_blob = None
         if with_cuckoo:
             ck = CuckooFilter.for_capacity(max(len(keys), 1024))
-            ck.add_many(keys)
+            inserted = ck.add_many(keys)
+            while inserted != len(keys):
+                # over-full shard (insert refused once the victim stash is
+                # occupied): double capacity and rebuild — a silently-dropped
+                # key would turn into a false negative, violating the
+                # no-false-negatives invariant this layer is built on.
+                ck = CuckooFilter(ck.n_buckets * 2)
+                inserted = ck.add_many(keys)
             cuckoo_blob = ck.to_bytes()
         return pd.DataFrame(
             {

@@ -740,9 +740,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
     )
     out = decode_media(docs, fake=True, n_features=8)
+    # Features exploded to one row per index: the driver's canonicalizer
+    # sorts columns, and pandas cannot factorize array cells.
     return out.select(
+        "doc_id", "media_ref", "width", "height", F.posexplode("features")
+    ).select(
         "doc_id", "media_ref", "width", "height",
-        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias("features"),
+        F.col("pos").cast("int").alias("feature_idx"),
+        F.round(F.col("col").cast("double"), 4).alias("feature_val"),
     )
 
 
@@ -756,10 +761,10 @@ WITH d AS (
 SELECT doc_id, media_ref,
        CAST(64 + ('0x' || substr(dig, 1, 2))::INT % 192 AS INT) AS width,
        CAST(64 + ('0x' || substr(dig, 3, 2))::INT % 192 AS INT) AS height,
-       list_transform(generate_series(0, 7),
-         i -> round(CAST((('0x' || substr(dig, 2*(i % 32)+1, 2))::INT * 31 + i) % 256
-                    AS DOUBLE) / 255.0, 4)) AS features
-FROM d
+       CAST(t.i AS INT) AS feature_idx,
+       round(CAST((('0x' || substr(dig, 2*(t.i % 32)+1, 2))::INT * 31 + t.i) % 256
+             AS DOUBLE) / 255.0, 4) AS feature_val
+FROM d CROSS JOIN generate_series(0, 7) t(i)
 """
 
 

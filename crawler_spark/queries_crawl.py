@@ -19,7 +19,6 @@ from crawler_spark.functions.frontier_exprs import (
     priority_score_col,
 )
 from crawler_spark.functions.url_udfs import normalize_url_udf, url_hash
-from crawler_spark.operators.dedup import first_by_order, seen_anti_join
 from crawler_spark.operators.frontier import per_host_budget_selection
 from crawler_spark.sources.fetch import paced_fetch_schedule
 
@@ -83,12 +82,23 @@ SELECT event_id, url_norm, sha256(url_norm) AS url_hash FROM f
 
 
 def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U5/U7 + U6: within-batch first-wins dedup, then anti-join the seen set
-    (events with event_id % 3 = 0 simulate previously-crawled URLs)."""
+    """U5/U7 + U6: within-batch first-wins dedup + seen-set exclusion
+    (events with event_id % 3 = 0 simulate previously-crawled URLs).
+
+    Both semantics are folded into ONE map-side-combinable aggregation over
+    the hashed frame: min(event_id) per url_hash is the first-wins winner
+    (U5/U7) and a max(seen-flag) marks hashes with any previously-crawled row
+    (U6). One pass over the normalize UDF, one shuffle — the r01 form
+    evaluated the UDF twice (batch + seen derived independently) and paid an
+    extra anti-join shuffle. The composable operator forms (first_by_order /
+    seen_anti_join, used when the seen set is a separate table) live in
+    operators/dedup.py and are exercised by the engine."""
     df = q_url_normalize_hash(spark, sf_dir)
-    batch = first_by_order(df, "url_hash", ["event_id"])
-    seen = df.filter(F.col("event_id") % 3 == 0).select("url_hash")
-    return seen_anti_join(batch, seen).select("event_id", "url_hash")
+    agg = df.groupBy("url_hash").agg(
+        F.min("event_id").alias("event_id"),
+        F.max((F.col("event_id") % 3 == 0).cast("int")).alias("seen_flag"),
+    )
+    return agg.filter(F.col("seen_flag") == 0).select("event_id", "url_hash")
 
 
 O_URL_SEEN_ANTIJOIN = _F_CTE + """

@@ -75,3 +75,19 @@ def test_data_url_ordering_with_anchors():
     links = extract_page(html)["links"]
     # data-url links record at element START, anchors at END — both present
     assert {l[0] for l in links} == {"/x", "/y"}
+
+
+def test_unclosed_nested_containers_bubble_text_to_parent():
+    # ADVICE r01: the end-of-parse drain for unclosed containers did not
+    # bubble inner text into the still-open parent, so on malformed HTML the
+    # outer container's link preview lost all inner-subtree text.
+    html = (
+        '<div><a href="/doc">Doc</a> outer text'
+        "<div>inner deep text"  # unclosed inner div
+        # unclosed outer div, document just ends
+    )
+    links = extract_page(html)["links"]
+    assert links[0][0] == "/doc"
+    preview = links[0][2]
+    assert "outer text" in preview
+    assert "inner deep text" in preview, "inner subtree text must bubble up"

@@ -74,9 +74,18 @@ class TestValidation:
     @pytest.mark.parametrize("expr", [
         "0 0 * * *", "*/5 * * * *", "0 9-17 * * 1-5", "0 0 1 jan *",
         "@daily", "15,45 2 * * sun", "0-30/10 * * * *",
+        # 7 == Sunday forms (ADVICE r01: a blind '7'->'0' replace corrupted
+        # these; croniter accepts them all)
+        "0 0 * * 7", "0 0 * * 1-7", "0 0 * * 5-7", "0 0 * * */7",
     ])
     def test_valid(self, expr):
         assert is_valid_cron(expr)
+
+    def test_dow_seven_is_sunday(self):
+        from crawler_spark.kernels.cron import CronSchedule
+        assert CronSchedule("0 0 * * 7").dows == {0}
+        assert CronSchedule("0 0 * * 5-7").dows == {5, 6, 0}
+        assert CronSchedule("0 0 * * 1-7").dows == {0, 1, 2, 3, 4, 5, 6}
 
     @pytest.mark.parametrize("expr", [
         "", "* * * *", "60 * * * *", "* 24 * * *", "* * 32 * *",

@@ -83,6 +83,36 @@ class TestCuckoo:
         assert g.contains_many(keys).all()
         assert g.n_items == f.n_items
 
+    def test_overfull_never_loses_inserted_keys(self):
+        # ADVICE r01: MAX_KICKS eviction used to drop a previously-inserted
+        # victim fingerprint -> false negatives. Now the homeless fp is
+        # stashed in the victim slot and further inserts are refused, so a
+        # key is either reported-refused or probes True forever.
+        keys = _keys(2000)
+        f = CuckooFilter(8)  # 32 slots, wildly over-full on purpose
+        inserted = np.array(
+            [k for k in keys if f.add_many(np.array([k], dtype=np.uint64)) == 1],
+            dtype=np.uint64,
+        )
+        assert 0 < len(inserted) < len(keys)  # some refused, none silently lost
+        assert f.contains_many(inserted).all()
+        # the victim survives serialization too
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert g.contains_many(inserted).all()
+
+    def test_victim_rehomed_after_delete(self):
+        keys = _keys(2000)
+        f = CuckooFilter(8)
+        inserted = np.array(
+            [k for k in keys if f.add_many(np.array([k], dtype=np.uint64)) == 1],
+            dtype=np.uint64,
+        )
+        assert f.victim is not None
+        # deleting table entries frees slots; the victim is re-inserted and
+        # every remaining key still probes True
+        f.delete_many(inserted[:4])
+        assert f.contains_many(inserted[4:]).all()
+
 
 @pytest.fixture(scope="module")
 def frontier(spark):
