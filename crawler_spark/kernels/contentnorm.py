@@ -25,7 +25,9 @@ content hash between crawls of the same page.
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+
+from crawler_spark.kernels.dom import Node as _Node
+from crawler_spark.kernels.dom import TreeBuilder as _TreeBuilder
 
 BOILERPLATE_TAGS = {
     "nav", "header", "footer", "aside", "sidebar", "menu", "noscript",
@@ -53,49 +55,6 @@ TIMESTAMP_PATTERNS = [re.compile(p, re.IGNORECASE) for p in [
 ]]
 
 _CONTENTISH = re.compile(r"content|main|article|post|entry", re.IGNORECASE)
-_VOID_TAGS = {"br", "hr", "img", "input", "area", "base", "col", "embed",
-              "source", "track", "wbr", "meta", "link"}
-
-
-class _Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
-
-    def __init__(self, tag: str, attrs: dict[str, str], parent: "_Node | None"):
-        self.tag = tag
-        self.attrs = attrs
-        self.children: list[object] = []  # _Node | str
-        self.parent = parent
-
-
-class _TreeBuilder(HTMLParser):
-    """Minimal tolerant DOM builder (text + element nodes, comments dropped)."""
-
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("__root__", {}, None)
-        self._cur = self.root
-
-    def handle_starttag(self, tag, attrs):
-        node = _Node(tag, {k: (v or "") for k, v in attrs}, self._cur)
-        self._cur.children.append(node)
-        if tag not in _VOID_TAGS:
-            self._cur = node
-
-    def handle_startendtag(self, tag, attrs):
-        self._cur.children.append(_Node(tag, {k: (v or "") for k, v in attrs}, self._cur))
-
-    def handle_endtag(self, tag):
-        # close the nearest open ancestor with this tag (tolerant of nesting errors)
-        n = self._cur
-        while n is not self.root and n.tag != tag:
-            n = n.parent
-        if n is not self.root:
-            self._cur = n.parent
-
-    def handle_data(self, data):
-        if data:
-            self._cur.children.append(data)
-    # comments: default handler drops them (step 3)
 
 
 def _is_ad(node: _Node) -> bool:

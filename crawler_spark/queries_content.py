@@ -460,6 +460,140 @@ FROM d
 """
 
 
+# ------------------------------------------------- config-driven selectors
+
+def _selector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page per document for the selector-extraction oracles:
+    the shape mirrors the reference's BPK regulation config
+    (`/root/reference/PRD.md:2699-2713` — title/nomor/content selectors plus
+    a download-pdf documents array)."""
+    docs = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    t1 = F.trim(F.regexp_replace(F.substring("text", 1, 60), r"\s+", " "))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:lang" content="id-'), F.col("lang"),
+        F.lit('"></head><body><div id="main" class="regulation detail">'),
+        F.lit('<h1 class="regulation-title">Peraturan '), ids, F.lit("</h1>"),
+        F.lit('<span class="nomor">NO-'), ids, F.lit("/2024</span>"),
+        F.lit('<div class="regulation-content"><p>'), t1,
+        F.lit("</p><p>Pasal "), ids, F.lit("</p></div>"),
+        F.lit('<a class="download-pdf" href="/files/'), ids, F.lit('_1.pdf">L1</a>'),
+        F.lit('<a class="download-pdf" href="/files/'), ids, F.lit('_2.pdf">L2</a>'),
+        F.lit("</div></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _selector_long(e: DataFrame, singles: list[str], arrays: list[str]) -> DataFrame:
+    """Struct-of-fields -> long (doc_id, field, idx, value) rows so the
+    driver's sort-based canonicalizer never sees an array cell. Missing
+    single fields keep an explicit NULL row (the reference's error->None
+    contract is part of the checked surface); NULL arrays (config errors)
+    produce one (NULL, NULL) row via posexplode_outer; empty arrays produce
+    no rows (reference returns [])."""
+    parts = [
+        e.select(
+            "doc_id",
+            F.lit(name).alias("field"),
+            F.lit(0).alias("idx"),
+            F.col(name).alias("value"),
+        )
+        for name in singles
+    ]
+    for name in arrays:
+        parts.append(
+            e.select("doc_id", F.lit(name).alias("field"), F.posexplode_outer(name))
+            .select("doc_id", "field", F.col("pos").alias("idx"), F.col("col").alias("value"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X5: config-driven {field: selector} CSS extraction — text fields,
+    an attribute field, an array field, a no-match field, and an invalid
+    config (error->None), all through ONE pandas UDF with one DOM build per
+    page (selector_processor.py:34-91 semantics)."""
+    from crawler_spark.functions.selector_udfs import extract_with_selectors
+
+    selectors = {
+        "title": "h1.regulation-title",
+        "nomor": {"selector": "#main span.nomor"},
+        "first_par": {"selector": "div.regulation-content > p"},
+        "lang": {"selector": "meta[property='og:lang']", "attribute": "content"},
+        "missing": "div.nonexistent",
+        "documents": {"selector": "a.download-pdf", "attribute": "href", "type": "array"},
+        "invalid": {"type": "array"},  # no 'selector' key -> error -> None
+    }
+    e = extract_with_selectors(
+        _selector_corpus(spark, sf_dir), "html", selectors
+    ).select("doc_id", "extracted.*")
+    return _selector_long(
+        e, ["title", "nomor", "first_par", "lang", "missing"], ["documents", "invalid"]
+    )
+
+
+O_SELECTOR_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids, lang,
+         trim(regexp_replace(substr(text, 1, 60), '\s+', ' ', 'g')) AS t1
+  FROM documents
+)
+SELECT doc_id, 'title' AS field, CAST(0 AS INT) AS idx,
+       'Peraturan ' || ids AS value FROM d
+UNION ALL SELECT doc_id, 'nomor', 0, 'NO-' || ids || '/2024' FROM d
+UNION ALL SELECT doc_id, 'first_par', 0,
+       CASE WHEN t1 = '' THEN NULL ELSE t1 END FROM d
+UNION ALL SELECT doc_id, 'lang', 0, 'id-' || lang FROM d
+UNION ALL SELECT doc_id, 'missing', 0, NULL FROM d
+UNION ALL SELECT doc_id, 'documents', 0, '/files/' || ids || '_1.pdf' FROM d
+UNION ALL SELECT doc_id, 'documents', 1, '/files/' || ids || '_2.pdf' FROM d
+UNION ALL SELECT doc_id, 'invalid', NULL, NULL FROM d
+"""
+
+
+def q_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3: XPath subset (//tag[@attr='v'], /text(), /@attr, child steps)
+    plus the //-prefix auto-detect dispatch mixing CSS and XPath fields in
+    one config (html_parser.py:191-303, selector_processor.py:228-243)."""
+    from crawler_spark.functions.selector_udfs import extract_with_selectors
+
+    selectors = {
+        "title_x": "//h1[@class='regulation-title']/text()",
+        "nomor_x": "//span[@class='nomor']",
+        "first_p": {"selector": "//div[@class='regulation-content']/p"},
+        "css_title": "h1.regulation-title",  # same config, CSS dispatch
+        "hrefs": {"selector": "//a[@class='download-pdf']/@href", "type": "array"},
+    }
+    e = extract_with_selectors(
+        _selector_corpus(spark, sf_dir), "html", selectors
+    ).select("doc_id", "extracted.*")
+    return _selector_long(
+        e, ["title_x", "nomor_x", "first_p", "css_title"], ["hrefs"]
+    )
+
+
+O_XPATH_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+         trim(regexp_replace(substr(text, 1, 60), '\s+', ' ', 'g')) AS t1
+  FROM documents
+)
+SELECT doc_id, 'title_x' AS field, CAST(0 AS INT) AS idx,
+       'Peraturan ' || ids AS value FROM d
+UNION ALL SELECT doc_id, 'nomor_x', 0, 'NO-' || ids || '/2024' FROM d
+-- xpath element results skip empty-text elements BEFORE taking the first,
+-- so an empty first <p> falls through to the second (html_parser.py:246-250)
+UNION ALL SELECT doc_id, 'first_p', 0,
+       CASE WHEN t1 = '' THEN 'Pasal ' || ids ELSE t1 END FROM d
+UNION ALL SELECT doc_id, 'css_title', 0, 'Peraturan ' || ids FROM d
+UNION ALL SELECT doc_id, 'hrefs', 0, '/files/' || ids || '_1.pdf' FROM d
+UNION ALL SELECT doc_id, 'hrefs', 1, '/files/' || ids || '_2.pdf' FROM d
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +920,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "duplicate_groups": q_duplicate_groups,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "selector_extract": q_selector_extract,
+    "xpath_extract": q_xpath_extract,
 }
 
 ORACLES = {
@@ -806,4 +942,6 @@ ORACLES = {
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "duplicate_groups": O_DUPLICATE_GROUPS,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
+    "selector_extract": O_SELECTOR_EXTRACT,
+    "xpath_extract": O_XPATH_EXTRACT,
 }
