@@ -60,12 +60,18 @@ class SnapshotStore:
         p = self.table_path(table)
         return spark.read.parquet(p) if p else None
 
+    def blob_dir_for(self, round_no: int) -> str:
+        """Where a round's filter shard blobs live; tasks write here directly
+        (shared storage on a cluster) before the manifest flips."""
+        return os.path.join(self.root, "_blobs", f"snap-{round_no:05d}")
+
     def commit_round(
         self,
         round_no: int,
         tables: dict[str, DataFrame],
         metrics: dict[str, Any] | None = None,
         blobs: dict[str, bytes] | None = None,
+        blob_dir: str | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
         Lineage = per-spark-partition row counts captured at write time."""
@@ -96,12 +102,15 @@ class SnapshotStore:
                 "lineage": lineage,
             }
         if blobs:
-            bdir = os.path.join(self.root, "_blobs", f"snap-{round_no:05d}")
+            bdir = self.blob_dir_for(round_no)
             os.makedirs(bdir, exist_ok=True)
             for bname, blob in blobs.items():
                 with open(os.path.join(bdir, bname), "wb") as fh:
                     fh.write(blob)
             entry["blob_dir"] = bdir
+        elif blob_dir is not None:
+            # blobs already written task-side (update_seen_shards out_dir)
+            entry["blob_dir"] = blob_dir
         man = self.manifest()
         man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
         man["rounds"].append(entry)
@@ -115,6 +124,15 @@ class SnapshotStore:
         return [
             {"round": r["round"], **r["metrics"]} for r in self.manifest()["rounds"]
         ]
+
+    def latest_blob_dir(self) -> str | None:
+        """Most recent committed round's blob directory (the file-backed
+        shard-probe path reads blobs per task from here, never the driver)."""
+        for r in reversed(self.manifest()["rounds"]):
+            bdir = r.get("blob_dir")
+            if bdir and os.path.isdir(bdir):
+                return bdir
+        return None
 
     def latest_blobs(self, prefix: str = "") -> dict[str, bytes]:
         for r in reversed(self.manifest()["rounds"]):

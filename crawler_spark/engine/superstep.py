@@ -47,9 +47,8 @@ from crawler_spark.functions.url_udfs import (
 from crawler_spark.operators.dedup import first_by_order
 from crawler_spark.operators.frontier import per_host_budget_selection
 from crawler_spark.operators.seenset import (
-    build_seen_shards,
-    collect_shard_blobs,
-    seen_filter_pipeline,
+    seen_filter_pipeline_files,
+    update_seen_shards,
 )
 from crawler_spark.sources.fetch import fetch_against_corpus
 
@@ -61,6 +60,7 @@ PRIORITY_DETAIL = 5
 MAX_ATTEMPTS = 3
 SCOPE_RE = r"/putusan"  # crawl scope (the reference's detail_urls selector role)
 N_SHARDS = 8
+REBUILD_EVERY = 8  # full shard rebuild cadence (bloom compaction)
 
 FRONTIER_SCHEMA = (
     "url_norm string, url_hash string, host string, path string, seed_id string,"
@@ -70,6 +70,8 @@ FRONTIER_SCHEMA = (
 
 class CrawlEngine:
     """Drives supersteps over a SnapshotStore; resumable at any round."""
+
+    REBUILD_EVERY = REBUILD_EVERY  # overridable per instance in tests
 
     def __init__(
         self,
@@ -113,14 +115,18 @@ class CrawlEngine:
         seen = frontier.select(
             "host", "url_hash", F.lit(-1).cast("int").alias("seen_round")
         )
-        shards = build_seen_shards(seen, n_shards=N_SHARDS, with_cuckoo=False)
-        blobs = {f"bloom-{r['shard']}": r["bloom"] for r in shards.collect()}
+        # fresh bloom+cuckoo shards, written task-side into the store
+        out_dir = self.store.blob_dir_for(-1)
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=N_SHARDS, out_dir=out_dir
+        ).collect()  # tiny (shard, n_items) stat rows only
         self.store.commit_round(
             -1,
             {"frontier": frontier, "seen": seen,
-             "pages": self._empty_pages(), "dlq": self._empty_dlq()},
+             "pages": self._empty_pages(), "dlq": self._empty_dlq(),
+             "fetch_log": self._empty_fetch_log()},
             metrics={"phase": "init", "n_seeds": len(rows)},
-            blobs=blobs,
+            blob_dir=out_dir,
         )
 
     def _empty_pages(self) -> DataFrame:
@@ -141,6 +147,16 @@ class CrawlEngine:
             " failed_round int"
         )
 
+    def _empty_fetch_log(self) -> DataFrame:
+        # append-only crawl log (Q8 analogue, crawl_log in the reference):
+        # EVERY fetch attempt, success or not. The pages table is latest-wins
+        # merged (Q1), so re-crawls replace rows there — the order invariant
+        # lives here.
+        return self.spark.createDataFrame(
+            [], "url_hash string, url_norm string, host string,"
+            " status_code int, fetched_round int, fetch_order int"
+        )
+
     # ------------------------------------------------------------- one round
 
     def run_round(self, round_no: int) -> dict[str, Any]:
@@ -149,23 +165,24 @@ class CrawlEngine:
         seen = self.store.read(spark, "seen")
         pages = self.store.read(spark, "pages")
         dlq = self.store.read(spark, "dlq")
+        fetch_log = self.store.read(spark, "fetch_log")
 
         due = frontier.filter(F.col("not_before") <= round_no)
         held = frontier.filter(F.col("not_before") > round_no)
-        n_due = due.count()
-        if n_due == 0:
+        if due.isEmpty():  # driver action 1 (limit-1 scan, not a count)
             # drained only when nothing is held for a later round either
             entry = self.store.commit_round(
                 round_no, {"frontier": frontier},
-                metrics={"n_due": 0, "done": frontier.count() == 0},
+                metrics={"n_due": 0, "done": frontier.isEmpty()},
             )
             return entry["metrics"]
 
         # robots gate (path-level) — excluded rows leave the frontier for good
         allowed_udf, delay_udf = robots_eval_udfs(self.robots, self.user_agent)
-        flagged = due.withColumn("robots_ok", allowed_udf(F.col("host"), F.col("path")))
+        flagged = due.withColumn(
+            "robots_ok", allowed_udf(F.col("host"), F.col("path"))
+        ).cache()
         allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok")
-        n_excluded = n_due - allowed.count()
 
         # S1 score on integral round-granularity time + crawl-delay-aware budget
         scored = allowed.withColumn(
@@ -236,22 +253,23 @@ class CrawlEngine:
                 "pos",
             ),
             "url_hash", ["url_norm", "pos"],
-        )
-        # two-layer seen dedup: bloom shard probe -> exact anti-join survivors
-        blobs = {
-            int(k.split("-")[1]): v
-            for k, v in self.store.latest_blobs("bloom-").items()
-        }
-        # TTL window: only recent entries count as seen; the bloom layer is a
-        # superset (may contain expired keys) — harmless, since its hits are
-        # verified against the TTL-filtered exact table (FPs never lose URLs)
+        ).cache()
+        # two-layer seen dedup with the FILE-backed shard probe: candidates
+        # shuffle once on shard, each task loads only its own shard's blob
+        # from the store — no blobs on the driver or in the UDF closure.
+        # TTL mode probes the cuckoo layer (maintained with deletes, so the
+        # filter reflects the active window exactly); permanent mode probes
+        # the cheaper bloom layer. FPs never lose URLs: maybe_seen hits are
+        # verified against the (TTL-filtered) exact table.
+        prev_blob_dir = self.store.latest_blob_dir()
         seen_active = (
             seen.filter(F.col("seen_round") >= round_no - self.ttl_rounds)
             if self.ttl_rounds is not None
             else seen
         )
-        fresh = seen_filter_pipeline(
-            cands, seen_active, blobs, n_shards=N_SHARDS
+        fresh = seen_filter_pipeline_files(
+            cands, seen_active, prev_blob_dir, n_shards=N_SHARDS,
+            layer="cuckoo" if self.ttl_rounds is not None else "bloom",
         ).cache()
 
         is_listing = F.col("url_norm").rlike(r"\?page=")
@@ -306,46 +324,105 @@ class CrawlEngine:
             next_seen = next_seen.filter(
                 F.col("seen_round") >= round_no - self.ttl_rounds
             )
-        next_pages = pages.unionByName(new_pages)
-        next_dlq = dlq.unionByName(to_dlq)
+        # Q1 latest-crawl-wins MERGE (crawled_page.sql:1-37): a TTL re-crawl
+        # REPLACES the old page row instead of duplicating it; the append-only
+        # fetch_log below keeps every attempt for the order invariant
+        from crawler_spark.operators.merge import merge_latest_wins
 
-        # one aggregation over the cached fetch result instead of one job per
-        # metric (per-round fixed cost matters: rounds are the engine's unit)
-        fstats = fetched.agg(
-            F.count(F.when(F.col("status_code").isNotNull(), 1)).alias("fetched"),
-            F.count(F.when(F.col("status_code") == 200, 1)).alias("ok"),
-            F.count(
-                F.when(F.col("stopped") & F.col("status_code").isNull(), 1)
-            ).alias("chain_stopped"),
+        next_pages = merge_latest_wins(
+            pages, new_pages, keys=["host", "url_hash"], order_col="fetched_round"
+        )
+        next_dlq = dlq.unionByName(to_dlq)
+        next_fetch_log = fetch_log.unionByName(
+            fetched.filter(F.col("status_code").isNotNull()).select(
+                "url_hash", "url_norm", "host",
+                F.col("status_code").cast("int"),
+                F.lit(round_no).alias("fetched_round"),
+                F.col("fetch_order").cast("int"),
+            )
+        )
+
+        # driver action 2: EVERY per-round metric in ONE job — a cross join
+        # of one-row aggregates over the cached stage outputs (r01 ran 8+
+        # separate count() jobs here; round fixed cost is the engine's unit
+        # economics, see BENCH/BASELINE.md)
+        stats = (
+            flagged.agg(
+                F.count("*").alias("n_due"),
+                F.sum(F.when(~F.col("robots_ok"), 1).otherwise(0)).alias("n_rx"),
+            )
+            .crossJoin(selected.agg(F.count("*").alias("n_selected")))
+            .crossJoin(
+                fetched.agg(
+                    F.count(F.when(F.col("status_code").isNotNull(), 1)).alias("n_fetched"),
+                    F.count(F.when(F.col("status_code") == 200, 1)).alias("n_ok"),
+                    F.count(
+                        F.when(F.col("stopped") & F.col("status_code").isNull(), 1)
+                    ).alias("n_chain_stopped"),
+                )
+            )
+            .crossJoin(cands.agg(F.count("*").alias("n_cands")))
+            .crossJoin(fresh.agg(F.count("*").alias("n_new_urls")))
+            .crossJoin(retries.agg(F.count("*").alias("n_retry")))
+            .crossJoin(to_dlq.agg(F.count("*").alias("n_dlq")))
         ).first()
         metrics = {
-            "n_due": n_due,
-            "n_robots_excluded": int(n_excluded),
-            "n_selected": selected.count(),
-            "n_fetched": int(fstats["fetched"]),
-            "n_ok": int(fstats["ok"]),
-            "n_chain_stopped": int(fstats["chain_stopped"]),
-            "n_new_urls": fresh.count(),
-            "n_dup_dropped": cands.count() - fresh.count(),
-            "n_retry": retries.count(),
-            "n_dlq": to_dlq.count(),
+            "n_due": int(stats["n_due"]),
+            "n_robots_excluded": int(stats["n_rx"] or 0),
+            "n_selected": int(stats["n_selected"]),
+            "n_fetched": int(stats["n_fetched"]),
+            "n_ok": int(stats["n_ok"]),
+            "n_chain_stopped": int(stats["n_chain_stopped"]),
+            "n_new_urls": int(stats["n_new_urls"]),
+            "n_dup_dropped": int(stats["n_cands"]) - int(stats["n_new_urls"]),
+            "n_retry": int(stats["n_retry"]),
+            "n_dlq": int(stats["n_dlq"]),
         }
-        # rebuild seen shards (at scale: incremental per-shard append; here
-        # the rebuild is one shuffle over the seen table)
-        shard_rows = build_seen_shards(
-            next_seen, n_shards=N_SHARDS, with_cuckoo=False
-        ).collect()
-        blob_out = {f"bloom-{r['shard']}": r["bloom"] for r in shard_rows}
+        # driver action 3: shard maintenance — INCREMENTAL add of this
+        # round's fresh keys (+ cuckoo delete of the keys expiring from the
+        # TTL window), each task writing its own blob file into the store;
+        # only (shard, n_items) stats return. Every REBUILD_EVERY rounds a
+        # full rebuild from the exact table re-sizes and compacts the
+        # insert-only bloom layer (Iceberg-compaction analogue).
+        out_dir = self.store.blob_dir_for(round_no)
+        full_rebuild = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+        if full_rebuild:
+            base = (
+                next_seen.filter(
+                    F.col("seen_round") >= round_no + 1 - self.ttl_rounds
+                )
+                if self.ttl_rounds is not None
+                else next_seen
+            )
+            update_seen_shards(
+                base.select("host", "url_hash"), blob_dir=None,
+                n_shards=N_SHARDS, out_dir=out_dir,
+            ).collect()
+        else:
+            deletes = (
+                seen.filter(
+                    F.col("seen_round") == round_no - self.ttl_rounds
+                ).select("host", "url_hash")
+                if self.ttl_rounds is not None
+                else None
+            )
+            update_seen_shards(
+                fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
+                deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir,
+            ).collect()
         self.store.commit_round(
             round_no,
             {"frontier": next_frontier, "seen": next_seen,
-             "pages": next_pages, "dlq": next_dlq},
+             "pages": next_pages, "dlq": next_dlq,
+             "fetch_log": next_fetch_log},
             metrics=metrics,
-            blobs=blob_out,
+            blob_dir=out_dir,
         )
+        flagged.unpersist()
         selected.unpersist()
         fetched.unpersist()
         parsed.unpersist()
+        cands.unpersist()
         fresh.unpersist()
         return metrics
 
@@ -400,10 +477,16 @@ class CrawlEngine:
     # ------------------------------------------------------------ reporting
 
     def crawl_order(self) -> list[tuple[int, str, int, str]]:
-        """(round, host, fetch_order, url_norm) for every fetched page —
-        THE order invariant compared against the simulator."""
-        pages = self.store.read(self.spark, "pages")
-        rows = pages.select("fetched_round", "host", "fetch_order", "url_norm").collect()
+        """(round, host, fetch_order, url_norm) for every successfully
+        fetched page — THE order invariant compared against the simulator.
+        Reads the append-only fetch_log (the pages table is latest-wins
+        merged, so re-crawled rows are replaced there, Q1)."""
+        log = self.store.read(self.spark, "fetch_log")
+        rows = (
+            log.filter(F.col("status_code") == 200)
+            .select("fetched_round", "host", "fetch_order", "url_norm")
+            .collect()
+        )
         return sorted((r[0], r[1], r[2], r[3]) for r in rows)
 
     def seen_set(self) -> set[str]:

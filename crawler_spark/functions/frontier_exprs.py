@@ -40,6 +40,39 @@ def is_retryable_col(category: Column) -> Column:
     return category.isin(*sorted(RETRYABLE))
 
 
+def classify_error_col(
+    name: Column, message: Column, module: Column, errno: Column
+) -> Column:
+    """R2: exception-name -> category, the reference's decision ladder
+    (retry_policy.py:143-345) as one CASE chain — fetch UDFs emit
+    (error_name, message, module, errno) as data, never exceptions. Mirrors
+    kernels/classify.classify_error_name branch for branch (errno 24/28 is
+    fd/disk exhaustion; classification is resource_error for any OSError)."""
+    from crawler_spark.kernels.classify import (
+        _BROWSER_CRASH_NAMES,
+        _HTTPX_NETWORK_NAMES,
+        _NETWORK_NAMES,
+        _RESOURCE_NAMES,
+        _TIMEOUT_NAMES,
+        _VALIDATION_NAMES,
+    )
+
+    return (
+        F.when(name.isin(*_TIMEOUT_NAMES), "timeout")
+        .when(name.isin(*_NETWORK_NAMES), "network_error")
+        .when((module == "httpx") & name.isin(*_HTTPX_NETWORK_NAMES), "network_error")
+        .when(name.isin(*_BROWSER_CRASH_NAMES), "browser_crash")
+        .when(
+            F.lower(name).contains("timeout") | name.contains("TimeoutException"),
+            "timeout",
+        )
+        .when(name.isin(*_VALIDATION_NAMES), "validation_error")
+        .when(name.isin(*_RESOURCE_NAMES), "resource_error")
+        .when(F.lower(F.coalesce(message, F.lit(""))).contains("timeout"), "timeout")
+        .otherwise("unknown")
+    )
+
+
 def backoff_col(
     attempt: Column,
     strategy: str = "exponential",

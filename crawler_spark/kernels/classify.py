@@ -43,28 +43,51 @@ def classify_http_status(status_code: int) -> str:
     return "unknown"
 
 
-# exception-class-name -> category (name-based, as the reference's mapping;
-# a 'timeout' substring in the message is a fallback heuristic)
-EXCEPTION_NAME_MAP: dict[str, str] = {
-    "TimeoutError": "timeout",
-    "asyncio.TimeoutError": "timeout",
-    "ConnectionError": "network_error",
-    "ConnectionResetError": "network_error",
-    "ConnectionRefusedError": "network_error",
-    "ConnectionAbortedError": "network_error",
-    "BrokenPipeError": "network_error",
-    "OSError": "network_error",
-    "ValueError": "validation_error",
-    "TypeError": "validation_error",
-    "KeyError": "parsing_error",
-    "AttributeError": "parsing_error",
-}
+# The reference's exception-classification decision ladder
+# (retry_policy.py:143-345), checked IN ORDER: explicit timeout names, stdlib
+# network names, httpx network names (module-qualified), browser-crash names,
+# the timeout name-substring heuristic, validation names, memory, then
+# OSError/ResourceWarning (errno 24/28 = fd/disk exhaustion is logged
+# specially but both branches classify as resource — retryable either way).
+_TIMEOUT_NAMES = ("TimeoutError", "ConnectTimeout", "ReadTimeout")
+_NETWORK_NAMES = (
+    "ConnectionError", "DNSError", "SSLError",
+    "ConnectionRefusedError", "ConnectionResetError",
+)
+_HTTPX_NETWORK_NAMES = (
+    "ConnectError", "ReadError", "WriteError", "PoolTimeout", "ProtocolError",
+)
+_BROWSER_CRASH_NAMES = (
+    "BrowserCrashError", "TargetClosedError",
+    "BrowserContextClosedError", "PageClosedError",
+)
+_VALIDATION_NAMES = ("StepValidationError", "ValidationError", "ValueError")
+_RESOURCE_NAMES = ("MemoryError", "ResourceWarning", "OSError")
 
 
-def classify_error_name(error_name: str, message: str = "") -> str:
-    if error_name in EXCEPTION_NAME_MAP:
-        return EXCEPTION_NAME_MAP[error_name]
-    if "timeout" in (message or "").lower() or "timeout" in error_name.lower():
+def classify_error_name(
+    error_name: str,
+    message: str = "",
+    module: str = "",
+    errno: int | None = None,
+) -> str:
+    if error_name in _TIMEOUT_NAMES:
+        return "timeout"
+    if error_name in _NETWORK_NAMES:
+        return "network_error"
+    if module == "httpx" and error_name in _HTTPX_NETWORK_NAMES:
+        return "network_error"
+    if error_name in _BROWSER_CRASH_NAMES:
+        return "browser_crash"
+    if "timeout" in error_name.lower() or "TimeoutException" in error_name:
+        return "timeout"
+    if error_name in _VALIDATION_NAMES:
+        return "validation_error"
+    if error_name in _RESOURCE_NAMES:
+        # errno in (24, 28) == fd/disk exhaustion (reference logs the errno;
+        # classification is resource_error either way)
+        return "resource_error"
+    if "timeout" in (message or "").lower():
         return "timeout"
     return "unknown"
 

@@ -1,0 +1,42 @@
+"""Latest-crawl-wins page upsert (Q1 — SURVEY.md §2.8).
+
+The reference upserts crawled pages one row at a time with
+``ON CONFLICT (website_id, url_hash) DO UPDATE`` — the latest crawl replaces
+the stored row (`/root/reference/sql/queries/crawled_page.sql:1-37`). The
+set-oriented equivalent is a MERGE: union both sides, keep one row per key
+by recency.
+
+On real Iceberg this is ``MERGE INTO pages USING incoming ON keys WHEN
+MATCHED THEN UPDATE ...`` — a shuffle on the key either way; this
+implementation is the engine-portable form over snapshot tables.
+
+Scale notes: ONE hash shuffle on the merge keys; with both sides bucketed by
+url_hash (the natural layout for the pages table) the shuffle disappears
+entirely. The window is per-key (cardinality = |keys|), never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_latest_wins(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """One row per key: greatest ``order_col`` wins; on ties the incoming
+    side wins (ON CONFLICT DO UPDATE replaces even at equal timestamps)."""
+    tagged = existing.select(incoming.columns).withColumn(
+        "_src", F.lit(0)
+    ).unionByName(incoming.withColumn("_src", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

@@ -28,6 +28,8 @@ rebuilt lazily per compaction window).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -142,6 +144,211 @@ def probe_seen(
 
     routed = with_shard_and_key(candidates, host_col, hash_col, n_shards)
     return routed.withColumn("maybe_seen", _probe(F.col("shard"), F.col("filter_key")))
+
+
+# ------------------------------------------------------------------------
+# Scale path (r02): blobs live as per-shard FILES next to the snapshot, the
+# probe repartitions candidates by shard and each TASK loads only its own
+# shard's blob — nothing rides the driver or the UDF closure. (The closure
+# variants above remain for small dims / tests.)
+# ------------------------------------------------------------------------
+
+# executor-process blob cache: {path: filter}; blob paths are per-snapshot
+# (a new round writes a new dir) so staleness is impossible by construction
+_FILTER_CACHE: dict[str, object] = {}
+
+
+def _load_filter(path: str):
+    if path not in _FILTER_CACHE:
+        if len(_FILTER_CACHE) > 64:  # bound executor memory across rounds
+            _FILTER_CACHE.clear()
+        if not os.path.exists(path):
+            _FILTER_CACHE[path] = None
+        else:
+            with open(path, "rb") as fh:
+                blob = fh.read()
+            _FILTER_CACHE[path] = (
+                BloomFilter.from_bytes(blob)
+                if blob[:4] == BloomFilter.MAGIC
+                else CuckooFilter.from_bytes(blob)
+            )
+    return _FILTER_CACHE[path]
+
+
+def probe_seen_files(
+    candidates: DataFrame,
+    blob_dir: str,
+    host_col: str = "host",
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    layer: str = "bloom",
+) -> DataFrame:
+    """Adds maybe_seen via a shard-local file probe: ONE shuffle routes each
+    candidate to its shard's partition; the task reads `<blob_dir>/<layer>-
+    <shard>` once (executor-cached) and probes numpy-vectorized. On a cluster
+    blob_dir is shared storage (HDFS/S3) — per-task reads are a few MB and
+    amortized across the partition; total driver traffic is zero."""
+    routed = with_shard_and_key(candidates, host_col, hash_col, n_shards)
+    schema = T.StructType(
+        list(routed.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def _probe(batches):
+        for pdf in batches:
+            out = pd.Series(False, index=pdf.index)
+            keys = pdf["filter_key"].to_numpy(dtype="int64").astype("uint64")
+            for s in pdf["shard"].unique():
+                flt = _load_filter(os.path.join(blob_dir, f"{layer}-{int(s)}"))
+                if flt is None:
+                    continue  # shard never built -> nothing seen there
+                m = (pdf["shard"] == s).to_numpy()
+                out[m] = flt.contains_many(keys[m])
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            yield pdf
+
+    return routed.repartition(n_shards, "shard").mapInPandas(_probe, schema)
+
+
+def update_seen_shards(
+    adds: DataFrame,
+    blob_dir: str | None,
+    deletes: DataFrame | None = None,
+    host_col: str = "host",
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    bits_per_key: int = 12,
+    with_cuckoo: bool = True,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL shard maintenance: per shard, load the previous round's
+    blobs from ``blob_dir`` (None == build fresh), add the new keys, delete
+    the TTL-expired ones (cuckoo only — bloom is an insert-only superset,
+    recompacted by the periodic full rebuild), and emit the new blob row.
+    ONE shuffle on shard; per-round work is O(delta), not O(|seen|).
+
+    With ``out_dir`` set, each TASK writes its shard's blob files directly to
+    the (shared) store directory and only a tiny (shard, n_items) stat row
+    returns — blobs never transit the driver. Blob files land before the
+    manifest flips, so a crash leaves orphans, never a half-commit (same
+    contract as the parquet snapshots).
+
+    Every shard emits a row even with an empty delta (a synthetic carrier row
+    per shard keeps the groupBy total), so the new snapshot's blob dir is
+    always complete. Raises on cuckoo overflow instead of dropping keys."""
+    spark = adds.sparkSession
+    a = (
+        with_shard_and_key(adds, host_col, hash_col, n_shards)
+        .select("shard", "filter_key")
+        .withColumn("op", F.lit(1))
+    )
+    parts = [a]
+    if deletes is not None:
+        parts.append(
+            with_shard_and_key(deletes, host_col, hash_col, n_shards)
+            .select("shard", "filter_key")
+            .withColumn("op", F.lit(-1))
+        )
+    # carrier rows: every shard appears even with no delta this round.
+    # filter_key is 0, NOT NULL — a null would make Arrow hand pandas a
+    # float64 column and silently corrupt full-range 64-bit keys (> 2^53).
+    parts.append(
+        spark.range(n_shards).select(
+            F.col("id").cast("int").alias("shard"),
+            F.lit(0).cast("long").alias("filter_key"),
+            F.lit(0).alias("op"),
+        )
+    )
+    routed = parts[0]
+    for p in parts[1:]:
+        routed = routed.unionByName(p)
+
+    def _update(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        real = pdf[pdf["op"] != 0]
+        add_keys = (
+            real.loc[real["op"] == 1, "filter_key"]
+            .to_numpy(dtype="int64").astype("uint64")
+        )
+        del_keys = (
+            real.loc[real["op"] == -1, "filter_key"]
+            .to_numpy(dtype="int64").astype("uint64")
+        )
+        bloom = cuckoo = None
+        if blob_dir is not None:
+            b = os.path.join(blob_dir, f"bloom-{shard}")
+            if os.path.exists(b):
+                with open(b, "rb") as fh:
+                    bloom = BloomFilter.from_bytes(fh.read())
+            c = os.path.join(blob_dir, f"cuckoo-{shard}")
+            if with_cuckoo and os.path.exists(c):
+                with open(c, "rb") as fh:
+                    cuckoo = CuckooFilter.from_bytes(fh.read())
+        if bloom is None:
+            bloom = BloomFilter.for_capacity(
+                max(4 * len(add_keys), 4096), bits_per_key
+            )
+        if with_cuckoo and cuckoo is None:
+            cuckoo = CuckooFilter.for_capacity(max(4 * len(add_keys), 4096))
+        bloom.add_many(add_keys)
+        cuckoo_blob = None
+        if with_cuckoo:
+            cuckoo.delete_many(del_keys)
+            inserted = cuckoo.add_many(add_keys)
+            if inserted != len(add_keys):
+                # incremental rebuild is impossible (fingerprints are lossy);
+                # fail loudly — the engine's periodic full rebuild re-sizes
+                raise RuntimeError(
+                    f"cuckoo shard {shard} over-full: {inserted}/{len(add_keys)}"
+                    " inserted; increase capacity or rebuild from the exact table"
+                )
+            cuckoo_blob = cuckoo.to_bytes()
+        bloom_blob = bloom.to_bytes()
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, f"bloom-{shard}"), "wb") as fh:
+                fh.write(bloom_blob)
+            if cuckoo_blob is not None:
+                with open(os.path.join(out_dir, f"cuckoo-{shard}"), "wb") as fh:
+                    fh.write(cuckoo_blob)
+            bloom_blob = cuckoo_blob = None  # stats only back to the driver
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_items": [int(bloom.n_items)],
+                "bloom": [bloom_blob],
+                "cuckoo": [cuckoo_blob],
+            }
+        )
+
+    return routed.groupBy("shard").applyInPandas(_update, schema=_BUILD_SCHEMA)
+
+
+def seen_filter_pipeline_files(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blob_dir: str,
+    host_col: str = "host",
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    layer: str = "bloom",
+) -> DataFrame:
+    """Two-layer seen dedup with the file-backed shard probe: definitely-new
+    rows skip the exact anti-join entirely; only maybe_seen survivors (true
+    dups + ~0.03% FPs) pay the join."""
+    if blob_dir is None:  # no filters built yet -> plain exact anti-join
+        return candidates.join(
+            seen.select(hash_col).distinct(), hash_col, "left_anti"
+        )
+    probed = probe_seen_files(candidates, blob_dir, host_col, hash_col, n_shards, layer)
+    definitely_new = probed.filter(~F.col("maybe_seen"))
+    survivors = probed.filter(F.col("maybe_seen"))
+    verified_new = survivors.join(
+        seen.select(hash_col).distinct(), hash_col, "left_anti"
+    )
+    return definitely_new.unionByName(verified_new).drop(
+        "maybe_seen", "shard", "filter_key"
+    )
 
 
 def seen_filter_pipeline(

@@ -594,6 +594,52 @@ UNION ALL SELECT doc_id, 'hrefs', 1, '/files/' || ids || '_2.pdf' FROM d
 """
 
 
+def q_content_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the full ContentNormalizer pipeline (content_normalizer.py:
+    37-97,122-186,278-397) over synthetic pages exercising every stage —
+    boilerplate tags (nav/footer), ad-pattern containers, HTML comments,
+    <main> vs content-div extraction, timestamp + view-count stripping,
+    whitespace collapse, lowercase — plus the resulting content hash (C1).
+    Runs through the SAME parse UDF the engine uses."""
+    docs = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    open_tag = F.when(F.col("doc_id") % 2 == 0, F.lit("<main>")).otherwise(
+        F.lit('<div class="content">')
+    )
+    close_tag = F.when(F.col("doc_id") % 2 == 0, F.lit("</main>")).otherwise(
+        F.lit("</div>")
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/home">Beranda</a></nav>'),
+        F.lit('<div class="ad-banner">Iklan promo</div>'),
+        F.lit("<!-- build 123 -->"),
+        open_tag,
+        F.lit("<p>Putusan Nomor "), ids, F.lit(" Tahun 2024</p>"),
+        F.lit("<p>Sumber "), F.col("source"), F.lit(" bahasa "), F.col("lang"),
+        F.lit("</p><span>Updated 2024-01-15 10:30</span><span>"),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" views</span>"),
+        close_tag,
+        F.lit("<footer>Hak cipta</footer></body></html>"),
+    )
+    parsed = docs.select("doc_id", parse_page_udf(html).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.norm_text").alias("norm_text"),
+        F.col("p.content_sha256").alias("content_sha256"),
+    )
+
+
+O_CONTENT_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         'putusan nomor ' || doc_id || ' tahun 2024 sumber ' || source
+           || ' bahasa ' || lang || ' updated' AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, sha256(norm_text) AS content_sha256 FROM d
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +666,18 @@ FROM documents
 
 # ------------------------------------------------- embedding dedup + LSH ANN
 
+def adaptive_n_bits(n_vectors: int, dim: int, target_bucket: int = 64) -> int:
+    """Bucket width scaled to the corpus (VERDICT r01: a fixed 8-bit bucket
+    leaves ~n/256 rows per bucket — quadratic again at 10^9 vectors). Picks
+    the smallest width whose expected bucket occupancy is ~target_bucket,
+    clamped to [8, min(24, dim)]: 10^3 vectors -> 8 bits (256 buckets),
+    10^9 -> 24 bits (16.7M buckets, ~60 rows each)."""
+    import math
+
+    want = math.ceil(math.log2(max(n_vectors, 1) / target_bucket)) if n_vectors > target_bucket else 8
+    return int(min(max(8, want), 24, dim))
+
+
 def _sign_bucket_spark(vec, n_bits: int = 8):
     """Deterministic LSH bucket: sign bits of the first n dims — engine-
     portable (scaling-invariant, reproducible in ANSI SQL), the test stand-in
@@ -630,24 +688,42 @@ def _sign_bucket_spark(vec, n_bits: int = 8):
     return b.cast("int")
 
 
-def _sign_bucket_sql(col: str = "embedding", n_bits: int = 8) -> str:
-    terms = " + ".join(
-        f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(n_bits)
+def _sign_bucket_sql_adaptive(col: str = "embedding", n_expr: str = "2 * count(*)") -> str:
+    """DuckDB form of the adaptive sign bucket: width from the SAME
+    corpus-size formula as adaptive_n_bits, bits via list_transform."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, (SELECT n_bits FROM nb) + 1), "
+        f"i -> CASE WHEN {col}[i] >= 0 THEN power(2, i - 1) ELSE 0 END)) AS INT)"
     )
-    return f"CAST({terms} AS INT)"
+
+
+_NB_CTE = """
+nb AS (
+  SELECT CAST(least(greatest(8, CASE WHEN {n_expr} > 64
+                                 THEN ceil(log2(({n_expr}) / 64.0)) ELSE 8 END),
+              24, 64) AS INT) AS n_bits
+  FROM embeddings
+)
+"""
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: corpus + scaled copies (2x => cosine 1.0);
     sign-LSH bucket join prunes candidates (scaling preserves signs), exact
     cosine >= 0.999 verifies. The 100 TB plan: bucket equality turns the
-    O(n^2) scan into per-bucket joins."""
+    O(n^2) scan into per-bucket joins, with the bucket WIDTH scaled to the
+    corpus (adaptive_n_bits) so occupancy stays ~constant at any n."""
     base = _embs(spark, sf_dir).select("vec_id", "embedding")
+    n = base.count() * 2  # tiny stats action; at scale: table metadata
+    dim = base.select(F.size("embedding")).first()[0]
+    n_bits = adaptive_n_bits(n, dim)
     copies = base.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 2).alias("embedding"),
     )
-    corpus = base.unionByName(copies).withColumn("bucket", _sign_bucket_spark("embedding"))
+    corpus = base.unionByName(copies).withColumn(
+        "bucket", _sign_bucket_spark("embedding", n_bits)
+    )
     l, r = corpus.alias("l"), corpus.alias("r")
     from crawler_spark.functions.vectors import cosine_col
 
@@ -660,13 +736,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DEDUP_EMBEDDING_COSINE = f"""
-WITH corpus AS (
+WITH {_NB_CTE.format(n_expr="2 * count(*)")},
+corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) FROM embeddings
 ),
-b AS (SELECT vec_id, embedding, {_sign_bucket_sql()} AS bucket FROM corpus)
+b AS (SELECT vec_id, embedding, {_sign_bucket_sql_adaptive()} AS bucket FROM corpus)
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round(list_cosine_similarity(l.embedding, r.embedding), 4) AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
@@ -676,8 +753,14 @@ WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4) >= 0.999
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-bucketed ANN (the scale path next to brute force): probe only
-    the query's bucket, exact cosine + top-3 within it."""
-    corpus = _embs(spark, sf_dir).withColumn("bucket", _sign_bucket_spark("embedding"))
+    the query's bucket, exact cosine + top-3 within it; bucket width scales
+    with the corpus (adaptive_n_bits)."""
+    base = _embs(spark, sf_dir)
+    n = base.count()
+    dim = base.select(F.size("embedding")).first()[0]
+    corpus = base.withColumn(
+        "bucket", _sign_bucket_spark("embedding", adaptive_n_bits(n, dim))
+    )
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "bucket"
     )
@@ -698,9 +781,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ANN_LSH_TOPK = f"""
-WITH b AS (
+WITH {_NB_CTE.format(n_expr="count(*)")},
+b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
-         {_sign_bucket_sql()} AS bucket
+         {_sign_bucket_sql_adaptive()} AS bucket
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
@@ -922,6 +1006,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
+    "content_normalize": q_content_normalize,
 }
 
 ORACLES = {
@@ -944,4 +1029,5 @@ ORACLES = {
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
+    "content_normalize": O_CONTENT_NORMALIZE,
 }

@@ -697,6 +697,312 @@ FROM events
 """
 
 
+def q_page_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: latest-crawl-wins page MERGE on (website_id, url_hash) — the
+    reference's ON CONFLICT DO UPDATE (crawled_page.sql:1-37). Existing rows
+    0..399, incoming 200..599 one hour later: 0..199 keep v1, 200..399 are
+    replaced by v2, 400..599 insert as v2."""
+    from crawler_spark.operators.merge import merge_latest_wins
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 600).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    existing = ev.filter(F.col("event_id") < 400).select(
+        (F.col("event_id") % 5).cast("int").alias("website_id"),
+        F.sha2(F.concat(F.lit("u"), F.col("event_id").cast("string")), 256).alias("url_hash"),
+        F.lit("v1").alias("title"),
+        F.unix_millis(F.col("ts")).alias("crawled_ms"),
+    )
+    incoming = ev.filter(F.col("event_id") >= 200).select(
+        (F.col("event_id") % 5).cast("int").alias("website_id"),
+        F.sha2(F.concat(F.lit("u"), F.col("event_id").cast("string")), 256).alias("url_hash"),
+        F.lit("v2").alias("title"),
+        (F.unix_millis(F.col("ts")) + F.lit(3600_000)).alias("crawled_ms"),
+    )
+    return merge_latest_wins(
+        existing, incoming, keys=["website_id", "url_hash"], order_col="crawled_ms"
+    )
+
+
+O_PAGE_UPSERT = """
+WITH ev AS (SELECT event_id, ts FROM events WHERE event_id < 600),
+existing AS (
+  SELECT CAST(event_id % 5 AS INT) AS website_id,
+         sha256('u' || event_id) AS url_hash,
+         'v1' AS title, epoch_ms(ts) AS crawled_ms
+  FROM ev WHERE event_id < 400
+),
+incoming AS (
+  SELECT CAST(event_id % 5 AS INT) AS website_id,
+         sha256('u' || event_id) AS url_hash,
+         'v2' AS title, epoch_ms(ts) + 3600000 AS crawled_ms
+  FROM ev WHERE event_id >= 200
+),
+tagged AS (
+  SELECT *, 0 AS src FROM existing UNION ALL SELECT *, 1 AS src FROM incoming
+)
+SELECT website_id, url_hash, title, crawled_ms
+FROM (SELECT *, row_number() OVER (PARTITION BY website_id, url_hash
+                                   ORDER BY crawled_ms DESC, src DESC) AS rn
+      FROM tagged)
+WHERE rn = 1
+"""
+
+
+def q_backoff_jitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 full precedence chain as ONE column expression: Retry-After
+    (delay-seconds or HTTP-date vs a pinned 'now') overrides the
+    strategy backoff; otherwise strategy delay +/-20% jitter, then
+    min(max_delay, 300) (retry_policy.py:519-748). Jitter uses a portable
+    integer LCG on event_id so DuckDB reproduces it bit-for-bit (the
+    reference's random jitter, made deterministic for the oracle; production
+    would use rand(seed))."""
+    ev = _events(spark, sf_dir).select("event_id")
+    initial, max_delay, mult = 2, 200, 3
+    attempt = (F.col("event_id") % 5 + 1).cast("int")
+    strategy = F.element_at(
+        F.array(F.lit("exponential"), F.lit("linear"), F.lit("fixed")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    base = (
+        F.when(strategy == "exponential",
+               F.least(F.floor(F.lit(initial) * F.pow(F.lit(mult), attempt - 1)),
+                       F.lit(max_delay)))
+        .when(strategy == "linear",
+              F.least(F.floor(F.lit(initial) + F.lit(mult) * (attempt - 1)),
+                      F.lit(max_delay)))
+        .otherwise(F.least(F.lit(initial), F.lit(max_delay)))
+    ).cast("long")
+    amount = F.floor(base / 5).cast("long")  # int(delay * 0.2)
+    lcg = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)
+    delta = lcg % (F.lit(2) * amount + 1) - amount
+    jittered = F.greatest(F.lit(0).cast("long"), base + delta)
+    retry_after = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("90"))
+        .when(F.col("event_id") % 11 == 1, F.lit("Thu, 01 Jan 2026 00:02:00 GMT"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    now_s = F.unix_timestamp(F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    ra_s = F.coalesce(
+        F.expr("try_cast(retry_after AS long)"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            # 'Thu, 01 Jan 2026 00:02:00 GMT' -> strip weekday + zone (the
+            # Spark 4 parser rejects 'EEE' in parse patterns); session tz is
+            # UTC so the GMT wall time parses exactly
+            F.unix_timestamp(
+                F.expr(
+                    "try_to_timestamp(replace(substring(retry_after, 6), ' GMT', ''),"
+                    " 'dd MMM yyyy HH:mm:ss')"
+                )
+            ) - now_s,
+        ),
+    )
+    df = ev.select(
+        "event_id", strategy.alias("strategy"), attempt.alias("attempt"),
+        base.alias("base_delay_s"), retry_after.alias("retry_after"),
+    ).withColumn("jittered", jittered)
+    return df.select(
+        "event_id", "strategy", "attempt", "base_delay_s",
+        F.when(
+            F.col("retry_after").isNotNull(), F.least(ra_s, F.lit(max_delay).cast("long"))
+        ).otherwise(
+            F.least(F.col("jittered"), F.lit(max_delay).cast("long"), F.lit(300).cast("long"))
+        ).alias("delay_s"),
+    )
+
+
+O_BACKOFF_JITTER = """
+WITH e AS (
+  SELECT event_id,
+         CAST(event_id % 5 + 1 AS INT) AS attempt,
+         ['exponential', 'linear', 'fixed'][CAST(event_id % 3 + 1 AS INT)] AS strategy
+  FROM events
+),
+b AS (
+  SELECT *,
+         CAST(CASE strategy
+           WHEN 'exponential' THEN least(floor(2 * power(3, attempt - 1)), 200)
+           WHEN 'linear' THEN least(floor(2 + 3 * (attempt - 1)), 200)
+           ELSE least(2, 200) END AS BIGINT) AS base_delay_s,
+         CASE WHEN event_id % 11 = 0 THEN '90'
+              WHEN event_id % 11 = 1 THEN 'Thu, 01 Jan 2026 00:02:00 GMT'
+              END AS retry_after
+  FROM e
+),
+j AS (
+  SELECT *,
+         base_delay_s // 5 AS amount,
+         (event_id * 1103515245 + 12345) % 2147483648 AS lcg
+  FROM b
+)
+SELECT event_id, strategy, attempt, base_delay_s,
+       CASE
+         WHEN retry_after = '90' THEN least(90, 200)
+         WHEN retry_after IS NOT NULL THEN least(
+           greatest(0, CAST(epoch(strptime(retry_after, '%a, %d %b %Y %H:%M:%S GMT'))
+                       - epoch(TIMESTAMP '2026-01-01 00:00:00') AS BIGINT)), 200)
+         ELSE least(greatest(0, base_delay_s + lcg % (2 * amount + 1) - amount), 200, 300)
+       END AS delay_s
+FROM j
+"""
+
+
+def q_error_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: exception-name classification ladder (retry_policy.py:143-345) as
+    a pure CASE column over synthesized (name, message, module, errno)
+    tuples covering every branch: explicit timeout/network names, httpx
+    module-qualified names, browser-crash names, the timeout substring
+    heuristic, validation, MemoryError, OSError errno 24/28, message
+    fallback, unknown."""
+    from crawler_spark.functions.frontier_exprs import (
+        classify_error_col,
+        is_retryable_col,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id")
+    k = (F.col("event_id") % 16).cast("int")
+    names = [
+        "TimeoutError", "ConnectTimeout", "ConnectionError", "SSLError",
+        "ConnectError", "ConnectError", "BrowserCrashError", "PageClosedError",
+        "PlaywrightTimeoutError", "ValueError", "MemoryError", "OSError",
+        "OSError", "KeyError", "SomeError", "SomeError",
+    ]
+    name = F.element_at(F.array(*[F.lit(n) for n in names]), k + 1)
+    module = F.when(k == 4, "httpx").otherwise("builtins")
+    message = (
+        F.when(k == 14, "read timeout on socket")
+        .when(k == 15, "boom")
+        .otherwise(F.lit(""))
+    )
+    errno = F.when(k == 11, 24).otherwise(F.lit(None).cast("int"))
+    df = ev.select(
+        "event_id", name.alias("error_name"), module.alias("module"),
+        message.alias("message"), errno.alias("os_errno"),
+    )
+    cat = classify_error_col(
+        F.col("error_name"), F.col("message"), F.col("module"), F.col("os_errno")
+    )
+    return df.select(
+        "event_id", "error_name", "module", "os_errno",
+        cat.alias("category"),
+        is_retryable_col(cat).alias("retryable"),
+    )
+
+
+O_ERROR_CLASSIFY = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 16 AS INT) AS k FROM events
+),
+d AS (
+  SELECT event_id, k,
+         ['TimeoutError','ConnectTimeout','ConnectionError','SSLError',
+          'ConnectError','ConnectError','BrowserCrashError','PageClosedError',
+          'PlaywrightTimeoutError','ValueError','MemoryError','OSError',
+          'OSError','KeyError','SomeError','SomeError'][k + 1] AS error_name,
+         CASE WHEN k = 4 THEN 'httpx' ELSE 'builtins' END AS module,
+         CASE WHEN k = 14 THEN 'read timeout on socket'
+              WHEN k = 15 THEN 'boom' ELSE '' END AS message,
+         CASE WHEN k = 11 THEN 24 END AS os_errno
+  FROM e
+),
+c AS (
+  SELECT *,
+         CASE
+           WHEN error_name IN ('TimeoutError','ConnectTimeout','ReadTimeout')
+             THEN 'timeout'
+           WHEN error_name IN ('ConnectionError','DNSError','SSLError',
+                               'ConnectionRefusedError','ConnectionResetError')
+             THEN 'network_error'
+           WHEN module = 'httpx' AND error_name IN
+                ('ConnectError','ReadError','WriteError','PoolTimeout','ProtocolError')
+             THEN 'network_error'
+           WHEN error_name IN ('BrowserCrashError','TargetClosedError',
+                               'BrowserContextClosedError','PageClosedError')
+             THEN 'browser_crash'
+           WHEN lower(error_name) LIKE '%timeout%'
+                OR error_name LIKE '%TimeoutException%'
+             THEN 'timeout'
+           WHEN error_name IN ('StepValidationError','ValidationError','ValueError')
+             THEN 'validation_error'
+           WHEN error_name IN ('MemoryError','ResourceWarning','OSError')
+             THEN 'resource_error'
+           WHEN lower(coalesce(message, '')) LIKE '%timeout%' THEN 'timeout'
+           ELSE 'unknown'
+         END AS category
+  FROM d
+)
+SELECT event_id, error_name, module, CAST(os_errno AS INT) AS os_errno, category,
+       category IN ('rate_limit','timeout','server_error','network_error',
+                    'browser_crash','resource_error') AS retryable
+FROM c
+"""
+
+
+def q_scrape_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: unordered scrape-executor batch map — per-row success flags via
+    mapInPandas (the Arrow batch IS the reference's batch-of-100), then the
+    step-level 'error only if ALL fail' rule per batch
+    (scrape_executor.py:46,71-259). Fetch outcome derives deterministically
+    from sha256(url) so DuckDB replays it."""
+    import hashlib
+
+    from crawler_spark.sources.scrape import batch_outcomes, scrape_batch
+
+    urls = synth_frontier(spark, sf_dir).select(
+        "event_id", F.col("url").alias("url"),
+        (F.col("event_id") % 25).cast("int").alias("batch_id"),
+    )
+
+    def fetcher(url: str) -> tuple[int, str | None]:
+        h = int(hashlib.sha256(url.encode()).hexdigest()[:2], 16)
+        if h % 7 == 0:
+            return 404, None
+        if h % 7 == 1:
+            return 500, None
+        return 200, "ok:" + url
+
+    results = scrape_batch(urls, fetcher)
+    outcomes = batch_outcomes(results, "batch_id")
+    return results.select(
+        "event_id", "batch_id", "status_code", "success", "error_category"
+    ).join(outcomes.select("batch_id", "n_success", "batch_error"), "batch_id")
+
+
+O_SCRAPE_BATCH = """
+WITH raw AS (
+  SELECT event_id,
+         'HTTPS://Portal' || (user_id % 50) || '.GO.ID/cases/' || (event_id % 997)
+           || '?utm_source=feed&ref=x&page=' || (event_id % 7 + 1)
+           || '&b=' || (user_id % 13) || '&a=1#s' AS url
+  FROM events
+),
+r AS (
+  SELECT event_id,
+         CAST(event_id % 25 AS INT) AS batch_id,
+         ('0x' || substr(sha256(url), 1, 2))::INT % 7 AS h
+  FROM raw
+),
+rows_ AS (
+  SELECT event_id, batch_id,
+         CAST(CASE WHEN h = 0 THEN 404 WHEN h = 1 THEN 500 ELSE 200 END AS INT)
+           AS status_code,
+         h NOT IN (0, 1) AS success,
+         CASE WHEN h = 0 THEN 'not_found' WHEN h = 1 THEN 'server_error' END
+           AS error_category
+  FROM r
+),
+o AS (
+  SELECT batch_id, sum(CASE WHEN success THEN 1 ELSE 0 END) AS n_success,
+         sum(CASE WHEN success THEN 1 ELSE 0 END) = 0 AS batch_error
+  FROM rows_ GROUP BY batch_id
+)
+SELECT rows_.batch_id, event_id, status_code, success, error_category,
+       n_success, batch_error
+FROM rows_ JOIN o USING (batch_id)
+"""
+
+
 QUERIES = {
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -718,6 +1024,10 @@ QUERIES = {
     "dlq_views": q_dlq_views,
     "log_range_scan": q_log_range_scan,
     "workflow_result_agg": q_workflow_result_agg,
+    "page_upsert": q_page_upsert,
+    "backoff_jitter": q_backoff_jitter,
+    "scrape_batch": q_scrape_batch,
+    "error_classify": q_error_classify,
 }
 
 ORACLES = {
@@ -741,4 +1051,8 @@ ORACLES = {
     "dlq_views": O_DLQ_VIEWS,
     "log_range_scan": O_LOG_RANGE_SCAN,
     "workflow_result_agg": O_WORKFLOW_RESULT_AGG,
+    "page_upsert": O_PAGE_UPSERT,
+    "backoff_jitter": O_BACKOFF_JITTER,
+    "scrape_batch": O_SCRAPE_BATCH,
+    "error_classify": O_ERROR_CLASSIFY,
 }

@@ -72,3 +72,13 @@ def test_frame_sample_plan(media):
     for did, n in by_id.items():
         expect = (meta[did] % 300 + 30 + 9) // 10
         assert n == expect
+
+
+def test_adaptive_sign_lsh_bits():
+    from crawler_spark.queries_content import adaptive_n_bits
+
+    assert adaptive_n_bits(1_000, 64) == 8       # small corpus -> 256 buckets
+    assert adaptive_n_bits(4_000, 64) == 8
+    assert adaptive_n_bits(100_000, 64) == 11    # ~64 rows per bucket
+    assert adaptive_n_bits(10**9, 64) == 24      # capped at 16.7M buckets
+    assert adaptive_n_bits(10**9, 16) == 16      # never wider than the dim

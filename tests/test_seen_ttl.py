@@ -40,3 +40,32 @@ def test_no_ttl_never_recrawls(spark, tmp_path):
     sim = simulate(corpus, robots, seeds, per_host_budget=3, max_rounds=ROUNDS)
     counts = Counter(u for *_, u in sim.crawl_order)
     assert counts and all(n == 1 for n in counts.values())
+
+
+def test_ttl_recrawl_replaces_page_row_not_duplicates(spark, tmp_path):
+    """Q1 latest-crawl-wins MERGE: a TTL-expired URL that is re-crawled must
+    REPLACE its page row (ON CONFLICT DO UPDATE, crawled_page.sql:1-37);
+    every fetch still appears in the append-only fetch_log."""
+    corpus, robots, seeds = build_corpus(SPEC), robots_map(SPEC), seed_urls(SPEC)
+    eng = CrawlEngine(spark, str(tmp_path / "q1"), corpus, robots,
+                      per_host_budget=3, ttl_rounds=TTL)
+    eng.run(seeds=seeds, max_rounds=ROUNDS)
+
+    order = eng.crawl_order()
+    recrawled = [u for u, n in Counter(u for *_, u in order).items() if n > 1]
+    assert recrawled, "fixture must produce at least one TTL re-crawl"
+
+    pages = eng.store.read(spark, "pages")
+    # one row per (host, url_hash) despite multiple crawls
+    dup_keys = (
+        pages.groupBy("host", "url_hash").count().filter("count > 1").count()
+    )
+    assert dup_keys == 0, "pages table must be latest-wins merged"
+    # the surviving row is the LATEST crawl
+    url = recrawled[0]
+    last_round = max(r for r, _, _, u in order if u == url)
+    row = pages.filter(pages.url_norm == url).collect()
+    assert len(row) == 1 and row[0]["fetched_round"] == last_round
+    # fetch_log keeps every attempt
+    log = eng.store.read(spark, "fetch_log")
+    assert log.filter(log.url_norm == url).count() >= 2

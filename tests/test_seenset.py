@@ -161,3 +161,82 @@ class TestSeenSetPipeline:
         shards = build_seen_shards(frontier, n_shards=8).collect()
         assert 0 < len(shards) <= 8
         assert sum(r.n_items for r in shards) == 4000
+
+
+class TestFileBackedShards:
+    """r02 scale path: blobs as store files, shard-local probe, incremental
+    maintenance — nothing through the driver (VERDICT r01 scale-killer #2)."""
+
+    def test_build_probe_roundtrip_no_false_negatives(self, spark, tmp_path):
+        from crawler_spark.operators.seenset import (
+            probe_seen_files, update_seen_shards,
+        )
+        rows = [(f"h{i % 7}.go.id", f"{i:064x}") for i in range(1000)]
+        seen = spark.createDataFrame(rows, "host string, url_hash string")
+        d1 = str(tmp_path / "b1")
+        stats = update_seen_shards(seen, blob_dir=None, n_shards=8, out_dir=d1).collect()
+        # task-side writes: every shard's blob file exists, no blob columns
+        # returned to the driver
+        import os
+        assert sorted(os.listdir(d1)) == sorted(
+            [f"bloom-{s}" for s in range(8)] + [f"cuckoo-{s}" for s in range(8)]
+        )
+        assert all(r["bloom"] is None and r["cuckoo"] is None for r in stats)
+        for layer in ("bloom", "cuckoo"):
+            fn = (
+                probe_seen_files(seen, d1, n_shards=8, layer=layer)
+                .filter("NOT maybe_seen").count()
+            )
+            assert fn == 0, f"{layer} produced false negatives"
+
+    def test_incremental_add_and_ttl_delete(self, spark, tmp_path):
+        from crawler_spark.operators.seenset import (
+            probe_seen_files, update_seen_shards,
+        )
+        old = [(f"h{i % 7}.go.id", f"{i:064x}") for i in range(400)]
+        new = [(f"h{i % 7}.go.id", f"{i:064x}") for i in range(400, 500)]
+        d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+        update_seen_shards(
+            spark.createDataFrame(old, "host string, url_hash string"),
+            blob_dir=None, n_shards=4, out_dir=d1,
+        ).collect()
+        update_seen_shards(
+            spark.createDataFrame(new, "host string, url_hash string"),
+            blob_dir=d1, n_shards=4, out_dir=d2,
+            deletes=spark.createDataFrame(old[:100], "host string, url_hash string"),
+        ).collect()
+        kept = spark.createDataFrame(old[100:] + new, "host string, url_hash string")
+        assert (
+            probe_seen_files(kept, d2, n_shards=4, layer="cuckoo")
+            .filter("NOT maybe_seen").count() == 0
+        )
+        expired = spark.createDataFrame(old[:100], "host string, url_hash string")
+        hits = (
+            probe_seen_files(expired, d2, n_shards=4, layer="cuckoo")
+            .filter("maybe_seen").count()
+        )
+        assert hits <= 3, "deleted keys should (almost) all probe False"
+
+    def test_engine_round_never_collects_blobs(self, spark, tmp_path, monkeypatch):
+        """The r01 engine collected every shard blob to the driver and
+        shipped them in the probe closure; the file-backed path must never
+        call those APIs."""
+        from crawler_spark.engine.corpus import (
+            CorpusSpec, build_corpus, robots_map, seed_urls,
+        )
+        from crawler_spark.engine.superstep import CrawlEngine
+        from crawler_spark.operators import seenset as ss
+
+        def _boom(*a, **k):
+            raise AssertionError("driver-side blob path used in engine round")
+
+        monkeypatch.setattr(ss, "collect_shard_blobs", _boom)
+        monkeypatch.setattr(ss, "probe_seen", _boom)
+        spec = CorpusSpec(n_hosts=1, listing_pages=2, details_per_page=2,
+                          hosts_with_robots=0)
+        eng = CrawlEngine(
+            spark, str(tmp_path / "s"), build_corpus(spec), robots_map(spec),
+            per_host_budget=4,
+        )
+        out = eng.run(seeds=seed_urls(spec), max_rounds=4)
+        assert any(m.get("n_ok", 0) > 0 for m in out)
