@@ -37,6 +37,14 @@ HEADLINE = [
     "doc_fingerprint",
     "span_extract",
     "multimodal_decode",
+    # r02 additions
+    "selector_extract",
+    "xpath_extract",
+    "content_normalize",
+    "page_upsert",
+    "scrape_batch",
+    "error_classify",
+    "backoff_jitter",
 ]
 
 

@@ -160,3 +160,16 @@ def robots_map(spec: CorpusSpec) -> dict[str, str]:
 
 def seed_urls(spec: CorpusSpec) -> list[str]:
     return [listing_url(host_name(i), 1) for i in range(spec.n_hosts)]
+
+
+def website_configs(spec: CorpusSpec) -> dict[str, dict]:
+    """Per-host {field: selector} website configs, shaped like the BPK
+    production config (PRD.md:2699-2713): a title selector, a body-paragraph
+    array, and a download-documents array — runnable against detail_html."""
+    cfg = {
+        "title": "h1",
+        "body": {"selector": "p", "type": "array"},
+        "documents": {"selector": "a.download-pdf", "attribute": "href",
+                      "type": "array"},
+    }
+    return {host_name(i): cfg for i in range(spec.n_hosts)}

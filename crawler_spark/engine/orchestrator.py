@@ -26,6 +26,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crawler_spark.kernels.stepvalidate import StepValidationError, validate_input
 from crawler_spark.kernels.workflow import (
     build_dependency_graph,
     evaluate_condition,
@@ -45,6 +46,7 @@ class StepResult:
     n_rows: int | None = None
     error: str | None = None
     aggregates: dict[str, Any] = field(default_factory=dict)
+    warnings: list[str] = field(default_factory=list)
 
 
 class WorkflowOrchestrator:
@@ -98,6 +100,19 @@ class WorkflowOrchestrator:
 
             cfg = merge_config(self.global_config, step.get("config", {}))
             cfg = substitute_variables(cfg, context, strict=False)
+            # W6 semantic input validation (step_validator.py:215-283):
+            # strict (default) fails the step; warn mode records and proceeds
+            input_warnings: list[str] = []
+            inp = step.get("input")
+            if inp is not None and step.get("type") in ("crawl", "scrape"):
+                try:
+                    input_warnings = validate_input(
+                        name, step["type"], inp,
+                        strict=cfg.get("strict_validation", True),
+                    )
+                except StepValidationError as e:
+                    results[name] = StepResult(name, "failed", error=str(e)[:500])
+                    continue
             executor = self.executors.get(step.get("type", ""))
             if executor is None:
                 results[name] = StepResult(
@@ -108,7 +123,8 @@ class WorkflowOrchestrator:
             try:
                 df = executor(self.spark, cfg, inputs)
                 n = df.count() if collect_counts else None
-                res = StepResult(name, "completed", df=df, n_rows=n)
+                res = StepResult(name, "completed", df=df, n_rows=n,
+                                 warnings=input_warnings)
                 # W5: small aggregates (not data!) feed downstream conditions
                 res.aggregates = {"count": n, "success": (n or 0) > 0}
                 results[name] = res

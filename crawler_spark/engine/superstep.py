@@ -82,12 +82,19 @@ class CrawlEngine:
         per_host_budget: int = 8,
         user_agent: str = "lexi-spark",
         ttl_rounds: int | None = None,
+        selector_configs: dict[str, dict] | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
         a URL is 'seen' only if enqueued within the last ttl_rounds rounds;
         older entries expire and the URL becomes crawlable again. None ==
-        permanent membership."""
+        permanent membership.
+
+        selector_configs: per-host {field: selector} website configs (the
+        reference's website.config JSONB, its core user-facing surface) —
+        executed per fetched page (X1/X2/X3/X5 engine) into the pages
+        table's extracted_json column, the crawled_page.extracted_content
+        analogue."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -95,6 +102,7 @@ class CrawlEngine:
         self.budget = per_host_budget
         self.user_agent = user_agent
         self.ttl_rounds = ttl_rounds
+        self.selector_configs = selector_configs or {}
 
     # ------------------------------------------------------------- bootstrap
 
@@ -138,7 +146,8 @@ class CrawlEngine:
             "url_hash string, url_norm string, host string, title string,"
             " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
             " content_sha256 string, simhash long, status_code int,"
-            " fetched_round int, fetch_order int, raw_html string",
+            " fetched_round int, fetch_order int, raw_html string,"
+            " extracted_json string",
         )
 
     def _empty_dlq(self) -> DataFrame:
@@ -222,12 +231,26 @@ class CrawlEngine:
             "p.title", "p.spans", "p.links", "p.content_sha256", "p.simhash",
         ).cache()
 
-        new_pages = parsed.select(
+        # X5 website-config extraction (the reference runs the per-website
+        # {field: selector} map on every fetched page): heterogeneous per-
+        # host schemas -> extracted_content JSON string, like crawled_page
+        if self.selector_configs:
+            from crawler_spark.functions.selector_udfs import extract_json_by_host
+
+            with_extract = extract_json_by_host(
+                parsed, "content", "host", self.selector_configs
+            )
+        else:
+            with_extract = parsed.withColumn(
+                "extracted_json", F.lit(None).cast("string")
+            )
+        new_pages = with_extract.select(
             "url_hash", "url_norm", "host", "title", "spans", "content_sha256",
             "simhash", F.lit(200).alias("status_code"),
             F.lit(round_no).alias("fetched_round"),
             F.col("fetch_order").cast("int"),
             F.col("content").alias("raw_html"),
+            "extracted_json",
         )
 
         # ---- link extraction -> absolutize -> normalize -> scope -> dedup

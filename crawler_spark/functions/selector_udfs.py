@@ -78,3 +78,39 @@ def extract_with_selectors(
     udf = make_selector_udf(selectors)
     col = F.col(html_col) if isinstance(html_col, str) else html_col
     return df.withColumn(out_col, udf(col))
+
+
+def extract_json_by_host(
+    df: DataFrame,
+    html_col: str,
+    host_col: str,
+    configs: dict[str, dict[str, Any]],
+    default: dict[str, Any] | None = None,
+    out_col: str = "extracted_json",
+) -> DataFrame:
+    """Heterogeneous website configs: each host has its own {field: selector}
+    map (the reference's per-website JSONB config, executed per page by the
+    crawl path — selector_processor callsites in seed_url_crawler). Because
+    schemas differ per host, the output is the reference's own shape: the
+    `crawled_page.extracted_content` JSON string (current_schema.sql:391-409).
+
+    `configs` is the website dimension table collapsed to a dict — tiny, so
+    it rides the UDF closure (broadcast-equivalent); rows from hosts with no
+    config get NULL (or `default`'s extraction when provided)."""
+    import json
+
+    from crawler_spark.kernels.selectors import build_tree, process_selectors
+
+    @pandas_udf(returnType=T.StringType())
+    def _extract(host: pd.Series, html: pd.Series) -> pd.Series:
+        out = []
+        for h, doc in zip(host, html):
+            cfg = configs.get(h, default)
+            if not cfg:
+                out.append(None)
+                continue
+            got = process_selectors(build_tree(doc), cfg)
+            out.append(json.dumps(got, sort_keys=True, ensure_ascii=False))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _extract(F.col(host_col), F.col(html_col)))

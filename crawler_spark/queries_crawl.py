@@ -448,13 +448,24 @@ FROM f GROUP BY 1, 2
 
 
 def q_page_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3: newest-first page listing with offset/limit via row_number (the
-    crawled_page.sql:53-71 pattern; deterministic tiebreak on event_id)."""
+    """Q3: newest-first page listing with OFFSET 10 LIMIT 30
+    (crawled_page.sql:53-71; deterministic tiebreak on event_id).
+
+    Scale-safe form (r01 review: a bare global window = every row through ONE
+    task): orderBy().limit(offset+limit) compiles to TakeOrderedAndProject —
+    a distributed per-partition top-k + driver merge of 40 rows — and only
+    then does the row_number window run, over <= offset+limit rows. Deep
+    OFFSETs should switch to keyset pagination on (crawled_at, id); this
+    form is exact for the listing-page depths the reference's API serves."""
+    offset, limit = 10, 30
     df = synth_frontier(spark, sf_dir)
+    top = df.orderBy(F.col("scheduled_at").desc(), F.col("event_id").desc()).limit(
+        offset + limit
+    )
     w = Window.orderBy(F.col("scheduled_at").desc(), F.col("event_id").desc())
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 40))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
         .select("event_id", "host", F.col("rn").cast("int").alias("rn"))
     )
 

@@ -36,6 +36,7 @@ def main() -> None:
         build_corpus,
         robots_map,
         seed_urls,
+        website_configs,
     )
     from crawler_spark.engine.superstep import CrawlEngine
 
@@ -43,6 +44,7 @@ def main() -> None:
     eng = CrawlEngine(
         spark, args.store, build_corpus(spec), robots_map(spec),
         per_host_budget=args.budget,
+        selector_configs=website_configs(spec),
     )
     seeds = None if eng.store.manifest()["rounds"] else seed_urls(spec)
     rounds = eng.run(seeds=seeds, max_rounds=args.rounds)
