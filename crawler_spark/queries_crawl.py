@@ -1014,6 +1014,293 @@ FROM rows_ JOIN o USING (batch_id)
 """
 
 
+def q_pagination_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 strategy pick (crawler/services/pagination.py:50-143,292-315):
+    template -> auto-detect -> selector fallback -> single page -> disabled,
+    with the generated page-URL ranges, via the plan_pagination kernel in a
+    pandas UDF (strategy choice is string/dict logic, not columnar)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.pagination import plan_pagination
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    # non-?page variants use a digit-free path: auto-detect would otherwise
+    # claim the trailing case number as a path-embedded page counter
+    seed = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(F.lit("https://portal"), (F.col("user_id") % 5).cast("string"),
+                 F.lit(".go.id/cases/"), (F.col("event_id") % 97).cast("string"),
+                 F.lit("?page=3")),
+    ).otherwise(
+        F.concat(F.lit("https://portal"), (F.col("user_id") % 5).cast("string"),
+                 F.lit(".go.id/cases/detail")),
+    )
+    df = ev.select("event_id", seed.alias("seed_url"),
+                   (F.col("event_id") % 4).cast("int").alias("variant"))
+
+    out_type = T.StructType([
+        T.StructField("strategy", T.StringType()),
+        T.StructField("n_urls", T.IntegerType()),
+        T.StructField("first_url", T.StringType()),
+        T.StructField("last_url", T.StringType()),
+    ])
+    configs = {
+        0: {"max_pages": 5},                     # auto-detect ?page=3
+        1: {"selector": ".next"},                # selector fallback
+        2: {"url_template": "https://tpl.go.id/list?page={page}", "max_pages": 5},
+        3: {"enabled": False},
+    }
+
+    @pandas_udf(out_type)
+    def _plan(seed_s, variant_s):
+        rows = []
+        for s, v in zip(seed_s, variant_s):
+            strategy, urls = plan_pagination(s, configs[int(v)])
+            rows.append((strategy, len(urls), urls[0], urls[-1]))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["strategy", "n_urls", "first_url", "last_url"])
+
+    return df.select(
+        "event_id", "variant", _plan("seed_url", "variant").alias("p")
+    ).select("event_id", "variant", "p.strategy", "p.n_urls", "p.first_url", "p.last_url")
+
+
+O_PAGINATION_STRATEGY = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS variant,
+         'https://portal' || (user_id % 5) || '.go.id/cases/' || (event_id % 97)
+           AS numbered,
+         'https://portal' || (user_id % 5) || '.go.id/cases/detail' AS plain
+  FROM events
+)
+SELECT event_id, variant,
+       CASE variant WHEN 0 THEN 'detected:query_param'
+                    WHEN 1 THEN 'selector_fallback'
+                    WHEN 2 THEN 'template'
+                    ELSE 'disabled' END AS strategy,
+       CAST(CASE variant WHEN 0 THEN 3 WHEN 2 THEN 5 ELSE 1 END AS INT) AS n_urls,
+       CASE variant WHEN 0 THEN numbered || '?page=3'
+                    WHEN 2 THEN 'https://tpl.go.id/list?page=1'
+                    ELSE plain END AS first_url,
+       CASE variant WHEN 0 THEN numbered || '?page=5'
+                    WHEN 2 THEN 'https://tpl.go.id/list?page=5'
+                    ELSE plain END AS last_url
+FROM e
+"""
+
+
+def q_url_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 are_urls_equivalent (url.py:181-204): normalize both sides, compare
+    — tracking params / case / param order never break equivalence, a real
+    query-param change does."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    hn = (F.col("user_id") % 5).cast("string")
+    cid = (F.col("event_id") % 97).cast("string")
+    base = F.concat(F.lit("https://portal"), hn, F.lit(".go.id/cases/"), cid)
+    # scheme+host case-INsensitive, path case-SENSITIVE (url.py semantics):
+    # the equivalent variant uppercases only the scheme+host
+    shouting_host = F.concat(
+        F.lit("HTTPS://PORTAL"), hn, F.lit(".GO.ID/cases/"), cid
+    )
+    a = F.concat(base, F.lit("?b=2&a=1&utm_source=x"))
+    b = (
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(shouting_host, F.lit("?a=1&b=2&fbclid=y#frag")))
+        .when(F.col("event_id") % 3 == 1, F.concat(base, F.lit("?b=3&a=1")))
+        .otherwise(F.concat(base, F.lit("?b=2&a=1&utm_source=x")))
+    )
+    df = ev.select("event_id", a.alias("url_a"), b.alias("url_b"))
+    return df.select(
+        "event_id", "url_a", "url_b",
+        (normalize_url_udf(F.col("url_a")) == normalize_url_udf(F.col("url_b"))
+         ).alias("equivalent"),
+    )
+
+
+O_URL_EQUIVALENCE = """
+WITH e AS (
+  SELECT event_id,
+         'https://portal' || (user_id % 5) || '.go.id/cases/' || (event_id % 97)
+           AS base,
+         'HTTPS://PORTAL' || (user_id % 5) || '.GO.ID/cases/' || (event_id % 97)
+           AS shouting
+  FROM events
+)
+SELECT event_id,
+       base || '?b=2&a=1&utm_source=x' AS url_a,
+       CASE WHEN event_id % 3 = 0 THEN shouting || '?a=1&b=2&fbclid=y#frag'
+            WHEN event_id % 3 = 1 THEN base || '?b=3&a=1'
+            ELSE base || '?b=2&a=1&utm_source=x' END AS url_b,
+       event_id % 3 <> 1 AS equivalent
+FROM e
+"""
+
+
+def q_frontier_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 peek/size + R6 due-filter poll: rows with not_before <= now
+    (event_id % 5 simulates the retry schedule), global top-10 by priority
+    score (ZRANGE-withscores analogue, priority_queue.py:327-421) carrying
+    the queue size — TakeOrdered + a 10-row window, never a global
+    single-task window."""
+    df = synth_frontier(spark, sf_dir).withColumn(
+        "priority_score", priority_score_col(F.col("priority"), F.col("scheduled_at"))
+    )
+    due = df.filter(F.col("event_id") % 5 != 0)  # not_before <= now
+    size = due.agg(F.count("*").alias("queue_size"))
+    top = due.orderBy(F.col("priority_score").asc(), F.col("event_id").asc()).limit(10)
+    w = Window.orderBy(F.col("priority_score").asc(), F.col("event_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(size)
+        .select("rank", "event_id", "host", "priority_score", "queue_size")
+    )
+
+
+O_FRONTIER_PEEK = _F_CTE + """
+, due AS (
+  SELECT event_id, host,
+         CAST(10 - priority AS BIGINT) * 1000000000000 + epoch_ms(scheduled_at)
+           AS priority_score
+  FROM f WHERE event_id % 5 <> 0
+)
+SELECT CAST(rank AS INT) AS rank, event_id, host, priority_score,
+       (SELECT count(*) FROM due) AS queue_size
+FROM (SELECT *, row_number() OVER (ORDER BY priority_score, event_id) AS rank
+      FROM due)
+WHERE rank <= 10
+"""
+
+
+def q_crawl_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 crawl-executor fan-out (crawl_executor.py:73-249,305-340) as one
+    declarative plan: seed -> pagination expand (3 pages) -> fetch (status
+    from sha256(url), partial failures) -> REAL selector extraction over the
+    page HTML -> absolutize -> order-preserving cross-page dedup (U7: a
+    '/common' link repeats on every page, first page wins) -> per-seed
+    metadata counts with the all-pages-failed error rule."""
+    from crawler_spark.functions.selector_udfs import extract_with_selectors
+    from crawler_spark.functions.url_udfs import resolve_relative_udf
+
+    seeds = (
+        _events(spark, sf_dir).filter(F.col("event_id") < 50)
+        .select(
+            F.col("event_id").alias("seed_id"),
+            F.concat(F.lit("portal"), (F.col("user_id") % 5).cast("string"),
+                     F.lit(".go.id")).alias("host"),
+        )
+    )
+    pages = seeds.join(
+        spark.range(1, 4).select(F.col("id").cast("int").alias("p")), how="cross"
+    ).withColumn(
+        "page_url",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/list/"),
+                 F.col("seed_id").cast("string"), F.lit("?page="),
+                 F.col("p").cast("string")),
+    ).withColumn(
+        "status",
+        F.when(F.conv(F.substring(F.sha2(F.col("page_url"), 256), 1, 2), 16, 10)
+               .cast("int") % 5 == 0, 404)
+        .when(F.conv(F.substring(F.sha2(F.col("page_url"), 256), 1, 2), 16, 10)
+              .cast("int") % 5 == 1, 500)
+        .otherwise(200).cast("int"),
+    )
+    ok = pages.filter(F.col("status") == 200).withColumn(
+        "html",
+        F.concat(
+            F.lit('<div><a class="item" href="/det/'), F.col("seed_id").cast("string"),
+            F.lit("/"), F.col("p").cast("string"), F.lit('/0">x</a>'),
+            F.lit('<a class="item" href="/det/'), F.col("seed_id").cast("string"),
+            F.lit("/"), F.col("p").cast("string"), F.lit('/1">y</a>'),
+            F.lit('<a class="item" href="/common/'), F.col("seed_id").cast("string"),
+            F.lit('">c</a></div>'),
+        ),
+    )
+    extracted = extract_with_selectors(
+        ok, "html", {"links": {"selector": "a.item", "attribute": "href", "type": "array"}}
+    ).select(
+        "seed_id", "p", "page_url", F.posexplode("extracted.links").alias("pos", "href")
+    ).withColumn("url", resolve_relative_udf(F.col("href"), F.col("page_url")))
+    # U7 order-preserving dedup across the seed's pages: first (p, pos) wins
+    w = Window.partitionBy("seed_id", "url").orderBy("p", "pos")
+    unique = (
+        extracted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("seed_id", "url", F.col("p").alias("src_page"),
+                F.col("pos").cast("int").alias("pos"))
+    )
+    meta = pages.groupBy("seed_id").agg(
+        F.sum((F.col("status") == 200).cast("int")).alias("pages_ok"),
+        (F.sum((F.col("status") == 200).cast("int")) == 0).alias("all_failed"),
+    )
+    # reference: error only if ALL pages fail -> those seeds emit one NULL-url
+    # row carrying the error outcome instead of extracted rows
+    failed_rows = meta.filter(F.col("all_failed")).select(
+        "seed_id", F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("int").alias("src_page"),
+        F.lit(None).cast("int").alias("pos"),
+    )
+    return (
+        unique.unionByName(failed_rows)
+        .join(meta, "seed_id")
+        .select("seed_id", "url", "src_page", "pos",
+                F.col("pages_ok").cast("int"), "all_failed")
+    )
+
+
+O_CRAWL_EXECUTOR = """
+WITH seeds AS (
+  SELECT event_id AS seed_id,
+         'portal' || (user_id % 5) || '.go.id' AS host
+  FROM events WHERE event_id < 50
+),
+pages AS (
+  SELECT seed_id, host, t.p,
+         'https://' || host || '/list/' || seed_id || '?page=' || t.p AS page_url
+  FROM seeds CROSS JOIN generate_series(1, 3) t(p)
+),
+st AS (
+  SELECT *, ('0x' || substr(sha256(page_url), 1, 2))::INT % 5 AS h FROM pages
+),
+fetched AS (
+  SELECT seed_id, host, p, page_url,
+         CASE WHEN h = 0 THEN 404 WHEN h = 1 THEN 500 ELSE 200 END AS status
+  FROM st
+),
+links AS (
+  SELECT seed_id, p, t.pos,
+         CASE t.pos
+           WHEN 0 THEN 'https://' || host || '/det/' || seed_id || '/' || p || '/0'
+           WHEN 1 THEN 'https://' || host || '/det/' || seed_id || '/' || p || '/1'
+           ELSE 'https://' || host || '/common/' || seed_id
+         END AS url
+  FROM fetched CROSS JOIN generate_series(0, 2) t(pos)
+  WHERE status = 200
+),
+uniq AS (
+  SELECT seed_id, url, p AS src_page, CAST(pos AS INT) AS pos
+  FROM (SELECT *, row_number() OVER (PARTITION BY seed_id, url ORDER BY p, pos)
+               AS rn
+        FROM links)
+  WHERE rn = 1
+),
+meta AS (
+  SELECT seed_id,
+         CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT) AS pages_ok,
+         sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) = 0 AS all_failed
+  FROM fetched GROUP BY seed_id
+),
+rows_ AS (
+  SELECT seed_id, url, CAST(src_page AS INT) AS src_page, pos FROM uniq
+  UNION ALL
+  SELECT seed_id, NULL, NULL, NULL FROM meta WHERE all_failed
+)
+SELECT r.seed_id, r.url, r.src_page, r.pos, m.pages_ok, m.all_failed
+FROM rows_ r JOIN meta m USING (seed_id)
+"""
+
+
 QUERIES = {
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -1039,6 +1326,10 @@ QUERIES = {
     "backoff_jitter": q_backoff_jitter,
     "scrape_batch": q_scrape_batch,
     "error_classify": q_error_classify,
+    "pagination_strategy": q_pagination_strategy,
+    "url_equivalence": q_url_equivalence,
+    "frontier_peek": q_frontier_peek,
+    "crawl_executor": q_crawl_executor,
 }
 
 ORACLES = {
@@ -1066,4 +1357,8 @@ ORACLES = {
     "backoff_jitter": O_BACKOFF_JITTER,
     "scrape_batch": O_SCRAPE_BATCH,
     "error_classify": O_ERROR_CLASSIFY,
+    "pagination_strategy": O_PAGINATION_STRATEGY,
+    "url_equivalence": O_URL_EQUIVALENCE,
+    "frontier_peek": O_FRONTIER_PEEK,
+    "crawl_executor": O_CRAWL_EXECUTOR,
 }
