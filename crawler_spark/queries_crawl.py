@@ -1191,8 +1191,8 @@ def q_crawl_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(".go.id")).alias("host"),
         )
     )
-    pages = seeds.join(
-        spark.range(1, 4).select(F.col("id").cast("int").alias("p")), how="cross"
+    pages = seeds.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("p")
     ).withColumn(
         "page_url",
         F.concat(F.lit("https://"), F.col("host"), F.lit("/list/"),

@@ -125,3 +125,45 @@ def test_seen_antijoin_no_extra_exchange_on_probe_side(spark, docs):
 
     assert count_occurrences(plan, "CartesianProduct") == 0
     assert count_shuffles(plan) <= 3
+
+
+def test_merge_latest_wins_single_shuffle(spark, docs):
+    from crawler_spark.operators.merge import merge_latest_wins
+
+    existing = docs.select("doc_id", F.lit("v1").alias("title"),
+                           F.lit(1).alias("rnd"))
+    incoming = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.lit("v2").alias("title"), F.lit(2).alias("rnd")
+    )
+    plan = merge_latest_wins(existing, incoming, keys=["doc_id"], order_col="rnd")
+    assert count_shuffles(plan) == 1, "MERGE must be one hash shuffle on the key"
+
+
+def test_probe_seen_files_single_shuffle_no_cartesian(spark, docs, tmp_path):
+    from crawler_spark.operators.seenset import probe_seen_files, update_seen_shards
+
+    seen = docs.select(F.lit("h.go.id").alias("host"),
+                       F.sha2(F.col("doc_id").cast("string"), 256).alias("url_hash"))
+    d = str(tmp_path / "blobs")
+    update_seen_shards(seen, blob_dir=None, n_shards=4, out_dir=d).collect()
+    plan = probe_seen_files(seen, d, n_shards=4)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) == 1, "probe = one repartition on shard"
+    assert "Cartesian" not in s
+
+
+def test_selector_udf_pipelines_with_scan(spark, docs):
+    from crawler_spark.functions.selector_udfs import extract_with_selectors
+
+    df = docs.select("doc_id", F.concat(F.lit("<h1>"), F.col("doc_id").cast("string"),
+                                        F.lit("</h1>")).alias("html"))
+    plan = extract_with_selectors(df, "html", {"t": "h1"})
+    assert count_shuffles(plan) == 0, "selector extraction is a pure map"
+
+
+def test_crawl_executor_no_cartesian_product(spark):
+    from crawler_spark.queries_crawl import q_crawl_executor
+
+    plan = q_crawl_executor(spark, SF)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s

@@ -161,3 +161,48 @@ class TestRobotsVsStdlib:
         rp.parse(txt.splitlines())
         theirs = rp.can_fetch("testbot", f"https://x.go.id{probe}")
         assert ours == theirs
+
+
+class TestSelectorEngineProperties:
+    """The selector engine must be total over arbitrary (malformed) HTML and
+    keep its structural invariants — a crash in the extract UDF would fail a
+    whole Spark task at 100 TB."""
+
+    HTML_CHARS = st.text(
+        alphabet=st.sampled_from(list("<>/ abc=\"'!-&;#.x1")), max_size=200
+    )
+
+    @given(HTML_CHARS)
+    @settings(max_examples=300, deadline=None)
+    def test_process_selectors_never_raises(self, html):
+        from crawler_spark.kernels.selectors import process_selectors
+
+        got = process_selectors(html, {
+            "t": "h1.x",
+            "links": {"selector": "a", "attribute": "href", "type": "array"},
+            "xp": "//a/@href",
+            "bad": {"nope": 1},
+        })
+        assert set(got) == {"t", "links", "xp", "bad"}
+        assert got["bad"] is None
+        assert got["links"] is None or isinstance(got["links"], list)
+
+    @given(HTML_CHARS)
+    @settings(max_examples=200, deadline=None)
+    def test_single_is_first_of_array(self, html):
+        from crawler_spark.kernels.selectors import build_tree, extract_data
+
+        tree = build_tree(html)
+        arr = extract_data(tree, "a", "href", result_type="array")
+        one = extract_data(tree, "a", "href", result_type="single")
+        assert one == (arr[0] if arr else None)
+
+    @given(st.integers(min_value=0, max_value=10), st.integers(min_value=0, max_value=10))
+    @settings(max_examples=50, deadline=None)
+    def test_css_document_order(self, n_b, n_i):
+        from crawler_spark.kernels.selectors import apply_css_selector, build_tree
+
+        parts = [f"<b>b{i}</b>" for i in range(n_b)] + [f"<i>i{i}</i>" for i in range(n_i)]
+        tree = build_tree("".join(parts))
+        got = apply_css_selector(tree, "i, b", select_all=True)
+        assert got == [f"b{i}" for i in range(n_b)] + [f"i{i}" for i in range(n_i)]
