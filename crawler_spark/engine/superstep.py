@@ -293,6 +293,7 @@ class CrawlEngine:
         fresh = seen_filter_pipeline_files(
             cands, seen_active, prev_blob_dir, n_shards=N_SHARDS,
             layer="cuckoo" if self.ttl_rounds is not None else "bloom",
+            seen_unique=True,  # one row per hash by construction
         ).cache()
 
         is_listing = F.col("url_norm").rlike(r"\?page=")
@@ -349,12 +350,20 @@ class CrawlEngine:
             )
         # Q1 latest-crawl-wins MERGE (crawled_page.sql:1-37): a TTL re-crawl
         # REPLACES the old page row instead of duplicating it; the append-only
-        # fetch_log below keeps every attempt for the order invariant
-        from crawler_spark.operators.merge import merge_latest_wins
+        # fetch_log below keeps every attempt for the order invariant.
+        # Without TTL a URL can never be re-fetched (permanent seen set), so
+        # new page keys are provably fresh and a plain append suffices — the
+        # MERGE's O(|pages|) shuffle is only paid when re-crawls exist (on
+        # Iceberg, MERGE INTO touches matched files only either way).
+        if self.ttl_rounds is not None:
+            from crawler_spark.operators.merge import merge_latest_wins
 
-        next_pages = merge_latest_wins(
-            pages, new_pages, keys=["host", "url_hash"], order_col="fetched_round"
-        )
+            next_pages = merge_latest_wins(
+                pages, new_pages, keys=["host", "url_hash"],
+                order_col="fetched_round",
+            )
+        else:
+            next_pages = pages.unionByName(new_pages)
         next_dlq = dlq.unionByName(to_dlq)
         next_fetch_log = fetch_log.unionByName(
             fetched.filter(F.col("status_code").isNotNull()).select(

@@ -332,20 +332,23 @@ def seen_filter_pipeline_files(
     hash_col: str = "url_hash",
     n_shards: int = 64,
     layer: str = "bloom",
+    seen_unique: bool = False,
 ) -> DataFrame:
     """Two-layer seen dedup with the file-backed shard probe: definitely-new
     rows skip the exact anti-join entirely; only maybe_seen survivors (true
-    dups + ~0.03% FPs) pay the join."""
+    dups + ~0.03% FPs) pay the join.
+
+    ``seen_unique=True`` skips the distinct() on the seen side — the engine's
+    seen table has one row per hash by construction (fresh keys are deduped
+    against seen before insert), and an anti-join is semantically dedup-free
+    anyway; the distinct was a full extra aggregation over |seen| per round."""
+    build = seen.select(hash_col) if seen_unique else seen.select(hash_col).distinct()
     if blob_dir is None:  # no filters built yet -> plain exact anti-join
-        return candidates.join(
-            seen.select(hash_col).distinct(), hash_col, "left_anti"
-        )
+        return candidates.join(build, hash_col, "left_anti")
     probed = probe_seen_files(candidates, blob_dir, host_col, hash_col, n_shards, layer)
     definitely_new = probed.filter(~F.col("maybe_seen"))
     survivors = probed.filter(F.col("maybe_seen"))
-    verified_new = survivors.join(
-        seen.select(hash_col).distinct(), hash_col, "left_anti"
-    )
+    verified_new = survivors.join(build, hash_col, "left_anti")
     return definitely_new.unionByName(verified_new).drop(
         "maybe_seen", "shard", "filter_key"
     )

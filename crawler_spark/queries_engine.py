@@ -111,15 +111,51 @@ def q_stream_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_host_budget(spark, sf_dir).orderBy("host")
 
 
+def q_stream_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parse-UDF path: documents arrive as a file stream, run the
+    batch parse UDF, spans aggregate per kind — the oracle replays the span
+    construction in SQL and aggregates identically."""
+    from crawler_spark.streaming.ingest import run_span_extract_counts
+
+    return run_span_extract_counts(spark, sf_dir)
+
+
+O_STREAM_SPAN_EXTRACT = r"""
+SELECT kind, count(*) AS n_spans, sum(span_offset) AS sum_offset,
+       max(span_offset) AS max_offset
+FROM (
+  WITH d AS (
+    SELECT doc_id,
+           trim(regexp_replace(substr(text, 1, 80), '\s+', ' ', 'g')) AS p1,
+           trim(regexp_replace(substr(text, 81, 80), '\s+', ' ', 'g')) AS p2
+    FROM documents
+  )
+  SELECT doc_id, 'text' AS kind, 0 AS span_offset FROM d
+  UNION ALL SELECT doc_id, 'text', 1 FROM d
+  UNION ALL SELECT doc_id, 'text', 2 FROM d WHERE p1 <> ''
+  UNION ALL SELECT doc_id, 'media',
+       CASE WHEN p1 <> '' THEN 3 ELSE 2 END FROM d
+  UNION ALL SELECT doc_id, 'text',
+       CASE WHEN p1 <> '' THEN 4 ELSE 3 END FROM d WHERE p2 <> ''
+  UNION ALL SELECT doc_id, 'media',
+       (CASE WHEN p1 <> '' THEN 4 ELSE 3 END)
+         + (CASE WHEN p2 <> '' THEN 1 ELSE 0 END) FROM d
+)
+GROUP BY kind
+"""
+
+
 QUERIES = {
     "frontier_crawl_pages": q_frontier_crawl_pages,
     "frontier_round_metrics": q_frontier_round_metrics,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_host_budget": q_stream_host_budget,
+    "stream_span_extract": q_stream_span_extract,
 }
 
 ORACLES = {
     "stream_window_counts": O_STREAM_WINDOW_COUNTS,
     "stream_dedup_counts": O_STREAM_DEDUP_COUNTS,
+    "stream_span_extract": O_STREAM_SPAN_EXTRACT,
 }

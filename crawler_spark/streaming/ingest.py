@@ -177,3 +177,57 @@ def run_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         stateful_host_budget(read_events_stream(spark, sf_dir)), "update"
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (same symlink-dir trick
+    as read_events_stream)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = f"_doc_stream_dir_{sf_dir.replace('/', '_')}"
+    d = getattr(read_documents_stream, key, None)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(src, os.path.join(d, "documents.parquet"))
+        setattr(read_documents_stream, key, d)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(d)
+    )
+
+
+def run_span_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parse: pages arriving as a stream run the SAME vectorized
+    parse UDF as the batch/engine path; spans aggregate per kind (complete
+    mode). Proves the parse surface is streaming-transparent — the crawl
+    pipeline could run as readStream -> parse -> writeStream unchanged."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.parse_udfs import parse_page_udf
+
+    docs = read_documents_stream(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ids, F.lit("</title></head><body><h1>Doc "),
+        ids, F.lit("</h1><p>"), F.substring("text", 1, 80),
+        F.lit('</p><a class="download-pdf" href="/files/'), ids,
+        F.lit('.pdf">Unduh</a><p>'), F.substring("text", 81, 80),
+        F.lit('</p><img src="/img/'), ids, F.lit('.png"></body></html>'),
+    )
+    spans = (
+        docs.select("doc_id", parse_page_udf(html).alias("p"))
+        .select("doc_id", F.explode("p.spans").alias("s"))
+        .select("doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("off"))
+    )
+    # distinct aggregates are unsupported on streams; count/sum/max are the
+    # streaming-safe commutative set
+    agg = spans.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("off").alias("sum_offset"),
+        F.max("off").alias("max_offset"),
+    )
+    return _run_to_memory(agg, "complete")
