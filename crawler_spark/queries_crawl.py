@@ -1301,6 +1301,154 @@ FROM rows_ r JOIN meta m USING (seed_id)
 """
 
 
+def q_idempotent_enqueue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ZADD-NX enqueue (priority_queue.py:157-234): colliding new rows are
+    dropped and existing scores never move; within-batch duplicates collapse
+    first-wins before the enqueue (U7 composition)."""
+    from crawler_spark.operators.dedup import first_by_order
+    from crawler_spark.operators.frontier import enqueue_idempotent
+
+    ev = _events(spark, sf_dir).select("event_id")
+    existing = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.col("event_id").alias("job_id"),
+        (F.col("event_id") + 1000).cast("long").alias("score"),
+        F.lit("existing").alias("src"),
+    )
+    incoming = ev.select(
+        ((F.col("event_id") / 2).cast("long") * 2).alias("job_id"),
+        (F.col("event_id") + 2000).cast("long").alias("score"),
+        F.lit("new").alias("src"),
+        F.col("event_id").alias("arrival"),
+    )
+    batch = first_by_order(incoming, "job_id", ["arrival"]).drop("arrival")
+    return enqueue_idempotent(existing, batch, key="job_id")
+
+
+O_IDEMPOTENT_ENQUEUE = """
+WITH existing AS (
+  SELECT event_id AS job_id, CAST(event_id + 1000 AS BIGINT) AS score,
+         'existing' AS src
+  FROM events WHERE event_id % 4 = 0
+),
+batch AS (
+  SELECT job_id, score, 'new' AS src FROM (
+    SELECT (event_id // 2) * 2 AS job_id,
+           CAST(event_id + 2000 AS BIGINT) AS score,
+           row_number() OVER (PARTITION BY (event_id // 2) * 2
+                              ORDER BY event_id) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT * FROM existing
+UNION ALL
+SELECT b.* FROM batch b ANTI JOIN existing e USING (job_id)
+"""
+
+
+def q_step_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 semantic step-input validation (step_validator.py:215-283) over
+    every input-shape branch, errors-as-data (non-strict mode)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.stepvalidate import validate_input
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 6).cast("int").alias("variant")
+    )
+
+    out_type = T.StructType([
+        T.StructField("step_type", T.StringType()),
+        T.StructField("n_errors", T.IntegerType()),
+        T.StructField("first_error", T.StringType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _validate(variant):
+        cases = [
+            ("crawl", {"url": "https://a.go.id"}),
+            ("crawl", {"url": "  "}),
+            ("crawl", {"url": []}),
+            ("scrape", {"urls": ["https://a", "https://b"]}),
+            ("scrape", {"urls": ["https://a", ""]}),
+            ("crawl", {}),
+        ]
+        rows = []
+        for v in variant:
+            step_type, data = cases[int(v)]
+            errors = validate_input("s", step_type, data, strict=False)
+            rows.append((step_type, len(errors), errors[0] if errors else None))
+        return pd.DataFrame(rows, columns=["step_type", "n_errors", "first_error"])
+
+    return ev.select(
+        "event_id", "variant", _validate("variant").alias("r")
+    ).select("event_id", "variant", "r.step_type", "r.n_errors", "r.first_error")
+
+
+O_STEP_VALIDATION = """
+SELECT event_id, CAST(event_id % 6 AS INT) AS variant,
+       CASE WHEN event_id % 6 IN (3, 4) THEN 'scrape' ELSE 'crawl' END AS step_type,
+       CAST(CASE WHEN event_id % 6 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS n_errors,
+       CASE event_id % 6
+         WHEN 1 THEN 'URL cannot be empty string'
+         WHEN 2 THEN 'URL list cannot be empty'
+         WHEN 4 THEN 'URL at index 1 cannot be empty string'
+         WHEN 5 THEN 'crawl step requires ''url'''
+       END AS first_error
+FROM events
+"""
+
+
+def q_varsub_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 ${namespace.path} substitution + X9 condition evaluation
+    (variable_substitution.py, condition_evaluator.py) through the kernels
+    in one vectorized pass, per-row contexts built from event columns."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.workflow import evaluate_condition, substitute_variables
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+
+    out_type = T.StructType([
+        T.StructField("resolved", T.StringType()),
+        T.StructField("run_step", T.BooleanType()),
+        T.StructField("missing_is_false", T.BooleanType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _wf(event_id, user_id):
+        rows = []
+        for e, u in zip(event_id, user_id):
+            ctx = {
+                "input": {"url": f"https://portal{int(u) % 5}.go.id/cases/{int(e) % 97}"},
+                "pagination": {"current_page": int(e) % 7 + 1},
+            }
+            resolved = substitute_variables(
+                "crawl ${input.url} page ${pagination.current_page}", ctx
+            )
+            steps = {"fetch": {"count": int(e) % 100}}
+            rows.append((
+                resolved,
+                evaluate_condition("{{fetch.count}} > 50", steps),
+                evaluate_condition("exists {{nope.field}}", steps),
+            ))
+        return pd.DataFrame(rows, columns=["resolved", "run_step", "missing_is_false"])
+
+    return ev.select("event_id", _wf("event_id", "user_id").alias("r")).select(
+        "event_id", "r.resolved", "r.run_step", "r.missing_is_false"
+    )
+
+
+O_VARSUB_CONDITIONS = """
+SELECT event_id,
+       'crawl https://portal' || (user_id % 5) || '.go.id/cases/' || (event_id % 97)
+         || ' page ' || (event_id % 7 + 1) AS resolved,
+       (event_id % 100) > 50 AS run_step,
+       FALSE AS missing_is_false
+FROM events
+"""
+
+
 QUERIES = {
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -1330,6 +1478,9 @@ QUERIES = {
     "url_equivalence": q_url_equivalence,
     "frontier_peek": q_frontier_peek,
     "crawl_executor": q_crawl_executor,
+    "idempotent_enqueue": q_idempotent_enqueue,
+    "step_validation": q_step_validation,
+    "varsub_conditions": q_varsub_conditions,
 }
 
 ORACLES = {
@@ -1361,4 +1512,7 @@ ORACLES = {
     "url_equivalence": O_URL_EQUIVALENCE,
     "frontier_peek": O_FRONTIER_PEEK,
     "crawl_executor": O_CRAWL_EXECUTOR,
+    "idempotent_enqueue": O_IDEMPOTENT_ENQUEUE,
+    "step_validation": O_STEP_VALIDATION,
+    "varsub_conditions": O_VARSUB_CONDITIONS,
 }
