@@ -119,6 +119,45 @@ def decode_media(
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    decoded: DataFrame, target: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image-resize plumbing over decoded rows: aspect-preserving fit into a
+    target x target box (longest edge -> target, floor, min 1). The pixel
+    resample itself is the stubbed codec step (PIL on a real cluster); the
+    dimension arithmetic, batch shape, and schema are real. mapInPandas,
+    shuffle-free."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resample needs PIL/cv2 (not in this container); "
+                    "run with fake=True for the arithmetic-only contract"
+                )
+            longest = pdf[["width", "height"]].max(axis=1)
+            out_w = (pdf["width"] * target // longest).clip(lower=1).astype("int32")
+            out_h = (pdf["height"] * target // longest).clip(lower=1).astype("int32")
+            out = pdf[["doc_id", "media_ref", "width", "height"]].copy()
+            out["out_width"] = out_w
+            out["out_height"] = out_h
+            yield out
+
+    return decoded.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:

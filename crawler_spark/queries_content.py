@@ -986,6 +986,70 @@ FROM d CROSS JOIN generate_series(0, 7) t(i)
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing composed onto the decode path: aspect-preserving fit
+    into a 64x64 box (floor, min 1) over the fake-decoded dimensions; the
+    oracle replays the decode digest arithmetic plus the fit math."""
+    from crawler_spark.operators.multimodal import decode_media, resize_media
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("/img/"), F.col("doc_id").cast("string"), F.lit(".png")).alias("media_ref"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
+    )
+    decoded = decode_media(docs, fake=True, n_features=8)
+    return resize_media(decoded, target=64, fake=True)
+
+
+O_MULTIMODAL_RESIZE = """
+WITH d AS (
+  SELECT doc_id,
+         '/img/' || doc_id || '.png' AS media_ref,
+         sha256(substr(text, 1, 64)) AS dig
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, media_ref,
+         CAST(64 + ('0x' || substr(dig, 1, 2))::INT % 192 AS INT) AS width,
+         CAST(64 + ('0x' || substr(dig, 3, 2))::INT % 192 AS INT) AS height
+  FROM d
+)
+SELECT doc_id, media_ref, width, height,
+       CAST(greatest(1, width * 64 // greatest(width, height)) AS INT) AS out_width,
+       CAST(greatest(1, height * 64 // greatest(width, height)) AS INT) AS out_height
+FROM dims
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: metadata-driven frame count, every-10th
+    index exploded to rows (the per-frame decode is the stubbed codec)."""
+    from crawler_spark.operators.multimodal import frame_sample_plan, with_media_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 96), "UTF-8").alias("payload"),
+    )
+    meta = with_media_metadata(docs)
+    frames = frame_sample_plan(meta, every_n=10)
+    return frames.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
+
+
+O_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(substr(text, 1, 96))) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, n_bytes, CAST(t.i AS INT) AS frame_idx
+FROM m, LATERAL unnest(range(0, CAST(n_bytes % 300 + 30 AS INT), 10)) AS t(i)
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -1007,6 +1071,8 @@ QUERIES = {
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
     "content_normalize": q_content_normalize,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
@@ -1030,4 +1096,6 @@ ORACLES = {
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
     "content_normalize": O_CONTENT_NORMALIZE,
+    "multimodal_resize": O_MULTIMODAL_RESIZE,
+    "multimodal_frames": O_MULTIMODAL_FRAMES,
 }
