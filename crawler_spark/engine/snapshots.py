@@ -120,6 +120,59 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path)  # the atomic commit point
         return entry
 
+    def expire_snapshots(self, keep_last: int = 3) -> dict[str, Any]:
+        """Iceberg `expire_snapshots` / the reference's partition-maintenance
+        script (scripts/maintain_partitions.py, Q7): physically delete
+        snapshot dirs and blob dirs no longer reachable from the most recent
+        ``keep_last`` rounds. Time travel to expired rounds is lost; the
+        CURRENT state of every table is preserved — a table last written in
+        an expired round is folded into the oldest kept manifest entry so
+        reads and resume behave identically."""
+        import shutil
+
+        man = self.manifest()
+        rounds = man["rounds"]
+        if len(rounds) <= keep_last:
+            return {"removed_dirs": 0, "kept_rounds": len(rounds)}
+        dropped, kept = rounds[:-keep_last], rounds[-keep_last:]
+
+        # fold each table's newest dropped path into the oldest kept entry
+        # when no kept round rewrote it (it is still the live snapshot)
+        kept_tables = {t for r in kept for t in r["tables"]}
+        fold: dict[str, dict[str, Any]] = {}
+        for r in dropped:  # oldest -> newest; later wins
+            for name, info in r["tables"].items():
+                if name not in kept_tables:
+                    fold[name] = info
+        kept[0]["tables"] = {**fold, **kept[0]["tables"]}
+
+        live_paths = {t["path"] for r in kept for t in r["tables"].values()}
+        live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}
+        # keep the newest blob dir even if it predates the kept window (the
+        # probe path reads latest_blob_dir)
+        for r in reversed(rounds):
+            if r.get("blob_dir"):
+                live_blob_dirs.add(r["blob_dir"])
+                break
+
+        removed = 0
+        for r in dropped:
+            for info in r["tables"].values():
+                if info["path"] not in live_paths and os.path.isdir(info["path"]):
+                    shutil.rmtree(info["path"])
+                    removed += 1
+            bd = r.get("blob_dir")
+            if bd and bd not in live_blob_dirs and os.path.isdir(bd):
+                shutil.rmtree(bd)
+                removed += 1
+
+        man["rounds"] = kept
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path)
+        return {"removed_dirs": removed, "kept_rounds": len(kept)}
+
     def round_metrics(self) -> list[dict[str, Any]]:
         return [
             {"round": r["round"], **r["metrics"]} for r in self.manifest()["rounds"]

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.engine.snapshots import SnapshotStore
@@ -83,6 +83,8 @@ class CrawlEngine:
         user_agent: str = "lexi-spark",
         ttl_rounds: int | None = None,
         selector_configs: dict[str, dict] | None = None,
+        hot_host_threshold: int | None = None,
+        n_salts: int = 4,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -94,7 +96,16 @@ class CrawlEngine:
         reference's website.config JSONB, its core user-facing surface) —
         executed per fetched page (X1/X2/X3/X5 engine) into the pages
         table's extracted_json column, the crawled_page.extracted_content
-        analogue."""
+        analogue.
+
+        hot_host_threshold: when set, hosts with more than this many due
+        URLs select through the SALTED rank (north-rule skew handling): the
+        per-host sort spreads over n_salts sub-groups with the politeness
+        budget split across salts, trading exact within-host priority order
+        for stragglerless stages. The set of fetched URLs over a drained
+        crawl is unchanged (gated by tests/test_salted_engine.py); None (the
+        default) keeps the exact-order plan the simulator equivalence gate
+        pins."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -103,6 +114,8 @@ class CrawlEngine:
         self.user_agent = user_agent
         self.ttl_rounds = ttl_rounds
         self.selector_configs = selector_configs or {}
+        self.hot_host_threshold = hot_host_threshold
+        self.n_salts = n_salts
 
     # ------------------------------------------------------------- bootstrap
 
@@ -212,9 +225,29 @@ class CrawlEngine:
             )
             .select("host", "budget")
         )
-        selected = per_host_budget_selection(
-            scored, budgets, tiebreak="url_hash"
-        ).cache()
+        if self.hot_host_threshold is not None:
+            from crawler_spark.operators.frontier import salted_budget_selection
+
+            # fetch pacing needs a per-host 1-based fetch_order; after the
+            # salted selection the surviving set is <= budget rows per host,
+            # so this rank window is tiny (post-selection, not over the
+            # frontier)
+            w_sel = Window.partitionBy("host").orderBy(
+                F.col("priority_score").asc(), F.col("url_hash").asc()
+            )
+            selected = (
+                salted_budget_selection(
+                    scored, budgets, tiebreak="url_hash",
+                    hot_threshold=self.hot_host_threshold, n_salts=self.n_salts,
+                )
+                .drop("host_salt")
+                .withColumn("fetch_order", F.row_number().over(w_sel))
+                .cache()
+            )
+        else:
+            selected = per_host_budget_selection(
+                scored, budgets, tiebreak="url_hash"
+            ).cache()
         not_selected = scored.join(
             selected.select("url_hash"), "url_hash", "left_anti"
         ).select(*[f.name for f in frontier.schema.fields])
