@@ -45,6 +45,7 @@ HEADLINE = [
     "scrape_batch",
     "error_classify",
     "backoff_jitter",
+    "crawl_executor",
 ]
 
 
