@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any
 
 from crawler_spark.kernels.dom import (
@@ -133,9 +134,13 @@ def _parse_compound(sel: str, i: int) -> tuple[_Compound, int]:
     return comp, i
 
 
+@lru_cache(maxsize=512)
 def parse_css(selector: str) -> list[list[tuple[str | None, _Compound]]]:
     """-> groups; each group is [(combinator-to-left, compound), ...] where
-    combinator is None (first), ' ' (descendant) or '>' (child)."""
+    combinator is None (first), ' ' (descendant) or '>' (child).
+
+    lru_cached: a config of K selectors over N pages compiles each selector
+    once per executor, not N times (matching never mutates the parse)."""
     if not isinstance(selector, str) or not selector.strip():
         raise SelectorError("empty CSS selector")
     groups = []
@@ -234,8 +239,10 @@ _XP_PRED = re.compile(
 )
 
 
+@lru_cache(maxsize=512)
 def _parse_xpath(expr: str) -> list[tuple[str, str, list[tuple[str, str | None]]]]:
-    """-> [(axis, test, predicates)]; axis '/' child or '//' descendant."""
+    """-> [(axis, test, predicates)]; axis '/' child or '//' descendant.
+    lru_cached like parse_css."""
     s = expr.strip()
     if not s:
         raise SelectorError("empty XPath")
