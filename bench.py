@@ -110,9 +110,12 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
     This is the stage that dominates a real crawl round and the cleanest
     core-scaling signal.
 
-    mode="round": the full frontier round — normalize+hash, within-batch
-    window dedup, seen anti-join, per-host priority rank + budget (three
-    shuffles + two sorts on top of the parse stage).
+    mode="round": the full frontier round — normalize+hash, then within-batch
+    first-wins dedup + seen exclusion folded into ONE map-side-combinable
+    aggregation (the r02 production plan: the UDF evaluates once and the
+    anti-join shuffle disappears), then per-host priority rank + budget
+    (two shuffles + one sort on top of the parse stage; r01 ran three
+    shuffles + two sorts and re-ran the UDF for the seen side).
 
     Both parallelism levels run the IDENTICAL plan: fixed 128 partitions
     (generated directly by range(numPartitions) — no repartition shuffle),
@@ -124,7 +127,6 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
     from pyspark.sql import functions as F
 
     from crawler_spark.functions.url_udfs import normalize_url_udf, url_hash
-    from crawler_spark.operators.dedup import first_by_order
     from crawler_spark.session import get_spark
 
     n_parts = 128
@@ -153,11 +155,18 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
     if mode == "parse":
         out = normed.select("url_hash")
     else:
-        batch = first_by_order(normed, "url_hash", ["id"])
-        seen = base.filter(F.col("id") % 5 == 0).select(
-            url_hash(normalize_url_udf(F.col("url"))).alias("url_hash")
+        # first-wins dedup + seen exclusion in one aggregation (id % 5 == 0
+        # rows simulate previously-crawled URLs, as in the engine's query)
+        fresh = (
+            normed.groupBy("url_hash")
+            .agg(
+                F.min("id").alias("id"),
+                F.max((F.col("id") % 5 == 0).cast("int")).alias("seen_flag"),
+                F.first("host").alias("host"),
+                F.first("priority").alias("priority"),
+            )
+            .filter(F.col("seen_flag") == 0)
         )
-        fresh = batch.join(seen, "url_hash", "left_anti")
         w = Window.partitionBy("host").orderBy(
             F.col("priority").desc(), F.col("url_hash").asc()
         )
