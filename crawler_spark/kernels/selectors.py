@@ -150,15 +150,18 @@ def parse_css(selector: str) -> list[list[tuple[str | None, _Compound]]]:
         i, n = 0, len(g)
         while i < n:
             ch = g[i]
-            if ch.isspace() or ch == ">":
-                child = False
-                while i < n and (g[i].isspace() or g[i] == ">"):
-                    child = child or g[i] == ">"
+            if ch.isspace() or ch in "><+~":
+                comb = None
+                while i < n and (g[i].isspace() or g[i] in "><+~"):
+                    if g[i] in ">+~":
+                        if comb is not None:
+                            raise SelectorError(f"double combinator in {g!r}")
+                        comb = g[i]
                     i += 1
-                if not parts and child:
+                if not parts and comb is not None:
                     raise SelectorError(f"leading combinator in {g!r}")
                 if parts:
-                    pending = ">" if child else " "
+                    pending = comb or " "
                 continue
             comp, i = _parse_compound(g, i)
             parts.append((pending, comp))
@@ -201,6 +204,19 @@ def _match_compound(node: Node, c: _Compound) -> bool:
     return True
 
 
+def _elder_siblings(node: Node):
+    """Element siblings strictly before `node`, nearest first."""
+    if node.parent is None:
+        return
+    sibs = [c for c in node.parent.children if isinstance(c, Node)]
+    try:
+        idx = next(i for i, c in enumerate(sibs) if c is node)
+    except StopIteration:
+        return
+    for c in reversed(sibs[:idx]):
+        yield c
+
+
 def _match_selector(node: Node, parts: list[tuple[str | None, _Compound]]) -> bool:
     comb, comp = parts[-1]
     if not _match_compound(node, comp):
@@ -211,6 +227,12 @@ def _match_selector(node: Node, parts: list[tuple[str | None, _Compound]]) -> bo
     if comb == ">":
         p = node.parent
         return p is not None and p.tag != "__root__" and _match_selector(p, prefix)
+    if comb == "+":  # adjacent sibling
+        for sib in _elder_siblings(node):
+            return _match_selector(sib, prefix)
+        return False
+    if comb == "~":  # general preceding sibling
+        return any(_match_selector(sib, prefix) for sib in _elder_siblings(node))
     anc = node.parent
     while anc is not None and anc.tag != "__root__":
         if _match_selector(anc, prefix):
@@ -235,7 +257,7 @@ def css_select(root: Node, selector: str, select_all: bool = True) -> list[Node]
 
 _XP_TEST = re.compile(r"(@[\w:-]+|text\(\)|\*|[\w:-]+)")
 _XP_PRED = re.compile(
-    r"^@(?P<attr>[\w:-]+)\s*(?:=\s*(?P<val>\"[^\"]*\"|'[^']*'))?$"
+    r"^@(?P<attr>[\w:-]+)\s*(?:=\s*(?P<val>\"[^\"]*\"|'[^']*'))?$|^(?P<pos>[1-9]\d*)$"
 )
 
 
@@ -262,7 +284,7 @@ def _parse_xpath(expr: str) -> list[tuple[str, str, list[tuple[str, str | None]]
             raise SelectorError(f"bad XPath step at {s[i:]!r}")
         test = m.group(1)
         i = m.end()
-        preds: list[tuple[str, str | None]] = []
+        preds: list[tuple[str, Any, Any]] = []
         while i < n and s[i] == "[":
             j = s.find("]", i)
             if j < 0:
@@ -270,19 +292,41 @@ def _parse_xpath(expr: str) -> list[tuple[str, str, list[tuple[str, str | None]]
             pm = _XP_PRED.match(s[i + 1:j].strip())
             if not pm:
                 raise SelectorError(f"unsupported predicate {s[i:j+1]!r}")
-            val = pm.group("val")
-            preds.append((pm.group("attr").lower(), val[1:-1] if val else None))
+            if pm.group("pos"):
+                preds.append(("pos", int(pm.group("pos")), None))
+            else:
+                val = pm.group("val")
+                preds.append(
+                    ("attr", pm.group("attr").lower(), val[1:-1] if val else None)
+                )
             i = j + 1
         steps.append((axis, test.lower() if test not in ("text()",) else test, preds))
     return steps
 
 
-def _pred_ok(node: Node, preds: list[tuple[str, str | None]]) -> bool:
-    for attr, val in preds:
-        have = node.attrs.get(attr)
-        if have is None or (val is not None and have != val):
-            return False
-    return True
+def _attr_pred_ok(node: Node, attr: str, val: str | None) -> bool:
+    have = node.attrs.get(attr)
+    return have is not None and (val is None or have == val)
+
+
+def _apply_preds(
+    matches: list[Node], preds: list[tuple[str, Any, Any]]
+) -> list[Node]:
+    """Predicates apply left-to-right over the per-parent candidate list —
+    `[@x][1]` = first among @x matches, `[1][@x]` = first match if it has @x
+    (lxml/XPath 1.0 semantics)."""
+    for kind, a, b in preds:
+        if kind == "attr":
+            matches = [el for el in matches if _attr_pred_ok(el, a, b)]
+        else:  # positional, 1-based within the current candidate list
+            matches = [matches[a - 1]] if 0 < a <= len(matches) else []
+    return matches
+
+
+def _tree_root(node: Node) -> Node:
+    while node.parent is not None:
+        node = node.parent
+    return node
 
 
 def xpath_select(root: Node, expr: str) -> list[Node | str]:
@@ -309,22 +353,56 @@ def xpath_select(root: Node, expr: str) -> list[Node | str]:
                         if attr in el.attrs:
                             strings.append(el.attrs[attr])
             return strings
+        has_pos = any(k == "pos" for k, _, _ in preds)
         nxt: list[Node] = []
         seen: set[int] = set()
-        for node in ctx:
-            cands = (
-                iter_elements(node)
-                if axis == "//"
-                else (c for c in node.children if isinstance(c, Node))
-            )
-            for el in cands:
-                if test != "*" and el.tag != test:
-                    continue
-                if not _pred_ok(el, preds):
-                    continue
-                if id(el) not in seen:
-                    seen.add(id(el))
-                    nxt.append(el)
+        if not has_pos:
+            # fast path: flat filter, document order preserved by traversal
+            attr_preds = [(a, b) for k, a, b in preds if k == "attr"]
+            for node in ctx:
+                cands = (
+                    iter_elements(node)
+                    if axis == "//"
+                    else (c for c in node.children if isinstance(c, Node))
+                )
+                for el in cands:
+                    if test != "*" and el.tag != test:
+                        continue
+                    if any(not _attr_pred_ok(el, a, b) for a, b in attr_preds):
+                        continue
+                    if id(el) not in seen:
+                        seen.add(id(el))
+                        nxt.append(el)
+        else:
+            # positional predicates are evaluated per PARENT group (XPath
+            # [n] = n-th matching child of its parent, not n-th overall)
+            for node in ctx:
+                if axis == "/":
+                    groups = [[c for c in node.children if isinstance(c, Node)]]
+                else:
+                    by_parent: dict[int, list[Node]] = {}
+                    order: list[int] = []
+                    for el in iter_elements(node):
+                        key = id(el.parent)
+                        if key not in by_parent:
+                            by_parent[key] = []
+                            order.append(key)
+                        by_parent[key].append(el)
+                    groups = [by_parent[k] for k in order]
+                for grp in groups:
+                    matches = [el for el in grp if test == "*" or el.tag == test]
+                    for el in _apply_preds(matches, preds):
+                        if id(el) not in seen:
+                            seen.add(id(el))
+                            nxt.append(el)
+            # per-parent grouping can interleave out of document order;
+            # restore it with one pass over the tree
+            if len(nxt) > 1:
+                pos = {
+                    id(el): i
+                    for i, el in enumerate(iter_elements(_tree_root(nxt[0])))
+                }
+                nxt.sort(key=lambda el: pos.get(id(el), 0))
         ctx = nxt
     return list(ctx)
 

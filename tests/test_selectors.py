@@ -320,3 +320,47 @@ class TestSparkSurface:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, "selector extraction must be a pure map"
+
+
+class TestExtendedSyntax:
+    """r02 additions beyond the reference's own usage: sibling combinators
+    and positional XPath predicates (common in real-world website configs)."""
+
+    def test_adjacent_sibling(self):
+        tree = build_tree("<h2>A</h2><p>first</p><p>second</p><h2>B</h2><p>third</p>")
+        assert apply_css_selector(tree, "h2 + p", select_all=True) == ["first", "third"]
+
+    def test_general_sibling(self):
+        tree = build_tree("<p>before</p><h2>A</h2><p>x</p><span></span><p>y</p>")
+        assert apply_css_selector(tree, "h2 ~ p", select_all=True) == ["x", "y"]
+
+    def test_sibling_with_classes(self):
+        tree = build_tree(
+            '<div><span class="label">L</span><span class="value">V</span></div>'
+        )
+        assert apply_css_selector(tree, ".label + .value") == ["V"]
+
+    def test_xpath_positional_per_parent(self):
+        tree = build_tree(
+            "<ul><li>a1</li><li>a2</li></ul><ul><li>b1</li><li>b2</li></ul>"
+        )
+        # [n] is per-parent (lxml semantics), not global
+        assert apply_xpath(tree, "//ul/li[2]") == ["a2", "b2"]
+        assert apply_xpath(tree, "//li[1]") == ["a1", "b1"]
+
+    def test_xpath_positional_after_attr(self):
+        tree = build_tree(
+            '<div><a href="/1" class="d">one</a><a href="/2">two</a>'
+            '<a href="/3" class="d">three</a></div>'
+        )
+        # [@class='d'][2] = second among the class-matching anchors
+        assert apply_xpath(tree, "//a[@class='d'][2]/@href") == ["/3"]
+        # [2][@class='d'] = second anchor, kept only if it has the class
+        assert apply_xpath(tree, "//a[2][@class='d']/@href") == []
+
+    def test_xpath_positional_document_order(self):
+        tree = build_tree(
+            "<div><p>a</p><section><p>b1</p><p>b2</p></section><p>c</p></div>"
+        )
+        # first p of div = 'a'; first p of section = 'b1' -> document order
+        assert apply_xpath(tree, "//p[1]") == ["a", "b1"]
