@@ -106,9 +106,23 @@ FROM events GROUP BY 1
 
 
 def q_stream_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (update-mode emissions depend on micro-batch boundaries in
-    general; availableNow gives one batch, but the contract stays rows-only)."""
+    """applyInPandasWithState token-bucket ledger. Update-mode emissions
+    depend on micro-batch boundaries in general, but the driver's table is
+    ONE parquet file, so availableNow yields exactly one batch and the final
+    ledger is a closed form: refill = min(burst + rps*60, burst + rps*60) =
+    130 tokens, grant = min(n, 130) per host — which the oracle replays
+    (multi-batch deployments would keep this rows-only)."""
     return run_host_budget(spark, sf_dir).orderBy("host")
+
+
+O_STREAM_HOST_BUDGET = """
+SELECT 'portal' || (user_id % 50) || '.go.id' AS host,
+       count(*) AS n_requests,
+       CAST(130 - least(count(*), 130) AS DOUBLE) AS tokens_left,
+       count(*) - least(count(*), 130) AS n_throttled
+FROM events
+GROUP BY 1
+"""
 
 
 def q_stream_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,4 +172,5 @@ ORACLES = {
     "stream_window_counts": O_STREAM_WINDOW_COUNTS,
     "stream_dedup_counts": O_STREAM_DEDUP_COUNTS,
     "stream_span_extract": O_STREAM_SPAN_EXTRACT,
+    "stream_host_budget": O_STREAM_HOST_BUDGET,
 }
