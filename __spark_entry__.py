@@ -28,6 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_politeness_pacing(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness run walks queries() in dict-insertion order and may
+# stop after a fixed budget (r02 covered exactly the first 50 of 59 entries).
+# Register the least-proven queries FIRST so the budget always lands on them;
+# long-green stalwarts go last. Names absent from the current registry are
+# skipped, so this list may lead the code by a round.
+_CHECK_FIRST = [
+    # red in r02 (oracle typing, fixed) — must re-prove
+    "scrape_batch",
+    # r02 driver budget never reached these (new oracles with no hard signal)
+    "content_normalize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "stream_window_counts",
+    "stream_dedup_counts",
+    "stream_host_budget",
+    "stream_span_extract",
+    "frontier_crawl_pages",
+    "frontier_round_metrics",
+    # round-3 additions
+    "retry_history",
+    "seed_outcomes",
+    "duplicate_groups_provenance",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+]
+
+
+def _ordered(full: dict) -> dict:
+    out = {k: full[k] for k in _CHECK_FIRST if k in full}
+    out.update((k, v) for k, v in full.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from crawler_spark import queries_content, queries_crawl
 
@@ -40,7 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(queries_engine.QUERIES)
     except ImportError:
         pass
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -55,4 +88,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(queries_engine.ORACLES)
     except ImportError:
         pass
-    return out
+    return _ordered(out)

@@ -1004,7 +1004,8 @@ rows_ AS (
   FROM r
 ),
 o AS (
-  SELECT batch_id, sum(CASE WHEN success THEN 1 ELSE 0 END) AS n_success,
+  SELECT batch_id,
+         CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
          sum(CASE WHEN success THEN 1 ELSE 0 END) = 0 AS batch_error
   FROM rows_ GROUP BY batch_id
 )

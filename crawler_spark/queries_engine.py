@@ -135,7 +135,8 @@ def q_stream_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_STREAM_SPAN_EXTRACT = r"""
-SELECT kind, count(*) AS n_spans, sum(span_offset) AS sum_offset,
+SELECT kind, count(*) AS n_spans,
+       CAST(sum(span_offset) AS BIGINT) AS sum_offset,
        max(span_offset) AS max_offset
 FROM (
   WITH d AS (
