@@ -162,8 +162,10 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
             .agg(
                 F.min("id").alias("id"),
                 F.max((F.col("id") % 5 == 0).cast("int")).alias("seen_flag"),
-                F.first("host").alias("host"),
-                F.first("priority").alias("priority"),
+                # attributes must come from the min-id winner row (F.first is
+                # an arbitrary row per group -> nondeterministic rank input)
+                F.min_by("host", "id").alias("host"),
+                F.min_by("priority", "id").alias("priority"),
             )
             .filter(F.col("seen_flag") == 0)
         )

@@ -148,12 +148,18 @@ class SnapshotStore:
 
         live_paths = {t["path"] for r in kept for t in r["tables"].values()}
         live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}
-        # keep the newest blob dir even if it predates the kept window (the
-        # probe path reads latest_blob_dir)
-        for r in reversed(rounds):
-            if r.get("blob_dir"):
-                live_blob_dirs.add(r["blob_dir"])
-                break
+        # keep the newest blob dir even if it predates the kept window, AND
+        # fold its manifest reference into the oldest kept entry (mirror of
+        # the table fold above) — keeping only the files while dropping the
+        # reference would make latest_blob_dir() return None, and the next
+        # round's incremental shard update would then commit filters built
+        # from that round's fresh keys alone (seen-set invariant broken)
+        if not live_blob_dirs:
+            for r in reversed(rounds):
+                if r.get("blob_dir"):
+                    live_blob_dirs.add(r["blob_dir"])
+                    kept[0]["blob_dir"] = r["blob_dir"]
+                    break
 
         removed = 0
         for r in dropped:

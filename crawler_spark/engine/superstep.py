@@ -450,7 +450,15 @@ class CrawlEngine:
         # full rebuild from the exact table re-sizes and compacts the
         # insert-only bloom layer (Iceberg-compaction analogue).
         out_dir = self.store.blob_dir_for(round_no)
-        full_rebuild = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+        # prev_blob_dir None with a non-empty seen table (e.g. an external
+        # actor expired every blob dir) must NOT take the incremental branch:
+        # it would build shards from this round's fresh keys only and commit
+        # them as authoritative. Fall back to a full rebuild — correct for
+        # empty seen too (round 0 writes its own base via start()).
+        full_rebuild = (
+            prev_blob_dir is None
+            or round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+        )
         if full_rebuild:
             base = (
                 next_seen.filter(

@@ -68,7 +68,6 @@ def classify_error_col(
         )
         .when(name.isin(*_VALIDATION_NAMES), "validation_error")
         .when(name.isin(*_RESOURCE_NAMES), "resource_error")
-        .when(F.lower(F.coalesce(message, F.lit(""))).contains("timeout"), "timeout")
         .otherwise("unknown")
     )
 

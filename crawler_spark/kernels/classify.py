@@ -62,7 +62,11 @@ _BROWSER_CRASH_NAMES = (
     "BrowserContextClosedError", "PageClosedError",
 )
 _VALIDATION_NAMES = ("StepValidationError", "ValidationError", "ValueError")
-_RESOURCE_NAMES = ("MemoryError", "ResourceWarning", "OSError")
+# The reference guards the resource branch with isinstance(exc, OSError)
+# (retry_policy.py:296): a bare ResourceWarning is NOT an OSError, so only
+# the literal name "OSError" ever reaches resource_unavailable there — the
+# name-tuple here reproduces the observable behavior, not the source text.
+_RESOURCE_NAMES = ("MemoryError", "OSError")
 
 
 def classify_error_name(
@@ -87,8 +91,9 @@ def classify_error_name(
         # errno in (24, 28) == fd/disk exhaustion (reference logs the errno;
         # classification is resource_error either way)
         return "resource_error"
-    if "timeout" in (message or "").lower():
-        return "timeout"
+    # no message-substring fallback: the reference returns UNKNOWN
+    # (non-retryable) for anything the name ladder misses
+    # (retry_policy.py:328-345)
     return "unknown"
 
 

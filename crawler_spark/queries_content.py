@@ -701,7 +701,7 @@ _NB_CTE = """
 nb AS (
   SELECT CAST(least(greatest(8, CASE WHEN {n_expr} > 64
                                  THEN ceil(log2(({n_expr}) / 64.0)) ELSE 8 END),
-              24, 64) AS INT) AS n_bits
+              24, (SELECT min(len(embedding)) FROM embeddings)) AS INT) AS n_bits
   FROM embeddings
 )
 """

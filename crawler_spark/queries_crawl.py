@@ -863,9 +863,10 @@ def q_error_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2: exception-name classification ladder (retry_policy.py:143-345) as
     a pure CASE column over synthesized (name, message, module, errno)
     tuples covering every branch: explicit timeout/network names, httpx
-    module-qualified names, browser-crash names, the timeout substring
-    heuristic, validation, MemoryError, OSError errno 24/28, message
-    fallback, unknown."""
+    module-qualified names, browser-crash names, the type-NAME timeout
+    substring heuristic, validation, MemoryError, OSError errno 24/28,
+    unknown (k=14's timeout MESSAGE on an unknown name stays unknown —
+    the reference has no message fallback, retry_policy.py:328-345)."""
     from crawler_spark.functions.frontier_exprs import (
         classify_error_col,
         is_retryable_col,
@@ -936,9 +937,8 @@ c AS (
              THEN 'timeout'
            WHEN error_name IN ('StepValidationError','ValidationError','ValueError')
              THEN 'validation_error'
-           WHEN error_name IN ('MemoryError','ResourceWarning','OSError')
+           WHEN error_name IN ('MemoryError','OSError')
              THEN 'resource_error'
-           WHEN lower(coalesce(message, '')) LIKE '%timeout%' THEN 'timeout'
            ELSE 'unknown'
          END AS category
   FROM d

@@ -71,7 +71,12 @@ def test_exception_classification():
     assert classify_error_name("TimeoutError") == "timeout"
     assert classify_error_name("ConnectionResetError") == "network_error"
     assert classify_error_name("ValueError") == "validation_error"
-    assert classify_error_name("SomeWeirdError", "read timeout on socket") == "timeout"
+    # no message fallback: the reference ladder returns UNKNOWN for names it
+    # doesn't recognize regardless of the message (retry_policy.py:328-345)
+    assert classify_error_name("SomeWeirdError", "read timeout on socket") == "unknown"
+    # ResourceWarning-by-name is NOT resource_error: the reference requires
+    # isinstance(exc, OSError), which a ResourceWarning never satisfies
+    assert classify_error_name("ResourceWarning") == "unknown"
     assert classify_error_name("SomeWeirdError", "boom") == "unknown"
 
 

@@ -40,3 +40,39 @@ def test_expire_keeps_live_state_and_resume(spark, tmp_path):
     # the engine resumes and completes on the expired store
     out = eng.run(max_rounds=6)
     assert out, "resume after expiry must run"
+
+
+def test_expire_to_drain_only_window_keeps_blob_dir_reference(spark, tmp_path):
+    """Drain-only rounds commit no blob_dir. Expiring so the kept window is
+    all drain rounds must fold the newest blob_dir into the kept manifest —
+    otherwise latest_blob_dir() returns None and the next active round's
+    incremental shard update would commit filters built from its fresh keys
+    alone (previously-seen URLs would probe maybe_seen=false and re-enqueue)."""
+    corpus, robots, seeds = build_corpus(SPEC), robots_map(SPEC), seed_urls(SPEC)
+    eng = CrawlEngine(spark, str(tmp_path / "y"), corpus, robots, per_host_budget=3)
+    # run to full drain: trailing rounds are drain-only (no blob_dir entry)
+    eng.run(seeds=seeds, max_rounds=12)
+    rounds = eng.store.manifest()["rounds"]
+    n_drain = sum(1 for r in reversed(rounds) if "blob_dir" not in r)
+    assert n_drain >= 1, "fixture must end with at least one drain-only round"
+
+    blob_before = eng.store.latest_blob_dir()
+    assert blob_before is not None
+    eng.store.expire_snapshots(keep_last=max(1, n_drain))
+    # the reference survives the expiry, pointing at the same still-on-disk dir
+    assert eng.store.latest_blob_dir() == blob_before
+    assert os.path.isdir(blob_before)
+
+    # and the seen invariant holds end-to-end: every URL in the seen table
+    # still probes maybe_seen=true through the surviving shard filters (a
+    # lost blob_dir reference is exactly what would break this)
+    from crawler_spark.engine.superstep import N_SHARDS
+    from crawler_spark.operators.seenset import probe_seen_files
+
+    seen = eng.store.read(spark, "seen")
+    probed = probe_seen_files(
+        seen, eng.store.latest_blob_dir(), n_shards=N_SHARDS, layer="bloom"
+    )
+    n_seen = seen.count()
+    assert n_seen > 0
+    assert probed.filter("maybe_seen").count() == n_seen
