@@ -41,6 +41,13 @@ class SimResult:
     dlq: list[tuple[str, int]] = field(default_factory=list)
     robots_excluded: list[str] = field(default_factory=list)
     rounds: int = 0
+    # every fetch ATTEMPT in execution order: (round, host, url_norm, status)
+    # — the fetch_log analogue (failures included; stop-consumed rows are not
+    # fetched and do not appear)
+    fetch_attempts: list[tuple[int, str, str, int]] = field(default_factory=list)
+    # every retry recirculation decision: (url_norm, attempt_number) — the
+    # retry_history(action='retry') analogue
+    retries: list[tuple[str, int]] = field(default_factory=list)
 
 
 def _mk_row(norm: str, priority: int, scheduled_ms: int, not_before: int) -> dict:
@@ -130,6 +137,7 @@ def simulate(
                 if r["seed_id"] in stopped_chains:
                     continue  # consumed, never fetched (chain ended this round)
                 status, content, ra = corpus.get(r["url_norm"], (404, "", None))
+                res.fetch_attempts.append((rnd, host, r["url_norm"], status))
                 det = detectors.setdefault(r["seed_id"], StopDetector())
                 stop, _reason = det.check(status, content or "", r["url_norm"])
                 if stop:
@@ -160,6 +168,7 @@ def simulate(
                         new_rows.append(row)
                 elif _retryable(status):
                     if r["attempt"] + 1 < MAX_ATTEMPTS:
+                        res.retries.append((r["url_norm"], r["attempt"] + 1))
                         r2 = dict(r)
                         try:  # Retry-After (rounds) overrides attempt backoff
                             delta = int(ra) if ra is not None else r["attempt"] + 1

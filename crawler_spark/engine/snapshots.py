@@ -14,6 +14,14 @@ Iceberg on a cluster — the engine only calls read/commit/latest):
     (fetched/parsed/deduped/excluded/retried). `resume()` = read latest
     manifest and continue from round+1 — the checkpoint requirement of the
     north rule.
+  * DELTA APPENDS (Iceberg fast-append): append-only tables (seen without
+    TTL, fetch_log, dlq, retry_history, pages without re-crawl) commit only
+    the round's NEW rows to `<root>/<table>/delta-<round>/`; a read unions
+    the live chain — every delta back to (and including) the most recent
+    full snapshot. Per-round write IO is therefore O(delta), not O(|table|),
+    no matter how old the crawl is. The engine compacts (writes full) on its
+    shard-rebuild cadence, bounding the chain length — the analogue of
+    Iceberg manifest compaction / rewrite_data_files.
 
 At 100 TB each table write is a partitioned parquet/Iceberg append; the
 manifest stays O(tables x rounds) — metadata, not data.
@@ -48,17 +56,40 @@ class SnapshotStore:
         rounds = self.manifest()["rounds"]
         return rounds[-1]["round"] if rounds else -1
 
+    @staticmethod
+    def _live_chain(rounds: list[dict], table: str) -> list[tuple[int, dict]]:
+        """Newest-first [(round_list_index, table_info)] entries forming the
+        table's live state: deltas accumulate until a terminal entry — a full
+        snapshot, or any entry carrying folded `base_paths` (expire_snapshots
+        attaches those when the chain's older half left the kept window)."""
+        chain: list[tuple[int, dict]] = []
+        for i in range(len(rounds) - 1, -1, -1):
+            info = rounds[i]["tables"].get(table)
+            if info is None:
+                continue
+            chain.append((i, info))
+            if info.get("mode", "full") != "delta" or "base_paths" in info:
+                break
+        return chain
+
+    def table_paths(self, table: str) -> list[str]:
+        """Oldest-first parquet paths whose union is the table's live state."""
+        chain = self._live_chain(self.manifest()["rounds"], table)
+        if not chain:
+            return []
+        paths = [info["path"] for _, info in chain]  # newest-first
+        paths.extend(reversed(chain[-1][1].get("base_paths", [])))
+        return list(reversed(paths))
+
     def table_path(self, table: str) -> str | None:
-        """Path of `table` as of the latest committed round (tables persist
-        across rounds: the most recent round that wrote them wins)."""
-        for r in reversed(self.manifest()["rounds"]):
-            if table in r["tables"]:
-                return r["tables"][table]["path"]
-        return None
+        """Newest path of `table` (the full snapshot, or the newest delta —
+        use table_paths()/read() for the complete live state)."""
+        paths = self.table_paths(table)
+        return paths[-1] if paths else None
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        p = self.table_path(table)
-        return spark.read.parquet(p) if p else None
+        paths = self.table_paths(table)
+        return spark.read.parquet(*paths) if paths else None
 
     def blob_dir_for(self, round_no: int) -> str:
         """Where a round's filter shard blobs live; tasks write here directly
@@ -72,9 +103,15 @@ class SnapshotStore:
         metrics: dict[str, Any] | None = None,
         blobs: dict[str, bytes] | None = None,
         blob_dir: str | None = None,
+        delta_tables: dict[str, DataFrame] | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
-        Lineage = per-spark-partition row counts captured at write time."""
+        Lineage = per-spark-partition row counts captured at write time.
+
+        `tables` are full snapshots (the table's complete state as of this
+        round); `delta_tables` hold ONLY the round's new rows for append-only
+        tables — read() unions them with the chain back to the last full
+        write, so per-round IO stays O(delta) as the crawl ages."""
         entry: dict[str, Any] = {
             "round": round_no,
             "committed_at": time.time(),
@@ -83,12 +120,13 @@ class SnapshotStore:
         }
         from pyspark.sql import functions as F
 
-        for name, df in tables.items():
-            path = os.path.join(self.root, name, f"snap-{round_no:05d}")
+        def _write(name: str, df: DataFrame, mode: str) -> None:
+            stem = "snap" if mode == "full" else "delta"
+            path = os.path.join(self.root, name, f"{stem}-{round_no:05d}")
             df.write.mode("overwrite").parquet(path)
-            # lineage from the WRITTEN snapshot (one cheap scan of the files
-            # just produced), not from re-executing the table's plan — a
-            # recompute would double every round's cost
+            # lineage from the WRITTEN files (one cheap scan of what was just
+            # produced — O(delta) for deltas), not from re-executing the
+            # table's plan: a recompute would double every round's cost
             lineage = [
                 {"partition": os.path.basename(r["f"]), "rows": int(r["n"])}
                 for r in df.sparkSession.read.parquet(path)
@@ -98,9 +136,15 @@ class SnapshotStore:
             ]
             entry["tables"][name] = {
                 "path": path,
+                "mode": mode,
                 "rows": sum(p["rows"] for p in lineage),
                 "lineage": lineage,
             }
+
+        for name, df in tables.items():
+            _write(name, df, "full")
+        for name, df in (delta_tables or {}).items():
+            _write(name, df, "delta")
         if blobs:
             bdir = self.blob_dir_for(round_no)
             os.makedirs(bdir, exist_ok=True)
@@ -135,18 +179,35 @@ class SnapshotStore:
         if len(rounds) <= keep_last:
             return {"removed_dirs": 0, "kept_rounds": len(rounds)}
         dropped, kept = rounds[:-keep_last], rounds[-keep_last:]
+        n_dropped = len(dropped)
 
-        # fold each table's newest dropped path into the oldest kept entry
-        # when no kept round rewrote it (it is still the live snapshot)
-        kept_tables = {t for r in kept for t in r["tables"]}
-        fold: dict[str, dict[str, Any]] = {}
-        for r in dropped:  # oldest -> newest; later wins
-            for name, info in r["tables"].items():
-                if name not in kept_tables:
-                    fold[name] = info
-        kept[0]["tables"] = {**fold, **kept[0]["tables"]}
+        # Per table: the live state is a CHAIN (full base + deltas). Chain
+        # entries whose round leaves the kept window must survive on disk and
+        # stay reachable — fold their paths into the oldest surviving chain
+        # entry as `base_paths` (or, when no kept round touches the table at
+        # all, fold the whole chain into the oldest kept manifest entry).
+        all_tables = {t for r in rounds for t in r["tables"]}
+        live_paths: set[str] = set()
+        for t in all_tables:
+            chain = self._live_chain(rounds, t)  # newest-first
+            terminal_bases = chain[-1][1].get("base_paths", [])
+            live_paths.update(info["path"] for _, info in chain)
+            live_paths.update(terminal_bases)
+            dropped_part = [(i, info) for i, info in chain if i < n_dropped]
+            if not dropped_part:
+                continue
+            # oldest-first: earlier-folded bases, then dropped chain paths
+            folded = list(terminal_bases) + [
+                info["path"] for _, info in reversed(dropped_part)
+            ]
+            kept_part = [(i, info) for i, info in chain if i >= n_dropped]
+            if kept_part:
+                kept_part[-1][1]["base_paths"] = folded
+            else:
+                newest = dict(dropped_part[0][1])
+                newest["base_paths"] = folded[:-1]  # all but its own path
+                kept[0]["tables"][t] = newest
 
-        live_paths = {t["path"] for r in kept for t in r["tables"].values()}
         live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}
         # keep the newest blob dir even if it predates the kept window, AND
         # fold its manifest reference into the oldest kept entry (mirror of

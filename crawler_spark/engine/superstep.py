@@ -145,7 +145,8 @@ class CrawlEngine:
             -1,
             {"frontier": frontier, "seen": seen,
              "pages": self._empty_pages(), "dlq": self._empty_dlq(),
-             "fetch_log": self._empty_fetch_log()},
+             "fetch_log": self._empty_fetch_log(),
+             "retry_history": self._empty_retry_history()},
             metrics={"phase": "init", "n_seeds": len(rows)},
             blob_dir=out_dir,
         )
@@ -179,9 +180,30 @@ class CrawlEngine:
             " status_code int, fetched_round int, fetch_order int"
         )
 
+    def _empty_retry_history(self) -> DataFrame:
+        # R5 per-attempt audit (retry_history, current_schema.sql:523-534 +
+        # job_retry_handler.record_retry_attempt, job_retry_handler.py:162-208):
+        # one row per failure ROUTING DECISION. The reference persists only
+        # the retry branch in retry_history (DLQ rows land in
+        # dead_letter_queue); here the `action` column unifies all three
+        # routes so "why did this URL take 3 tries" is one range scan.
+        return self.spark.createDataFrame(
+            [], "url_hash string, url_norm string, host string,"
+            " attempt_number int, error_category string, action string,"
+            " retry_delay_rounds long, not_before long, decided_round int"
+        )
+
     # ------------------------------------------------------------- one round
 
     def run_round(self, round_no: int) -> dict[str, Any]:
+        spark = self.spark
+        self._in_round = True
+        try:
+            return self._run_round(round_no)
+        finally:
+            self._in_round = False
+
+    def _run_round(self, round_no: int) -> dict[str, Any]:
         spark = self.spark
         frontier = self.store.read(spark, "frontier")
         seen = self.store.read(spark, "seen")
@@ -192,9 +214,11 @@ class CrawlEngine:
         due = frontier.filter(F.col("not_before") <= round_no)
         held = frontier.filter(F.col("not_before") > round_no)
         if due.isEmpty():  # driver action 1 (limit-1 scan, not a count)
-            # drained only when nothing is held for a later round either
+            # drained only when nothing is held for a later round either.
+            # No table changed — commit metrics only (zero data IO); reads
+            # keep resolving every table to its last-written snapshot/chain.
             entry = self.store.commit_round(
-                round_no, {"frontier": frontier},
+                round_no, {},
                 metrics={"n_due": 0, "done": frontier.isEmpty()},
             )
             return entry["metrics"]
@@ -366,15 +390,39 @@ class CrawlEngine:
             (F.col("attempt") + 1).cast("int").alias("attempt"),
             F.lit(round_no).alias("failed_round"),
         )
+        # R5 audit: one retry_history row per routing decision — the
+        # reference's record_retry_attempt (job_retry_handler.py:162-208)
+        # as a projection of the SAME failure set the routing above consumes,
+        # so history(action='retry') == recirculated attempts by construction.
+        retryable_now = is_retryable_col(F.col("error_category")) & (
+            F.col("attempt") + 1 < MAX_ATTEMPTS
+        )
+        exhausted = is_retryable_col(F.col("error_category")) & (
+            F.col("attempt") + 1 >= MAX_ATTEMPTS
+        )
+        new_history = failures.select(
+            "url_hash", "url_norm", "host",
+            (F.col("attempt") + 1).cast("int").alias("attempt_number"),
+            "error_category",
+            F.when(retryable_now, "retry")
+            .when(exhausted, "dlq")
+            .otherwise("drop").alias("action"),
+            F.when(retryable_now, backoff_rounds)
+            .otherwise(F.lit(0)).cast("long").alias("retry_delay_rounds"),
+            F.when(retryable_now, F.lit(round_no) + backoff_rounds)
+            .cast("long").alias("not_before"),
+            F.lit(round_no).alias("decided_round"),
+        )
 
         next_frontier = (
             held.unionByName(not_selected)
             .unionByName(retries)
             .unionByName(new_frontier)
         )
-        next_seen = seen.unionByName(
-            fresh.select("host", "url_hash", F.lit(round_no).cast("int").alias("seen_round"))
+        seen_delta = fresh.select(
+            "host", "url_hash", F.lit(round_no).cast("int").alias("seen_round")
         )
+        next_seen = seen.unionByName(seen_delta)
         if self.ttl_rounds is not None:
             # compact: drop entries expired beyond any future window (Iceberg
             # row-level delete in production; keeps the table bounded)
@@ -397,14 +445,11 @@ class CrawlEngine:
             )
         else:
             next_pages = pages.unionByName(new_pages)
-        next_dlq = dlq.unionByName(to_dlq)
-        next_fetch_log = fetch_log.unionByName(
-            fetched.filter(F.col("status_code").isNotNull()).select(
-                "url_hash", "url_norm", "host",
-                F.col("status_code").cast("int"),
-                F.lit(round_no).alias("fetched_round"),
-                F.col("fetch_order").cast("int"),
-            )
+        log_delta = fetched.filter(F.col("status_code").isNotNull()).select(
+            "url_hash", "url_norm", "host",
+            F.col("status_code").cast("int"),
+            F.lit(round_no).alias("fetched_round"),
+            F.col("fetch_order").cast("int"),
         )
 
         # driver action 2: EVERY per-round metric in ONE job — a cross join
@@ -483,13 +528,37 @@ class CrawlEngine:
                 fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
                 deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir,
             ).collect()
+        # Iceberg-style commit: append-only tables write ONLY this round's
+        # delta (fast-append) — per-round IO is O(delta) regardless of crawl
+        # age. Exceptions that must write full: frontier (rewritten every
+        # round — selected rows leave it), and under TTL seen (row-level
+        # expiry) + pages (latest-wins MERGE). On the shard-rebuild cadence
+        # every table compacts to a full snapshot, bounding chain length to
+        # REBUILD_EVERY files per table (rewrite_data_files analogue).
+        compaction = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+        full: dict[str, DataFrame] = {"frontier": next_frontier}
+        delta: dict[str, DataFrame] = {}
+        if self.ttl_rounds is not None or compaction:
+            full["seen"] = next_seen
+            full["pages"] = next_pages
+        else:
+            delta["seen"] = seen_delta
+            delta["pages"] = new_pages
+        if compaction:
+            full["dlq"] = dlq.unionByName(to_dlq)
+            full["fetch_log"] = fetch_log.unionByName(log_delta)
+            prev_hist = self.store.read(spark, "retry_history")
+            full["retry_history"] = (
+                prev_hist.unionByName(new_history)
+                if prev_hist is not None else new_history
+            )
+        else:
+            delta["dlq"] = to_dlq
+            delta["fetch_log"] = log_delta
+            delta["retry_history"] = new_history
         self.store.commit_round(
-            round_no,
-            {"frontier": next_frontier, "seen": next_seen,
-             "pages": next_pages, "dlq": next_dlq,
-             "fetch_log": next_fetch_log},
-            metrics=metrics,
-            blob_dir=out_dir,
+            round_no, full, metrics=metrics, blob_dir=out_dir,
+            delta_tables=delta,
         )
         flagged.unpersist()
         selected.unpersist()
@@ -549,18 +618,84 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ reporting
 
+    _in_round = False  # reporting-path guard flag (set by run_round)
+
+    def _assert_reporting_path(self, name: str) -> None:
+        """The reporting methods below COLLECT full tables to the driver —
+        test/verification-only paths, sized for fixtures. Calling one inside
+        a superstep would smuggle a driver-collect into the hot path; refuse
+        loudly instead (pinned by tests/test_plan_audit.py)."""
+        if self._in_round:
+            raise RuntimeError(
+                f"{name}() is a driver-collect reporting path and must never "
+                "run inside run_round() — use the snapshot tables instead"
+            )
+
     def crawl_order(self) -> list[tuple[int, str, int, str]]:
         """(round, host, fetch_order, url_norm) for every successfully
         fetched page — THE order invariant compared against the simulator.
         Reads the append-only fetch_log (the pages table is latest-wins
         merged, so re-crawled rows are replaced there, Q1)."""
+        self._assert_reporting_path("crawl_order")
         log = self.store.read(self.spark, "fetch_log")
         rows = (
             log.filter(F.col("status_code") == 200)
             .select("fetched_round", "host", "fetch_order", "url_norm")
-            .collect()
+            .toLocalIterator()  # streams partitions; no single driver blob
         )
         return sorted((r[0], r[1], r[2], r[3]) for r in rows)
 
     def seen_set(self) -> set[str]:
-        return {r[0] for r in self.store.read(self.spark, "seen").select("url_hash").collect()}
+        self._assert_reporting_path("seen_set")
+        it = self.store.read(self.spark, "seen").select("url_hash").toLocalIterator()
+        return {r[0] for r in it}
+
+    def retry_history(self) -> DataFrame:
+        """R5 audit table (distributed — no collect): one row per failure
+        routing decision across the whole crawl."""
+        return self.store.read(self.spark, "retry_history")
+
+    def seed_outcomes(self) -> DataFrame:
+        """P5 per-seed outcome classification (seed_url_crawler.py:35-47 +
+        862-910): aggregate fetch_log + pages per seed host into the
+        reference's CrawlOutcome enum. Distributed aggregation — returns a
+        DataFrame (seed_host, outcome, pages_crawled, urls_extracted).
+
+        Mapping (reference branch -> log evidence):
+          * seed_url_404      — the seed listing's FIRST fetch returned 404
+          * seed_url_error    — first fetch failed with any other status
+          * success_no_urls   — pages fetched fine but zero detail pages
+          * partial_success   — URLs extracted but some fetches failed
+            (reference: "URLs extracted but with warnings")
+          * success           — all fetches ok, detail URLs found
+        """
+        log = self.store.read(self.spark, "fetch_log")
+        # first fetch per host = the seed URL itself (fetch_log is append-only
+        # and fetch_order is 1-based per host+round). A detail URL appearing
+        # in the log AT ALL means it was extracted from a listing — so
+        # urls_extracted = distinct non-listing URLs attempted, computable
+        # identically by the pure-Python simulator (the equivalence gate).
+        w = Window.partitionBy("host").orderBy("fetched_round", "fetch_order")
+        ranked = log.withColumn("rk", F.row_number().over(w))
+        is_detail = ~F.col("url_norm").rlike(r"\?page=")
+        per_host = ranked.groupBy("host").agg(
+            F.max(F.when(F.col("rk") == 1, F.col("status_code"))).alias("seed_status"),
+            F.count(F.when(F.col("status_code") == 200, 1)).alias("pages_crawled"),
+            F.count(F.when(F.col("status_code") != 200, 1)).alias("n_failed"),
+            F.count_distinct(
+                F.when(is_detail, F.col("url_norm"))
+            ).alias("urls_extracted"),
+        )
+        outcome = (
+            F.when(F.col("seed_status") == 404, "seed_url_404")
+            .when(F.col("seed_status") != 200, "seed_url_error")
+            .when(F.col("urls_extracted") == 0, "success_no_urls")
+            .when(F.col("n_failed") > 0, "partial_success")
+            .otherwise("success")
+        )
+        return per_host.select(
+            F.col("host").alias("seed_host"),
+            outcome.alias("outcome"),
+            F.col("pages_crawled").cast("long"),
+            F.col("urls_extracted").cast("long"),
+        )

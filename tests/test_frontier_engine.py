@@ -128,6 +128,101 @@ class TestEngineInvariants:
                     )
 
 
+class TestRetryHistoryAndSeedOutcomes:
+    """R5 per-attempt audit + P5 per-seed outcome enum, gated against the
+    pure-Python simulator (independent recomputation, not construction)."""
+
+    def test_fetch_log_matches_sim_attempts(self, engine, sim):
+        log = engine.store.read(engine.spark, "fetch_log")
+        got = sorted(
+            (r.fetched_round, r.host, r.url_norm, r.status_code)
+            for r in log.collect()
+        )
+        assert got == sorted(sim.fetch_attempts)
+
+    def test_retry_history_matches_simulator(self, engine, sim):
+        hist = engine.retry_history()
+        got = sorted(
+            (r.url_norm, r.attempt_number)
+            for r in hist.filter(F.col("action") == "retry").collect()
+        )
+        assert len(got) > 0, "fixture must recirculate retries"
+        assert got == sorted(sim.retries)
+
+    def test_retry_history_dlq_rows_match_dlq_table(self, engine, sim):
+        hist = engine.retry_history()
+        got = sorted(
+            (r.url_norm, r.attempt_number)
+            for r in hist.filter(F.col("action") == "dlq").collect()
+        )
+        assert got == sorted(sim.dlq)
+
+    def test_retry_history_counts_match_round_metrics(self, engine):
+        """history rows == recirculated attempts, round by round."""
+        per_round = {
+            r.decided_round: (r.n_retry, r.n_dlq)
+            for r in engine.retry_history()
+            .groupBy("decided_round")
+            .agg(
+                F.count(F.when(F.col("action") == "retry", 1)).alias("n_retry"),
+                F.count(F.when(F.col("action") == "dlq", 1)).alias("n_dlq"),
+            )
+            .collect()
+        }
+        for m in engine.store.round_metrics():
+            if "n_retry" in m:
+                want = (m["n_retry"], m["n_dlq"])
+                assert per_round.get(m["round"], (0, 0)) == want
+
+    def test_retry_history_backoff_matches_frontier_recirculation(self, engine):
+        """A retry row's not_before must equal decided_round + delay — the
+        exact value the recirculated frontier row carries (R3 precedence:
+        Retry-After overrides attempt backoff)."""
+        rows = engine.retry_history().filter(F.col("action") == "retry").collect()
+        for r in rows:
+            assert r.not_before == r.decided_round + r.retry_delay_rounds
+            assert r.retry_delay_rounds > 0
+
+    def test_seed_outcomes_match_simulator(self, engine, sim):
+        from collections import defaultdict
+
+        first: dict[str, int] = {}
+        pc: dict[str, int] = defaultdict(int)
+        nf: dict[str, int] = defaultdict(int)
+        det: dict[str, set] = defaultdict(set)
+        for rnd, host, url, status in sim.fetch_attempts:
+            if host not in first:
+                first[host] = status
+            if status == 200:
+                pc[host] += 1
+            else:
+                nf[host] += 1
+            if "?page=" not in url:
+                det[host].add(url)
+        want = {}
+        for host, st in first.items():
+            if st == 404:
+                o = "seed_url_404"
+            elif st != 200:
+                o = "seed_url_error"
+            elif not det[host]:
+                o = "success_no_urls"
+            elif nf[host]:
+                o = "partial_success"
+            else:
+                o = "success"
+            want[host] = (o, pc[host], len(det[host]))
+
+        got = {
+            r.seed_host: (r.outcome, r.pages_crawled, r.urls_extracted)
+            for r in engine.seed_outcomes().collect()
+        }
+        assert got == want
+        assert len({o for (o, _, _) in got.values()}) > 1, (
+            "fixture must exercise more than one outcome class"
+        )
+
+
 class TestResume:
     def test_resume_identical_to_oneshot(self, spark, corpus, robots, tmp_path_factory):
         spec = CorpusSpec(n_hosts=2, listing_pages=2, details_per_page=3,
