@@ -320,6 +320,181 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_retry_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 per-attempt audit (retry_history, current_schema.sql:523-534 +
+    job_retry_handler.record_retry_attempt): one row per failure routing
+    decision — the exact projection the engine appends each round
+    (engine/superstep.py new_history), including the R3 Retry-After
+    precedence (server value overrides attempt backoff)."""
+    df = (
+        q_http_classify(spark, sf_dir)
+        .withColumn("attempt", (F.col("event_id") % 5).cast("int"))
+        .withColumn(
+            "retry_after",
+            F.when(
+                F.col("status_code") == 429,
+                (F.col("event_id") % 3 + 2).cast("string"),
+            ),
+        )
+        .withColumn("decided_round", (F.col("event_id") % 7).cast("int"))
+        .filter(F.col("status_code") != 200)
+    )
+    retryable_now = F.col("retryable") & (F.col("attempt") + 1 < 3)
+    exhausted = F.col("retryable") & (F.col("attempt") + 1 >= 3)
+    backoff = F.coalesce(
+        F.expr("try_cast(retry_after AS long)"), (F.col("attempt") + 1).cast("long")
+    )
+    return df.select(
+        "event_id",
+        (F.col("attempt") + 1).cast("int").alias("attempt_number"),
+        "error_category",
+        F.when(retryable_now, "retry")
+        .when(exhausted, "dlq")
+        .otherwise("drop")
+        .alias("action"),
+        F.when(retryable_now, backoff).otherwise(F.lit(0))
+        .cast("long")
+        .alias("retry_delay_rounds"),
+        F.when(retryable_now, F.col("decided_round") + backoff)
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("not_before"),
+        "decided_round",
+    )
+
+
+O_RETRY_HISTORY = """
+WITH s AS (
+  SELECT event_id,
+         ([200,404,403,429,408,500,503,301,400,418])[CAST(event_id % 10 AS INT) + 1]
+           AS status_code,
+         CAST(event_id % 5 AS INT) AS attempt,
+         CAST(event_id % 7 AS INT) AS decided_round
+  FROM events
+),
+c AS (
+  SELECT *,
+    CASE WHEN status_code = 404 THEN 'not_found'
+         WHEN status_code IN (401,403) THEN 'auth_error'
+         WHEN status_code = 429 THEN 'rate_limit'
+         WHEN status_code = 408 THEN 'timeout'
+         WHEN status_code >= 400 AND status_code < 500 THEN 'client_error'
+         WHEN status_code >= 500 AND status_code < 600 THEN 'server_error'
+         ELSE 'unknown' END AS error_category,
+    CASE WHEN status_code IN (429, 408) THEN TRUE
+         WHEN status_code >= 500 AND status_code < 600 THEN TRUE
+         ELSE FALSE END AS retryable,
+    CASE WHEN status_code = 429 THEN CAST(event_id % 3 + 2 AS VARCHAR) END
+      AS retry_after
+  FROM s WHERE status_code <> 200
+),
+r AS (
+  SELECT *,
+    retryable AND attempt + 1 < 3 AS retry_now,
+    retryable AND attempt + 1 >= 3 AS exhausted,
+    coalesce(TRY_CAST(retry_after AS BIGINT), CAST(attempt + 1 AS BIGINT))
+      AS backoff
+  FROM c
+)
+SELECT event_id,
+       CAST(attempt + 1 AS INT) AS attempt_number,
+       error_category,
+       CASE WHEN retry_now THEN 'retry'
+            WHEN exhausted THEN 'dlq'
+            ELSE 'drop' END AS action,
+       CAST(CASE WHEN retry_now THEN backoff ELSE 0 END AS BIGINT)
+         AS retry_delay_rounds,
+       CAST(CASE WHEN retry_now THEN decided_round + backoff ELSE -1 END
+            AS BIGINT) AS not_before,
+       decided_round
+FROM r
+"""
+
+
+def q_seed_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 per-seed outcome enum (seed_url_crawler.py:35-47,862-910): classify
+    each seed host's crawl from a synthetic fetch log — first fetch = the
+    seed (404 / error short-circuit), then success_no_urls / partial_success
+    / success from page + detail-URL counts. Same aggregation the engine's
+    seed_outcomes() reporting runs over its real fetch_log."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in [200, 404, 403, 429, 408, 500, 503, 301, 400, 418]]),
+        (F.col("event_id") % 10 + 1).cast("int"),
+    )
+    log = ev.select(
+        (F.col("user_id") % 40).alias("seed_host"),
+        (F.col("event_id") % 5).cast("int").alias("fetched_round"),
+        (F.col("event_id") % 13).cast("int").alias("fetch_order"),
+        "event_id",
+        status.alias("status_code"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id"))
+        .alias("detail_id"),
+    )
+    w = Window.partitionBy("seed_host").orderBy(
+        "fetched_round", "fetch_order", "event_id"
+    )
+    ranked = log.withColumn("rk", F.row_number().over(w))
+    per_host = ranked.groupBy("seed_host").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("status_code"))).alias("seed_status"),
+        F.count(F.when(F.col("status_code") == 200, 1)).alias("pages_crawled"),
+        F.count(F.when(F.col("status_code") != 200, 1)).alias("n_failed"),
+        F.count_distinct(F.col("detail_id")).alias("urls_extracted"),
+    )
+    outcome = (
+        F.when(F.col("seed_status") == 404, "seed_url_404")
+        .when(F.col("seed_status") != 200, "seed_url_error")
+        .when(F.col("urls_extracted") == 0, "success_no_urls")
+        .when(F.col("n_failed") > 0, "partial_success")
+        .otherwise("success")
+    )
+    return per_host.select(
+        "seed_host",
+        outcome.alias("outcome"),
+        F.col("pages_crawled").cast("long").alias("pages_crawled"),
+        F.col("urls_extracted").cast("long").alias("urls_extracted"),
+    )
+
+
+O_SEED_OUTCOMES = """
+WITH log AS (
+  SELECT user_id % 40 AS seed_host,
+         CAST(event_id % 5 AS INT) AS fetched_round,
+         CAST(event_id % 13 AS INT) AS fetch_order,
+         event_id,
+         ([200,404,403,429,408,500,503,301,400,418])[CAST(event_id % 10 AS INT) + 1]
+           AS status_code,
+         CASE WHEN event_id % 4 = 0 THEN NULL ELSE event_id END AS detail_id
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seed_host ORDER BY fetched_round, fetch_order, event_id
+  ) AS rk FROM log
+),
+per_host AS (
+  SELECT seed_host,
+         max(CASE WHEN rk = 1 THEN status_code END) AS seed_status,
+         count(CASE WHEN status_code = 200 THEN 1 END) AS pages_crawled,
+         count(CASE WHEN status_code <> 200 THEN 1 END) AS n_failed,
+         count(DISTINCT detail_id) AS urls_extracted
+  FROM ranked GROUP BY seed_host
+)
+SELECT seed_host,
+       CASE WHEN seed_status = 404 THEN 'seed_url_404'
+            WHEN seed_status <> 200 THEN 'seed_url_error'
+            WHEN urls_extracted = 0 THEN 'success_no_urls'
+            WHEN n_failed > 0 THEN 'partial_success'
+            ELSE 'success' END AS outcome,
+       CAST(pages_crawled AS BIGINT) AS pages_crawled,
+       CAST(urls_extracted AS BIGINT) AS urls_extracted
+FROM per_host
+"""
+
+
 def q_pagination_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: frontier fan-out — every 100th event is a pagination seed expanded
     to pages 1..(event_id%5+2) (query-param pattern)."""
@@ -1459,6 +1634,8 @@ QUERIES = {
     "http_classify": q_http_classify,
     "backoff_schedule": q_backoff_schedule,
     "retry_routing": q_retry_routing,
+    "retry_history": q_retry_history,
+    "seed_outcomes": q_seed_outcomes,
     "pagination_expand": q_pagination_expand,
     "stop_classify": q_stop_classify,
     "hot_host_salting": q_hot_host_salting,
@@ -1493,6 +1670,8 @@ ORACLES = {
     "http_classify": O_HTTP_CLASSIFY,
     "backoff_schedule": O_BACKOFF_SCHEDULE,
     "retry_routing": O_RETRY_ROUTING,
+    "retry_history": O_RETRY_HISTORY,
+    "seed_outcomes": O_SEED_OUTCOMES,
     "pagination_expand": O_PAGINATION_EXPAND,
     "stop_classify": O_STOP_CLASSIFY,
     "hot_host_salting": O_HOT_HOST_SALTING,
