@@ -172,3 +172,176 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+# --------------------------------------------------------------- real codecs
+#
+# BMP and WAV are fully decodable with stdlib struct + numpy — no PIL/ffmpeg
+# needed — so for these two formats the codec step is REAL, not stubbed: the
+# decoders below parse the actual container byte layout (BITMAPFILEHEADER /
+# RIFF chunks), handle BMP's bottom-up rows + 4-byte row padding and WAV's
+# chunk walk, and compute per-media statistics executor-side. The jpg/png/
+# video stubs above remain the honest boundary for formats that genuinely
+# need external codecs. Reference: storage.py blob handling is format-blind;
+# decode parity here is against the published BMP/RIFF specs.
+
+BMP_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+    ]
+)
+
+WAV_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def encode_bmp(width: int, height: int, pixels_bgr) -> bytes:
+    """Write a real 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, rows padded to 4 bytes).
+    `pixels_bgr` is an (h, w, 3) uint8 array in B,G,R channel order,
+    row 0 = top row (encoder flips to BMP's bottom-up order)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels_bgr, dtype=np.uint8).reshape(height, width, 3)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        px[y].tobytes() + b"\x00" * pad for y in range(height - 1, -1, -1)
+    )
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + body
+
+
+def decode_bmp_bytes(payload: bytes):
+    """Parse a 24-bit uncompressed BMP from raw bytes -> (w, h, bpp,
+    (h, w, 3) uint8 BGR array, top-down row order). Knows nothing about how
+    the payload was produced — pure spec-driven parse."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
+                        offset=pixel_off).reshape(height, stride)
+    px = raw[:, :row_bytes].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return width, height, bpp, px
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Write a real RIFF/WAVE container: PCM16 mono (fmt + data chunks)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_bytes(payload: bytes):
+    """Walk RIFF chunks (spec-driven: tolerates extra chunks, odd-size
+    padding) -> (sample_rate, n_channels, bits, int16 sample array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return sample_rate, n_channels, bits, samples
+
+
+def decode_bmp(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Real BMP decode via mapInPandas (shuffle-free map stage): header parse
+    + per-channel pixel means. Arrow-batched; payload bytes never leave the
+    executor."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, bpp, px = decode_bmp_bytes(bytes(payload))
+                means = px.reshape(-1, 3).mean(axis=0, dtype="float64")
+                rows.append((int(did), w, h, bpp,
+                             float(means[0]), float(means[1]), float(means[2])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BMP_DECODED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, BMP_DECODED_SCHEMA)
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Real WAV decode via mapInPandas: RIFF chunk walk + PCM16 stats
+    (mean amplitude, RMS) computed in int64/float64 to dodge int16 overflow."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, bits, s = decode_wav_bytes(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append((
+                    int(did), rate, nch, bits, len(s),
+                    float(s64.mean()) if len(s) else 0.0,
+                    float(np.sqrt((s64 * s64).mean())) if len(s) else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_DECODED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, WAV_DECODED_SCHEMA)

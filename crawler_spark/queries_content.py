@@ -5,8 +5,10 @@ multimodal plumbing — each with a DuckDB oracle that re-derives the result.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawler_spark.functions.parse_udfs import parse_page_udf
 from crawler_spark.functions.simhash_udfs import simhash64_udf
@@ -1050,6 +1052,129 @@ FROM m, LATERAL unnest(range(0, CAST(n_bytes % 300 + 30 AS INT), 10)) AS t(i)
 """
 
 
+def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: a genuine 24-bit BMP byte stream is
+    encoded per doc (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding), then parsed back by the spec-driven decoder in
+    operators/multimodal.py (struct + numpy, no image library) which computes
+    per-channel pixel means. The oracle re-derives the expected stats from
+    the pixel formula alone — so a decoder that misreads padding, row order,
+    or channel order fails the hash. pixel(x, y) BGR = ((doc_id + 3x + 7y),
+    (2*doc_id + 5x + 11y), (3*doc_id + x + 13y)) % 256; w = 2 + doc_id%6,
+    h = 1 + doc_id%5."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    @F.pandas_udf(T.BinaryType())
+    def bmp_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = 2 + did % 6, 1 + did % 5
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (did + 3 * x + 7 * y) % 256,
+                    (2 * did + 5 * x + 11 * y) % 256,
+                    (3 * did + x + 13 * y) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(encode_bmp(w, h, px))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", bmp_payload(F.col("doc_id")).alias("payload")
+    )
+    return decode_bmp(docs).select(
+        "doc_id", "width", "height", "bpp",
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_r", 4).alias("mean_r"),
+    )
+
+
+O_MULTIMODAL_DECODE_BMP = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3*gx.x + 7*gy.y) % 256 AS b,
+         (2*doc_id + 5*gx.x + 11*gy.y) % 256 AS g,
+         (3*doc_id + gx.x + 13*gy.y) % 256 AS r
+  FROM d,
+       LATERAL unnest(generate_series(0, CAST(w - 1 AS INT))) AS gx(x),
+       LATERAL unnest(generate_series(0, CAST(h - 1 AS INT))) AS gy(y)
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b,
+       round(CAST(sum(g) AS DOUBLE) / count(*), 4) AS mean_g,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_r
+FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a genuine RIFF/WAVE PCM16 container is
+    encoded per doc and parsed back by the chunk-walking decoder (struct +
+    numpy, no audio library), which computes mean amplitude and RMS in
+    int64/float64. The oracle replays the sample formula in SQL.
+    rate = 8000*(1 + doc_id%3); n = 32 + doc_id%33;
+    sample[i] = (doc_id*131 + i*7919) % 65536 - 32768."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_wav, encode_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def wav_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            rate = 8000 * (1 + did % 3)
+            n = 32 + did % 33
+            i = np.arange(n, dtype=np.int64)
+            samples = (did * 131 + i * 7919) % 65536 - 32768
+            out.append(encode_wav(rate, samples.astype(np.int16)))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", wav_payload(F.col("doc_id")).alias("payload")
+    )
+    return decode_wav(docs).select(
+        "doc_id", "sample_rate", "n_channels", "bits_per_sample", "n_samples",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
+O_MULTIMODAL_DECODE_WAV = """
+WITH d AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3) AS rate,
+         32 + doc_id % 33 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, rate, n,
+         (doc_id * 131 + g.i * 7919) % 65536 - 32768 AS samp
+  FROM d, LATERAL unnest(generate_series(0, CAST(n - 1 AS INT))) AS g(i)
+)
+SELECT doc_id,
+       CAST(any_value(rate) AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       round(CAST(sum(samp) AS DOUBLE) / count(*), 4) AS mean_amp,
+       round(sqrt(CAST(sum(samp * samp) AS DOUBLE) / count(*)), 4) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -1073,6 +1198,8 @@ QUERIES = {
     "content_normalize": q_content_normalize,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_decode_bmp": q_multimodal_decode_bmp,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
 }
 
 ORACLES = {
@@ -1098,4 +1225,6 @@ ORACLES = {
     "content_normalize": O_CONTENT_NORMALIZE,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
+    "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
+    "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
 }

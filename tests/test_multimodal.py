@@ -82,3 +82,90 @@ def test_adaptive_sign_lsh_bits():
     assert adaptive_n_bits(100_000, 64) == 11    # ~64 rows per bucket
     assert adaptive_n_bits(10**9, 64) == 24      # capped at 16.7M buckets
     assert adaptive_n_bits(10**9, 16) == 16      # never wider than the dim
+
+
+# --------------------------------------------------------------- real codecs
+
+def test_bmp_roundtrip_padding_and_row_order():
+    """Encoder writes bottom-up padded rows; decoder must undo both. w=3
+    forces 3 bytes of row padding; an asymmetric pixel pattern catches a
+    decoder that forgets the vertical flip."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_bmp_bytes, encode_bmp
+
+    h, w = 2, 3
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    payload = encode_bmp(w, h, px)
+    # stride = 3*3 padded to 12 -> file = 54 header + 2*12 body
+    assert len(payload) == 54 + 2 * 12
+    rw, rh, bpp, out = decode_bmp_bytes(payload)
+    assert (rw, rh, bpp) == (w, h, 24)
+    assert np.array_equal(out, px)  # top row restored as top row
+
+
+def test_bmp_rejects_non_bmp():
+    from crawler_spark.operators.multimodal import decode_bmp_bytes
+
+    with pytest.raises(ValueError):
+        decode_bmp_bytes(b"PNG not bmp" + b"\x00" * 64)
+
+
+def test_wav_roundtrip_with_extra_chunk():
+    """Decoder walks RIFF chunks by size — an unknown LIST chunk (odd size,
+    word-aligned) before data must be skipped, not break the parse."""
+    import struct
+
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_wav_bytes, encode_wav
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    payload = encode_wav(22050, samples)
+    rate, nch, bits, out = decode_wav_bytes(payload)
+    assert (rate, nch, bits) == (22050, 1, 16)
+    assert np.array_equal(out, samples)
+
+    # splice an odd-sized junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    spliced = payload[:fmt_end] + junk + payload[fmt_end:]
+    rate2, _, _, out2 = decode_wav_bytes(spliced)
+    assert rate2 == 22050
+    assert np.array_equal(out2, samples)
+
+
+def test_decode_bmp_dataframe(spark):
+    """mapInPandas path: real decode of per-row synthesized BMPs; int64-safe
+    means (255 everywhere -> mean exactly 255.0)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    white = encode_bmp(2, 2, np.full((2, 2, 3), 255, dtype=np.uint8))
+    grad = encode_bmp(4, 1, np.arange(12, dtype=np.uint8).reshape(1, 4, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(white)), (2, bytearray(grad))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_bmp(df).collect()}
+    assert rows[1]["mean_b"] == 255.0 and rows[1]["width"] == 2
+    assert rows[2]["mean_b"] == pytest.approx((0 + 3 + 6 + 9) / 4)
+    assert rows[2]["mean_r"] == pytest.approx((2 + 5 + 8 + 11) / 4)
+
+
+def test_decode_wav_dataframe(spark):
+    """mapInPandas path: RMS/mean must be computed in int64 (an int16
+    accumulator overflows on full-scale samples)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([-32768, -32768, 32767, 32767], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(8000, s)))], "doc_id long, payload binary"
+    )
+    r = decode_wav(df).collect()[0]
+    assert r["n_samples"] == 4 and r["sample_rate"] == 8000
+    assert r["mean_amp"] == pytest.approx(-0.5)
+    assert r["rms"] == pytest.approx(np.sqrt((2 * 32768.0**2 + 2 * 32767.0**2) / 4))
