@@ -847,6 +847,134 @@ FROM g WHERE group_size > 1
 """
 
 
+def q_duplicate_groups_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 provenance: duplicate_relationship rows with detection_method in
+    {exact_hash, fuzzy_match, url_match} and reference precedence exact >
+    fuzzy > url (current_schema.sql:485-497; the reference's dedup service
+    checks the content hash first, then fuzzy similarity, then URL identity).
+    Corpus = base pages + a re-crawled variant per page (same URL, perturbed
+    fingerprint at Hamming distance doc_id%4+1, distinct content hash) — so
+    all three methods fire deterministically: 40-char-prefix collisions give
+    exact groups, planted distances 1-3 give fuzzy pairs (distance 4 falls
+    through), and the shared URL gives url_match for the rest. One row per
+    non-canonical page: (page_id, canonical_page_id, method, similarity)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    fp60 = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10).cast("long")
+    url_key = (F.col("doc_id") - F.col("doc_id") % 2).alias("url_key")
+    base = docs.select(
+        F.col("doc_id").alias("page_id"),
+        url_key,
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_key"),
+        fp60.alias("fp"),
+    )
+    flips = (F.col("doc_id") % 4 + 1).cast("int")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("page_id"),
+        url_key,
+        F.sha2(F.concat(F.substring("text", 1, 40), F.lit("v")), 256).alias(
+            "content_key"
+        ),
+        fp60.bitwiseXOR(F.pow(F.lit(2.0), flips).cast("long") - 1).alias("fp"),
+    )
+    corpus = base.unionByName(variants)
+    with_canon = corpus.withColumn(
+        "canon_exact", F.min("page_id").over(Window.partitionBy("content_key"))
+    ).withColumn(
+        "canon_url", F.min("page_id").over(Window.partitionBy("url_key"))
+    )
+    pairs = simhash_near_dup_join(
+        corpus.select(F.col("page_id").alias("id"), "fp"),
+        id_col="id", fp_col="fp", threshold=3,
+    )
+    # per page: smallest-id fuzzy partner (and that pair's distance)
+    fuzzy = (
+        pairs.groupBy(F.col("id_b").alias("page_id"))
+        .agg(F.min(F.struct("id_a", "distance")).alias("m"))
+        .select(
+            "page_id",
+            F.col("m.id_a").alias("canon_fuzzy"),
+            F.col("m.distance").alias("fuzzy_distance"),
+        )
+    )
+    joined = with_canon.join(fuzzy, "page_id", "left")
+    is_exact = F.col("canon_exact") < F.col("page_id")
+    is_fuzzy = F.col("canon_fuzzy").isNotNull()
+    is_url = F.col("canon_url") < F.col("page_id")
+    return joined.select(
+        "page_id",
+        F.when(is_exact, F.col("canon_exact"))
+        .when(is_fuzzy, F.col("canon_fuzzy"))
+        .otherwise(F.col("canon_url"))
+        .alias("canonical_page_id"),
+        F.when(is_exact, "exact_hash")
+        .when(is_fuzzy, "fuzzy_match")
+        .when(is_url, "url_match")
+        .alias("detection_method"),
+        F.when(is_exact, F.lit(100.0))
+        .when(is_fuzzy, (1 - F.col("fuzzy_distance") / 64.0) * 100.0)
+        .cast("double")
+        .alias("similarity_pct"),
+    ).filter(F.col("detection_method").isNotNull())
+
+
+O_DUPLICATE_GROUPS_PROVENANCE = """
+WITH corpus AS (
+  SELECT doc_id AS page_id,
+         doc_id - doc_id % 2 AS url_key,
+         sha256(substr(text,1,40)) AS content_key,
+         CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS fp
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS page_id,
+         doc_id - doc_id % 2 AS url_key,
+         sha256(substr(text,1,40) || 'v') AS content_key,
+         xor(CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT),
+             CAST(power(2, CAST(doc_id % 4 AS INT) + 1) AS BIGINT) - 1) AS fp
+  FROM documents
+),
+with_canon AS (
+  SELECT *,
+         min(page_id) OVER (PARTITION BY content_key) AS canon_exact,
+         min(page_id) OVER (PARTITION BY url_key) AS canon_url
+  FROM corpus
+),
+banded AS (
+  SELECT page_id AS id, fp, b AS band_idx, (fp >> (b * 16)) & 65535 AS band
+  FROM corpus, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+near_pairs AS (
+  SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS distance
+  FROM (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+  ) WHERE bit_count(xor(fp_a, fp_b)) <= 3
+),
+fuzzy AS (
+  SELECT id_b AS page_id, min(id_a) AS canon_fuzzy,
+         arg_min(distance, id_a) AS fuzzy_distance
+  FROM near_pairs GROUP BY id_b
+)
+SELECT page_id,
+       CASE WHEN canon_exact < page_id THEN canon_exact
+            WHEN canon_fuzzy IS NOT NULL THEN canon_fuzzy
+            ELSE canon_url END AS canonical_page_id,
+       CASE WHEN canon_exact < page_id THEN 'exact_hash'
+            WHEN canon_fuzzy IS NOT NULL THEN 'fuzzy_match'
+            WHEN canon_url < page_id THEN 'url_match' END AS detection_method,
+       CAST(CASE WHEN canon_exact < page_id THEN 100.0
+                 WHEN canon_fuzzy IS NOT NULL
+                   THEN (1 - fuzzy_distance / 64.0) * 100.0 END
+            AS DOUBLE) AS similarity_pct
+FROM with_canon LEFT JOIN fuzzy USING (page_id)
+WHERE (CASE WHEN canon_exact < page_id THEN 'exact_hash'
+            WHEN canon_fuzzy IS NOT NULL THEN 'fuzzy_match'
+            WHEN canon_url < page_id THEN 'url_match' END) IS NOT NULL
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dup verification (the n-gram flavor of
     the dedup family): each doc vs a suffixed twin, all JVM-side array ops.
@@ -1192,6 +1320,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "duplicate_groups": q_duplicate_groups,
+    "duplicate_groups_provenance": q_duplicate_groups_provenance,
     "ann_ivf_topk": q_ann_ivf_topk,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
@@ -1219,6 +1348,7 @@ ORACLES = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "duplicate_groups": O_DUPLICATE_GROUPS,
+    "duplicate_groups_provenance": O_DUPLICATE_GROUPS_PROVENANCE,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
