@@ -179,3 +179,37 @@ def due_jobs(
             )
             fired.append({**job, "fired": fire, "next_run_time": nxt})
     return fired
+
+
+def prepare_jobs(jobs: list[dict], now: datetime) -> list[dict]:
+    """Orphan repair + timezone backfill before scheduling
+    (scheduled_job_processor._prepare_scheduled_job, lines 43-134):
+
+    - missing/empty timezone -> backfilled to 'UTC' (legacy rows predating
+      the timezone column), flagged `timezone_backfilled=True`;
+    - next_run_time is None (orphan: manual edit / failed migration) ->
+      recompute from `now` in the job's timezone WITHOUT a catch-up firing
+      (last_run_time untouched), flagged `orphan_repaired=True`;
+    - orphan whose cron/timezone is invalid -> deactivated
+      (`is_active=False`), kept in the output so callers can persist the
+      deactivation.
+
+    Pure driver-side metadata repair over the scheduled-jobs table — the
+    per-row work is O(#jobs), never data-scale.
+    """
+    out = []
+    for job in jobs:
+        j = dict(job)
+        if not j.get("timezone"):
+            j["timezone"] = "UTC"
+            j["timezone_backfilled"] = True
+        if j.get("next_run_time") is None and j.get("is_active", True):
+            try:
+                j["next_run_time"] = calculate_next_run(
+                    j["cron_expression"], now, j["timezone"]
+                )
+                j["orphan_repaired"] = True
+            except CronError:
+                j["is_active"] = False
+        out.append(j)
+    return out

@@ -117,3 +117,46 @@ class TestDueJobs:
 
     def test_inactive_job_ignored(self):
         assert due_jobs([self._job(T0 - timedelta(minutes=1), is_active=False)], T0) == []
+
+
+def test_prepare_jobs_backfills_timezone_and_repairs_orphans():
+    from datetime import UTC, datetime
+
+    from crawler_spark.kernels.cron import calculate_next_run, prepare_jobs
+
+    now = datetime(2026, 3, 2, 12, 30, tzinfo=UTC)
+    jobs = [
+        # legacy row: no timezone column value
+        {"id": 1, "cron_expression": "0 9 * * *", "timezone": None,
+         "next_run_time": datetime(2026, 3, 3, 9, 0, tzinfo=UTC)},
+        # orphan: next_run_time wiped, valid cron -> rescheduled, not fired
+        {"id": 2, "cron_expression": "*/15 * * * *", "timezone": "UTC",
+         "next_run_time": None},
+        # orphan with garbage cron -> deactivated, kept in output
+        {"id": 3, "cron_expression": "not a cron", "timezone": "UTC",
+         "next_run_time": None},
+        # healthy row passes through untouched
+        {"id": 4, "cron_expression": "0 0 * * 0", "timezone": "Asia/Jakarta",
+         "next_run_time": datetime(2026, 3, 8, 0, 0, tzinfo=UTC)},
+    ]
+    out = {j["id"]: j for j in prepare_jobs(jobs, now)}
+    assert len(out) == 4
+    assert out[1]["timezone"] == "UTC" and out[1].get("timezone_backfilled")
+    assert out[2]["next_run_time"] == calculate_next_run(
+        "*/15 * * * *", now, "UTC"
+    )
+    assert out[2].get("orphan_repaired") and out[2].get("is_active", True)
+    assert out[3]["is_active"] is False and out[3]["next_run_time"] is None
+    assert out[4] == jobs[3]  # no spurious flags on healthy rows
+
+
+def test_prepare_jobs_inactive_orphan_left_alone():
+    from datetime import UTC, datetime
+
+    from crawler_spark.kernels.cron import prepare_jobs
+
+    now = datetime(2026, 1, 1, tzinfo=UTC)
+    jobs = [{"id": 9, "cron_expression": "0 9 * * *", "timezone": "UTC",
+             "next_run_time": None, "is_active": False}]
+    (j,) = prepare_jobs(jobs, now)
+    assert j["next_run_time"] is None and not j.get("orphan_repaired")
