@@ -38,9 +38,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
+    ROWS_PER_FILE = 4_000_000  # target rows per written parquet file
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def _footer_lineage(path: str) -> list[dict[str, Any]] | None:
+        """Per-file row counts straight from the local parquet footers
+        (Iceberg's commit-time file stats). Returns None when the path is
+        not a local directory (cluster object store) — caller falls back to
+        one Spark scan of the written files."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            out = []
+            for name in sorted(os.listdir(path)):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    full = os.path.join(path, name)
+                    out.append(
+                        {
+                            "partition": name,
+                            "rows": int(pq.ParquetFile(full).metadata.num_rows),
+                        }
+                    )
+            return out
+        except Exception:
+            return None
 
     @property
     def _manifest_path(self) -> str:
@@ -91,6 +118,13 @@ class SnapshotStore:
         paths = self.table_paths(table)
         return spark.read.parquet(*paths) if paths else None
 
+    def table_rows(self, table: str) -> int:
+        """Live row count of `table` from manifest metadata alone (footer
+        stats summed over the live chain — no data read). For latest-wins
+        tables this is an upper bound (pre-merge); exact for append-only."""
+        chain = self._live_chain(self.manifest()["rounds"], table)
+        return sum(info.get("rows", 0) for _, info in chain)
+
     def blob_dir_for(self, round_no: int) -> str:
         """Where a round's filter shard blobs live; tasks write here directly
         (shared storage on a cluster) before the manifest flips."""
@@ -104,6 +138,7 @@ class SnapshotStore:
         blobs: dict[str, bytes] | None = None,
         blob_dir: str | None = None,
         delta_tables: dict[str, DataFrame] | None = None,
+        row_hints: dict[str, int] | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
         Lineage = per-spark-partition row counts captured at write time.
@@ -123,17 +158,28 @@ class SnapshotStore:
         def _write(name: str, df: DataFrame, mode: str) -> None:
             stem = "snap" if mode == "full" else "delta"
             path = os.path.join(self.root, name, f"{stem}-{round_no:05d}")
+            hint = (row_hints or {}).get(name)
+            if hint is not None:
+                # size output files by expected rows (the engine knows the
+                # round's counts from its metrics aggregate): a few-hundred-
+                # row delta must not become defaultParallelism near-empty
+                # files — file-count growth is what makes chain reads and
+                # listing slow as the crawl ages. At production scale the
+                # same formula yields real parallel writes.
+                df = df.coalesce(max(1, min(-(-hint // self.ROWS_PER_FILE), 256)))
             df.write.mode("overwrite").parquet(path)
-            # lineage from the WRITTEN files (one cheap scan of what was just
-            # produced — O(delta) for deltas), not from re-executing the
-            # table's plan: a recompute would double every round's cost
-            lineage = [
-                {"partition": os.path.basename(r["f"]), "rows": int(r["n"])}
-                for r in df.sparkSession.read.parquet(path)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(F.count("*").alias("n"))
-                .collect()
-            ]
+            # lineage from the WRITTEN files' parquet footers — free driver-
+            # side metadata, exactly how Iceberg records per-file row counts
+            # at commit time (no Spark job, no plan re-execution)
+            lineage = self._footer_lineage(path)
+            if lineage is None:  # non-local store: one scan of written files
+                lineage = [
+                    {"partition": os.path.basename(r["f"]), "rows": int(r["n"])}
+                    for r in df.sparkSession.read.parquet(path)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ]
             entry["tables"][name] = {
                 "path": path,
                 "mode": mode,

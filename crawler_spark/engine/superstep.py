@@ -149,6 +149,8 @@ class CrawlEngine:
              "retry_history": self._empty_retry_history()},
             metrics={"phase": "init", "n_seeds": len(rows)},
             blob_dir=out_dir,
+            row_hints={"frontier": len(rows), "seen": len(rows), "pages": 0,
+                       "dlq": 0, "fetch_log": 0, "retry_history": 0},
         )
 
     def _empty_pages(self) -> DataFrame:
@@ -538,12 +540,32 @@ class CrawlEngine:
         compaction = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
         full: dict[str, DataFrame] = {"frontier": next_frontier}
         delta: dict[str, DataFrame] = {}
+        # output-file sizing hints from the metrics already computed above +
+        # manifest footer stats — a few-hundred-row delta writes ONE file,
+        # not defaultParallelism near-empty ones (file-count growth is what
+        # would make chain reads slow as the crawl ages); at production
+        # counts the same hints yield genuinely parallel writes
+        n_failed = metrics["n_fetched"] - metrics["n_ok"]
+        hints = {
+            "frontier": max(
+                1,
+                metrics["n_due"] - metrics["n_selected"]
+                + metrics["n_retry"] + metrics["n_new_urls"],
+            ),
+            "seen": self.store.table_rows("seen") + metrics["n_new_urls"],
+            "pages": self.store.table_rows("pages") + metrics["n_ok"],
+            "dlq": self.store.table_rows("dlq") + metrics["n_dlq"],
+            "fetch_log": self.store.table_rows("fetch_log") + metrics["n_fetched"],
+            "retry_history": self.store.table_rows("retry_history") + n_failed,
+        }
         if self.ttl_rounds is not None or compaction:
             full["seen"] = next_seen
             full["pages"] = next_pages
         else:
             delta["seen"] = seen_delta
             delta["pages"] = new_pages
+            hints["seen"] = metrics["n_new_urls"]
+            hints["pages"] = metrics["n_ok"]
         if compaction:
             full["dlq"] = dlq.unionByName(to_dlq)
             full["fetch_log"] = fetch_log.unionByName(log_delta)
@@ -556,9 +578,12 @@ class CrawlEngine:
             delta["dlq"] = to_dlq
             delta["fetch_log"] = log_delta
             delta["retry_history"] = new_history
+            hints["dlq"] = metrics["n_dlq"]
+            hints["fetch_log"] = metrics["n_fetched"]
+            hints["retry_history"] = n_failed
         self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
-            delta_tables=delta,
+            delta_tables=delta, row_hints=hints,
         )
         flagged.unpersist()
         selected.unpersist()
