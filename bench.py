@@ -46,6 +46,12 @@ HEADLINE = [
     "error_classify",
     "backoff_jitter",
     "crawl_executor",
+    # r03 additions
+    "duplicate_groups_provenance",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "retry_history",
+    "seed_outcomes",
 ]
 
 
