@@ -327,15 +327,25 @@ class CrawlEngine:
             .withColumn("cand_hash", url_hash("cand_norm"))
             .withColumn("cand_host", canonical_host_udf(F.col("cand_norm")))
         )
-        cands = first_by_order(
-            cands.select(
-                F.col("cand_norm").alias("url_norm"),
-                F.col("cand_hash").alias("url_hash"),
-                F.col("cand_host").alias("host"),
-                "pos",
-            ),
-            "url_hash", ["url_norm", "pos"],
-        ).cache()
+        # the dedup shuffle carries the 32-byte binary digest instead of the
+        # 64-char hex string (hex re-derived map-side after the shuffle):
+        # 32 fewer bytes per candidate through shuffle write+read and
+        # cheaper key compares in the window sort — at 10^8 candidates/round
+        # that is multiple GB off the wire per round
+        cands = (
+            first_by_order(
+                cands.select(
+                    F.col("cand_norm").alias("url_norm"),
+                    F.unhex(F.col("cand_hash")).alias("url_key"),
+                    F.col("cand_host").alias("host"),
+                    "pos",
+                ),
+                "url_key", ["url_norm", "pos"],
+            )
+            .withColumn("url_hash", F.lower(F.hex("url_key")))
+            .drop("url_key")
+            .cache()
+        )
         # two-layer seen dedup with the FILE-backed shard probe: candidates
         # shuffle once on shard, each task loads only its own shard's blob
         # from the store — no blobs on the driver or in the UDF closure.
