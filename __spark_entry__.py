@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "duplicate_groups_provenance",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
+    "duplicate_components",
 ]
 
 

@@ -52,6 +52,7 @@ HEADLINE = [
     "multimodal_decode_wav",
     "retry_history",
     "seed_outcomes",
+    "duplicate_components",
 ]
 
 

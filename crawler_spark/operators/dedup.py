@@ -221,3 +221,75 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """C9 at scale: transitive closure of pairwise duplicate matches into
+    groups — min-label propagation to a fixpoint (the alternating-star
+    family of Kiveris et al. "Connected Components in MapReduce"; this is
+    the simple-propagation variant, which converges in diameter(G) rounds —
+    dedup graphs are near-cliques with tiny diameter, so 3-4 rounds in
+    practice).
+
+    Each iteration is one shuffle: label(x) <- min(label(x), min over
+    neighbors' labels), via an explode of each edge into both directions and
+    a map-side-combinable min aggregation. The driver-side loop action is a
+    single count of CHANGED labels per iteration (how GraphFrames' own CC
+    iterates); iterations are bounded by `max_iter` with a loud failure on
+    non-convergence rather than a silently-partial result.
+
+    Returns (id, component_id) with component_id = min node id reachable.
+    Reference parity: duplicate-group maintenance (current_schema.sql
+    duplicate_group tables) groups by exact hash only; this is the fuzzy
+    generalization a 100 TB dedup pipeline needs (MinHash/simhash pairs ->
+    canonical clusters).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    base = sym.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        base = base.unionByName(nodes.select(F.col("id"))).distinct()
+    labels = base.select("id", F.col("id").alias("comp"))
+    sym = sym.cache()
+    prev_cached = labels = labels.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"], "inner")
+            .select(F.col("src").alias("id"), F.col("comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        step = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("changed"),
+            )
+            .cache()
+        )
+        # materializes `step`'s cache, so unpersisting the previous
+        # generation afterwards cannot trigger a lineage recompute
+        n_changed = step.filter(F.col("changed")).limit(1).count()
+        labels = step.drop("changed")
+        prev_cached.unpersist()
+        prev_cached = step
+        if n_changed == 0:
+            out = labels.select("id", F.col("comp").alias("component_id"))
+            sym.unpersist()
+            return out
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )

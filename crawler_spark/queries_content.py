@@ -975,6 +975,107 @@ WHERE (CASE WHEN canon_exact < page_id THEN 'exact_hash'
 """
 
 
+def q_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 transitive closure: pairwise duplicate evidence (exact-hash edges
+    + banded-simhash fuzzy edges, the same corpus as
+    duplicate_groups_provenance) folded into connected components via
+    distributed min-label propagation (operators/dedup.connected_components;
+    one shuffle per iteration, converges in diameter rounds). The oracle
+    replays the closure with a recursive CTE — so a propagation that stops
+    one hop short fails the hash. Output: every page with its canonical
+    component id (min page_id reachable) and the component size."""
+    from crawler_spark.operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    fp60 = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10).cast("long")
+    base = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.sha2(F.substring("text", 1, 40), 256).alias("content_key"),
+        fp60.alias("fp"),
+    )
+    flips = (F.col("doc_id") % 4 + 1).cast("int")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("page_id"),
+        F.sha2(F.concat(F.substring("text", 1, 40), F.lit("v")), 256).alias(
+            "content_key"
+        ),
+        fp60.bitwiseXOR(F.pow(F.lit(2.0), flips).cast("long") - 1).alias("fp"),
+    )
+    corpus = base.unionByName(variants)
+    from pyspark.sql import Window
+
+    canon = F.min("page_id").over(Window.partitionBy("content_key"))
+    exact_edges = (
+        corpus.withColumn("canon", canon)
+        .filter(F.col("page_id") > F.col("canon"))
+        .select(F.col("canon").alias("id_a"), F.col("page_id").alias("id_b"))
+    )
+    fuzzy_edges = simhash_near_dup_join(
+        corpus.select(F.col("page_id").alias("id"), "fp"),
+        id_col="id", fp_col="fp", threshold=3,
+    ).select("id_a", "id_b")
+    comps = connected_components(
+        exact_edges.unionByName(fuzzy_edges),
+        nodes=corpus.select(F.col("page_id").alias("id")),
+    )
+    sizes = comps.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return comps.join(sizes, "component_id").select(
+        F.col("id").alias("page_id"), "component_id", "component_size"
+    )
+
+
+O_DUPLICATE_COMPONENTS = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id AS page_id,
+         sha256(substr(text,1,40)) AS content_key,
+         CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS fp
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS page_id,
+         sha256(substr(text,1,40) || 'v') AS content_key,
+         xor(CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT),
+             CAST(power(2, CAST(doc_id % 4 AS INT) + 1) AS BIGINT) - 1) AS fp
+  FROM documents
+),
+exact_edges AS (
+  SELECT min(page_id) OVER (PARTITION BY content_key) AS id_a, page_id AS id_b
+  FROM corpus
+  QUALIFY page_id > id_a
+),
+banded AS (
+  SELECT page_id AS id, fp, b AS band_idx, (fp >> (b * 16)) & 65535 AS band
+  FROM corpus, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+fuzzy_edges AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+  ) WHERE bit_count(xor(fp_a, fp_b)) <= 3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM exact_edges
+  UNION SELECT id_b, id_a FROM exact_edges
+  UNION SELECT id_a, id_b FROM fuzzy_edges
+  UNION SELECT id_b, id_a FROM fuzzy_edges
+),
+reach AS (
+  SELECT page_id AS id, page_id AS r FROM corpus
+  UNION
+  SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r
+),
+comp AS (
+  SELECT id AS page_id, min(r) AS component_id FROM reach GROUP BY id
+)
+SELECT page_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size
+FROM comp
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dup verification (the n-gram flavor of
     the dedup family): each doc vs a suffixed twin, all JVM-side array ops.
@@ -1321,6 +1422,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "duplicate_groups": q_duplicate_groups,
     "duplicate_groups_provenance": q_duplicate_groups_provenance,
+    "duplicate_components": q_duplicate_components,
     "ann_ivf_topk": q_ann_ivf_topk,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
@@ -1349,6 +1451,7 @@ ORACLES = {
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "duplicate_groups": O_DUPLICATE_GROUPS,
     "duplicate_groups_provenance": O_DUPLICATE_GROUPS_PROVENANCE,
+    "duplicate_components": O_DUPLICATE_COMPONENTS,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,

@@ -81,3 +81,29 @@ def test_band_pigeonhole():
         assert hamming(a, b) == len(flip)
         shared = set(enumerate(bands(a))) & set(enumerate(bands(b)))
         assert shared, f"no shared band at distance {len(flip)}"
+
+
+def test_connected_components_multi_hop(spark):
+    """A 4-node path graph needs 3 propagation hops — catches a closure that
+    stops after one round; isolated node keeps its own label."""
+    from crawler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,), (6,), (9,)],
+                                  "id long")
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from crawler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a long, id_b long")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
