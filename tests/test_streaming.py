@@ -67,3 +67,72 @@ def test_stateful_budget_conserves_counts(spark, events):
         # granted + throttled == seen, tokens never negative
         assert 0 <= r.tokens_left
         assert 0 <= r.n_throttled <= r.n_requests
+
+
+def test_stateful_budget_multi_batch_replay(spark, tmp_path):
+    """The availableNow single-batch oracle alone can't prove the state
+    carry-over; here the input is split into 3 files drained one per
+    micro-batch (maxFilesPerTrigger=1, mtime-ordered), and the final ledger
+    must equal a Python replay of the token bucket over the SAME batch
+    boundaries — refill per batch, grant capped by balance, throttle the
+    rest. A stateful operator that dropped or re-initialized state between
+    batches fails on n_throttled/tokens_left."""
+    import os
+    import time
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crawler_spark.streaming.ingest import _run_to_memory, stateful_host_budget
+
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    t0 = time.time() - 100
+    slices = []
+    for i in range(3):
+        part = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        p = os.path.join(d, f"part-{i:03d}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))  # oldest-first drain order
+        slices.append(part)
+
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    rows = _run_to_memory(stateful_host_budget(stream), "update").collect()
+
+    # the drain really was 3 micro-batches: every host present in all three
+    # slices emitted one update row per batch
+    updates_per_host = Counter(r.host for r in rows)
+    assert max(updates_per_host.values()) == 3
+
+    final = {}
+    for r in rows:  # n_requests is monotone, so max identifies the last update
+        if r.host not in final or r.n_requests > final[r.host].n_requests:
+            final[r.host] = r
+
+    rps, burst, round_seconds = 2.0, 10.0, 60.0
+    state = {}
+    for part in slices:
+        counts = Counter(
+            f"portal{u % 50}.go.id" for u in part.column("user_id").to_pylist()
+        )
+        for host, cnt in counts.items():
+            tokens, n_seen, n_thr = state.get(host, (burst, 0, 0))
+            tokens = min(burst + rps * round_seconds, tokens + rps * round_seconds)
+            grant = min(cnt, int(tokens))
+            tokens -= grant
+            state[host] = (tokens, n_seen + cnt, n_thr + cnt - grant)
+
+    assert set(final) == set(state)
+    for host, (tokens, n_seen, n_thr) in state.items():
+        r = final[host]
+        assert (r.tokens_left, r.n_requests, r.n_throttled) == (
+            tokens, n_seen, n_thr,
+        ), host
