@@ -259,7 +259,13 @@ def connected_components(
     if nodes is not None:
         base = base.unionByName(nodes.select(F.col("id"))).distinct()
     labels = base.select("id", F.col("id").alias("comp"))
-    sym = sym.cache()
+    # pre-partition the (large, loop-invariant) edge table on the join key
+    # before caching: every iteration joins sym.dst == labels.id, and a
+    # cached hash-partitioned layout lets Catalyst reuse the exchange — only
+    # the (small, changing) labels side shuffles per iteration. At 10^10
+    # edges this is the difference between one edge shuffle total and one
+    # per iteration.
+    sym = sym.repartition("dst").cache()
     prev_cached = labels = labels.cache()
     for _ in range(max_iter):
         neighbor_min = (
