@@ -237,12 +237,18 @@ def connected_components(
     dedup graphs are near-cliques with tiny diameter, so 3-4 rounds in
     practice).
 
-    Each iteration is one shuffle: label(x) <- min(label(x), min over
-    neighbors' labels), via an explode of each edge into both directions and
-    a map-side-combinable min aggregation. The driver-side loop action is a
-    single count of CHANGED labels per iteration (how GraphFrames' own CC
-    iterates); iterations are bounded by `max_iter` with a loud failure on
-    non-convergence rather than a silently-partial result.
+    Each iteration is ONE exchange: label(x) <- min(label(x), min over
+    neighbors' labels), computed as union(labels, neighbor-propagated
+    labels) -> map-side-combinable min aggregation. The propagation join
+    needs no exchange of its own — the cached edge table is pre-partitioned
+    on the join key and the labels side arrives already hash-partitioned on
+    `id` from the previous iteration's aggregation. Convergence is detected
+    with a SCALAR aggregate instead of a join against the previous labels:
+    labels only ever decrease, so sum(comp) (as decimal(38,0) — overflow-
+    proof at any node count) is strictly decreasing until the fixpoint, and
+    an unchanged sum == zero changed labels. Iterations are bounded by
+    `max_iter` with a loud failure on non-convergence rather than a
+    silently-partial result.
 
     Returns (id, component_id) with component_id = min node id reachable.
     Reference parity: duplicate-group maintenance (current_schema.sql
@@ -258,43 +264,37 @@ def connected_components(
     base = sym.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         base = base.unionByName(nodes.select(F.col("id"))).distinct()
-    labels = base.select("id", F.col("id").alias("comp"))
     # pre-partition the (large, loop-invariant) edge table on the join key
     # before caching: every iteration joins sym.dst == labels.id, and a
     # cached hash-partitioned layout lets Catalyst reuse the exchange — only
-    # the (small, changing) labels side shuffles per iteration. At 10^10
-    # edges this is the difference between one edge shuffle total and one
-    # per iteration.
+    # the (small, changing) labels side moves per iteration. At 10^10 edges
+    # this is the difference between one edge shuffle total and one per
+    # iteration.
     sym = sym.repartition("dst").cache()
-    prev_cached = labels = labels.cache()
+    labels = base.select("id", F.col("id").alias("comp")).cache()
+    checksum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(checksum).collect()[0]["s"]
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["id"], "inner")
-            .select(F.col("src").alias("id"), F.col("comp"))
-            .groupBy("id")
-            .agg(F.min("comp").alias("ncomp"))
+        propagated = sym.join(labels, sym["dst"] == labels["id"], "inner").select(
+            F.col("src").alias("id"), F.col("comp")
         )
         step = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("ncomp") < F.col("comp")).alias("changed"),
-            )
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
             .cache()
         )
-        # materializes `step`'s cache, so unpersisting the previous
-        # generation afterwards cannot trigger a lineage recompute
-        n_changed = step.filter(F.col("changed")).limit(1).count()
-        labels = step.drop("changed")
-        prev_cached.unpersist()
-        prev_cached = step
-        if n_changed == 0:
+        # one scalar action per iteration: materializes `step`'s cache (so
+        # unpersisting the previous generation cannot trigger a lineage
+        # recompute) AND yields the convergence checksum
+        cur_sum = step.agg(checksum).collect()[0]["s"]
+        labels.unpersist()
+        labels = step
+        if cur_sum == prev_sum:
             out = labels.select("id", F.col("comp").alias("component_id"))
             sym.unpersist()
             return out
+        prev_sum = cur_sum
     sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
