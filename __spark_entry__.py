@@ -47,6 +47,9 @@ _CHECK_FIRST = [
     "frontier_crawl_pages",
     "frontier_round_metrics",
     # round-3 additions
+    "robots_gate",
+    "workflow_toposort",
+    "cron_next_run",
     "retry_history",
     "seed_outcomes",
     "duplicate_groups_provenance",

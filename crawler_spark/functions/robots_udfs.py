@@ -87,6 +87,35 @@ def robots_exclusions(
     return frontier.filter(~allowed_udf(F.col(host_col), F.col(path_col)))
 
 
+def robots_decide_udf():
+    """Struct UDF (robots_txt, user_agent, path) -> (allowed, crawl_delay_s).
+
+    Unlike robots_eval_udfs (driver-known host->txt map in the closure), the
+    policy TEXT rides as a column — the full parse -> group-select -> match
+    path is exercised per distinct policy, memoized per executor (one parse
+    per distinct robots.txt, not per row)."""
+    cache: dict[str, RobotsPolicy] = {}
+
+    def _policy(txt: str) -> RobotsPolicy:
+        pol = cache.get(txt)
+        if pol is None:
+            pol = cache[txt] = parse_robots(txt)
+        return pol
+
+    @pandas_udf("allowed boolean, crawl_delay_s double")
+    def _decide(txt: pd.Series, ua: pd.Series, path: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, u, p in zip(txt, ua, path):
+            if t is None:
+                rows.append((True, None))
+                continue
+            pol = _policy(t)
+            rows.append((pol.is_allowed(u, p or "/"), pol.crawl_delay(u)))
+        return pd.DataFrame(rows, columns=["allowed", "crawl_delay_s"])
+
+    return _decide
+
+
 def url_path_col(url: Column) -> Column:
     """Path+query extraction as a JVM-side expression (no UDF): strip scheme,
     then everything from the first '/'; bare-host URLs -> '/'. """

@@ -112,17 +112,33 @@ class CronSchedule:
         return dom_ok or dow_ok  # Vixie OR rule
 
     def next_after(self, dt: datetime) -> datetime:
-        """Smallest schedule time strictly after dt (same tz as dt)."""
+        """Smallest schedule time strictly after dt (same tz as dt).
+
+        Field-jumping scan: a non-matching month jumps to the next month
+        start, a non-matching day to the next midnight, a non-matching hour
+        to the next hour — so sparse schedules (monthly/weekly) resolve in
+        tens of steps instead of a minute-by-minute walk. Wall-clock
+        semantics are identical to the naive +1-minute scan (jumps only
+        skip spans where some coarser field already fails to match).
+        """
         cur = dt.replace(second=0, microsecond=0) + timedelta(minutes=1)
-        for _ in range(4 * 366 * 24 * 60):  # 4-year scan bound (leap-proof)
-            if (
-                cur.month in self.months
-                and self._day_matches(cur)
-                and cur.hour in self.hours
-                and cur.minute in self.minutes
-            ):
+        horizon = dt + timedelta(days=4 * 366)  # leap-proof 4-year bound
+        while cur <= horizon:
+            if cur.month not in self.months:
+                if cur.month == 12:
+                    cur = cur.replace(
+                        year=cur.year + 1, month=1, day=1, hour=0, minute=0
+                    )
+                else:
+                    cur = cur.replace(month=cur.month + 1, day=1, hour=0, minute=0)
+            elif not self._day_matches(cur):
+                cur = cur.replace(hour=0, minute=0) + timedelta(days=1)
+            elif cur.hour not in self.hours:
+                cur = cur.replace(minute=0) + timedelta(hours=1)
+            elif cur.minute not in self.minutes:
+                cur += timedelta(minutes=1)
+            else:
                 return cur
-            cur += timedelta(minutes=1)
         raise CronError("no matching time within 4 years")
 
 

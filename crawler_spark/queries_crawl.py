@@ -1625,7 +1625,241 @@ FROM events
 """
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt gating (north-rule addition; the reference has NO robots
+    handling — SURVEY.md header note). Synthesizes one robots.txt PER HOST
+    from structured columns (two UA groups, comments, Allow/Disallow with a
+    '$' end-anchor and a '*' wildcard, Crawl-delay), round-trips it through
+    the RFC 9309 kernel (parse -> group select -> longest-match decide), and
+    emits the allow/deny + crawl-delay decision per request. The oracle
+    re-derives each decision constructively from the same columns — a parser
+    that mis-handles grouping, anchors, wildcards, or longest-match loses."""
+    from crawler_spark.functions.robots_udfs import robots_decide_udf
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    h = (F.col("user_id") % 50).cast("int")  # host bucket
+    c = (h % 5).cast("string")  # per-host cases prefix digit
+    delay = F.concat((h % 7 + 1).cast("string"), F.lit(".5"))
+    robots_txt = F.concat(
+        F.lit("# synthetic robots\n\nUser-agent: lexibot\nUser-agent: reserved-bot\n"
+              "Disallow: /private/\nAllow: /private/pub\nCrawl-delay: "),
+        delay,
+        F.lit("\n\nUser-agent: *\nDisallow: /cases/"), c,
+        F.lit("\nAllow: /cases/"), c, F.lit("0$\nDisallow: /tmp/*x\n"),
+    )
+    ua = F.when(F.col("event_id") % 13 < 6, F.lit("lexibot/1.0")).otherwise(
+        F.lit("crawlerx/2.0")
+    )
+    v = (F.col("event_id") % 6).cast("int")
+    k97 = (F.col("event_id") % 97).cast("string")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/private/doc"), k97))
+        .when(v == 1, F.concat(F.lit("/private/pub/d"), k97))
+        .when(v == 2, F.concat(F.lit("/cases/"), c, F.lit("0")))
+        .when(v == 3, F.concat(F.lit("/cases/"), c, (F.col("event_id") % 9).cast("string")))
+        .when(v == 4, F.concat(F.lit("/tmp/a"),
+                               F.when(F.col("event_id") % 2 == 0, F.lit("x")).otherwise(F.lit("y"))))
+        .otherwise(F.concat(F.lit("/docs/d"), k97))
+    )
+    decide = robots_decide_udf()
+    return (
+        ev.select(
+            "event_id",
+            ua.alias("ua"),
+            path.alias("path"),
+            decide(robots_txt, ua, path).alias("r"),
+        )
+        .select("event_id", "ua", "path", "r.allowed", "r.crawl_delay_s")
+    )
+
+
+O_ROBOTS_GATE = """
+WITH r AS (
+  SELECT event_id,
+         CAST(user_id % 50 AS INT) AS h,
+         CAST(event_id % 6 AS INT) AS v,
+         (event_id % 13) < 6 AS lexi
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN lexi THEN 'lexibot/1.0' ELSE 'crawlerx/2.0' END AS ua,
+       CASE v
+         WHEN 0 THEN '/private/doc' || (event_id % 97)
+         WHEN 1 THEN '/private/pub/d' || (event_id % 97)
+         WHEN 2 THEN '/cases/' || (h % 5) || '0'
+         WHEN 3 THEN '/cases/' || (h % 5) || (event_id % 9)
+         WHEN 4 THEN '/tmp/a' || CASE WHEN event_id % 2 = 0 THEN 'x' ELSE 'y' END
+         ELSE '/docs/d' || (event_id % 97)
+       END AS path,
+       CASE WHEN lexi THEN v <> 0             -- lexibot group: only /private/* rules
+            ELSE CASE v                        -- '*' group
+              WHEN 3 THEN (event_id % 9) = 0   -- anchored Allow '/cases/c0$' wins only exactly
+              WHEN 4 THEN (event_id % 2) <> 0  -- '/tmp/*x' wildcard disallow
+              ELSE TRUE                        -- v2 anchored allow; v0/v1/v5 unmatched
+            END
+       END AS allowed,
+       CASE WHEN lexi THEN (h % 7 + 1) + 0.5 END AS crawl_delay_s
+FROM r
+"""
+
+
+def q_workflow_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 dependency-graph build + deterministic Kahn toposort
+    (dependency_validator.py:63-269): seven fixed workflow shapes covering
+    linear chains, diamonds, lexicographic tie-breaks, condition-reference
+    edges, cycle reporting (exact DFS cycle path), duplicate-name and
+    missing-dependency errors — all error text oracled verbatim."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.workflow import (
+        WorkflowValidationError,
+        build_dependency_graph,
+        topological_order,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 7).cast("int").alias("variant")
+    )
+
+    cases = [
+        [{"name": "a"}, {"name": "b", "input_from": "a"},
+         {"name": "c", "input_from": "b"}, {"name": "d", "input_from": "c"}],
+        [{"name": "a"}, {"name": "b", "input_from": "a"},
+         {"name": "c", "input_from": "a"}, {"name": "d", "input_from": ["b", "c"]}],
+        [{"name": "z"}, {"name": "m"}, {"name": "a", "input_from": "z"},
+         {"name": "b", "input_from": "m"}],
+        [{"name": "a", "input_from": "b"}, {"name": "b", "input_from": "a"},
+         {"name": "c"}],
+        [{"name": "fetch"}, {"name": "parse", "skip_if": "{{fetch.count}} == 0"}],
+        [{"name": "a"}, {"name": "a"}],
+        [{"name": "b", "input_from": "ghost"}],
+    ]
+
+    out_type = T.StructType([
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_steps", T.IntegerType()),
+        T.StructField("order_csv", T.StringType()),
+        T.StructField("err", T.StringType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _topo(variant):
+        rows = []
+        for vv in variant:
+            steps = cases[int(vv)]
+            try:
+                order = topological_order(build_dependency_graph(steps))
+                rows.append((True, len(steps), ",".join(order), None))
+            except WorkflowValidationError as e:
+                rows.append((False, len(steps), None, str(e)))
+        return pd.DataFrame(rows, columns=["ok", "n_steps", "order_csv", "err"])
+
+    return ev.select("event_id", "variant", _topo("variant").alias("r")).select(
+        "event_id", "variant", "r.ok", "r.n_steps", "r.order_csv", "r.err"
+    )
+
+
+O_WORKFLOW_TOPOSORT = """
+SELECT event_id, CAST(event_id % 7 AS INT) AS variant,
+       (event_id % 7) NOT IN (3, 5, 6) AS ok,
+       CAST(CASE event_id % 7 WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 4
+                              WHEN 3 THEN 3 WHEN 4 THEN 2 WHEN 5 THEN 2
+                              ELSE 1 END AS INT) AS n_steps,
+       CASE event_id % 7 WHEN 0 THEN 'a,b,c,d' WHEN 1 THEN 'a,b,c,d'
+                         WHEN 2 THEN 'm,b,z,a' WHEN 4 THEN 'fetch,parse'
+       END AS order_csv,
+       CASE event_id % 7
+         WHEN 3 THEN 'dependency cycle: a -> b -> a'
+         WHEN 5 THEN 'duplicate step names: [''a'']'
+         WHEN 6 THEN 'step ''b'' depends on unknown step(s): [''ghost'']'
+       END AS err
+FROM events
+"""
+
+
+def q_cron_next_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 cron next-run (cron.py:9-73 semantics, from-scratch kernel) over
+    the SQL-expressible schedule family: minute steps, daily, weekly,
+    @monthly alias, hour steps, and a fixed-offset timezone (Etc/GMT-7 =
+    UTC+7; DST zones stay pytest-gated — the oracle can't replay IANA
+    transition tables). base_time = the event's own timestamp, so every row
+    exercises a different next-run boundary."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.cron import calculate_next_run
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", (F.col("event_id") % 6).cast("int").alias("variant")
+    )
+
+    scheds = [
+        ("*/15 * * * *", "UTC"),
+        ("0 3 * * *", "UTC"),
+        ("30 2 * * 1", "UTC"),
+        ("@monthly", "UTC"),
+        ("0 */6 * * *", "UTC"),
+        ("0 3 * * *", "Etc/GMT-7"),
+    ]
+
+    out_type = T.StructType([
+        T.StructField("cron_expr", T.StringType()),
+        T.StructField("tz", T.StringType()),
+        T.StructField("next_run", T.TimestampType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _next(variant, ts):
+        from datetime import UTC as _UTC
+
+        rows = []
+        for vv, t in zip(variant, ts):
+            expr, tz = scheds[int(vv)]
+            base = t.to_pydatetime().replace(tzinfo=_UTC)  # session tz is UTC
+            nxt = calculate_next_run(expr, base, timezone=tz)
+            rows.append((expr, tz, nxt.astimezone(_UTC).replace(tzinfo=None)))
+        return pd.DataFrame(rows, columns=["cron_expr", "tz", "next_run"])
+
+    return ev.select("event_id", "variant", _next("variant", "ts").alias("r")).select(
+        "event_id", "variant", "r.cron_expr", "r.tz", "r.next_run"
+    )
+
+
+O_CRON_NEXT_RUN = """
+WITH c AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS variant, ts,
+         date_trunc('day', ts) + INTERVAL 3 HOUR AS daily3,
+         date_trunc('day', ts + INTERVAL 7 HOUR) + INTERVAL 3 HOUR AS daily3_l,
+         date_trunc('day', ts)
+           + ((1 - CAST(extract(dow FROM ts) AS INT) + 7) % 7) * INTERVAL 1 DAY
+           + INTERVAL 2 HOUR + INTERVAL 30 MINUTE AS mon230
+  FROM events
+)
+SELECT event_id, variant,
+       CASE variant WHEN 0 THEN '*/15 * * * *' WHEN 1 THEN '0 3 * * *'
+                    WHEN 2 THEN '30 2 * * 1' WHEN 3 THEN '@monthly'
+                    WHEN 4 THEN '0 */6 * * *' ELSE '0 3 * * *' END AS cron_expr,
+       CASE WHEN variant = 5 THEN 'Etc/GMT-7' ELSE 'UTC' END AS tz,
+       CASE variant
+         WHEN 0 THEN date_trunc('minute', ts)
+                     + (15 - (CAST(extract(minute FROM ts) AS INT) % 15)) * INTERVAL 1 MINUTE
+         WHEN 1 THEN CASE WHEN daily3 > ts THEN daily3 ELSE daily3 + INTERVAL 1 DAY END
+         WHEN 2 THEN CASE WHEN mon230 > ts THEN mon230 ELSE mon230 + INTERVAL 7 DAY END
+         WHEN 3 THEN date_trunc('month', ts) + INTERVAL 1 MONTH
+         WHEN 4 THEN date_trunc('hour', ts)
+                     + (6 - (CAST(extract(hour FROM ts) AS INT) % 6)) * INTERVAL 1 HOUR
+         ELSE (CASE WHEN daily3_l > ts + INTERVAL 7 HOUR THEN daily3_l
+                    ELSE daily3_l + INTERVAL 1 DAY END) - INTERVAL 7 HOUR
+       END AS next_run
+FROM c
+"""
+
+
 QUERIES = {
+    "robots_gate": q_robots_gate,
+    "workflow_toposort": q_workflow_toposort,
+    "cron_next_run": q_cron_next_run,
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
     "priority_frontier": q_priority_frontier,
@@ -1662,6 +1896,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "robots_gate": O_ROBOTS_GATE,
+    "workflow_toposort": O_WORKFLOW_TOPOSORT,
+    "cron_next_run": O_CRON_NEXT_RUN,
     "url_normalize_hash": O_URL_NORMALIZE_HASH,
     "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
     "priority_frontier": O_PRIORITY_FRONTIER,
