@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "duplicate_components",
+    "api_executor",
 ]
 
 

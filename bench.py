@@ -53,6 +53,7 @@ HEADLINE = [
     "retry_history",
     "seed_outcomes",
     "duplicate_components",
+    "api_executor",
 ]
 
 

@@ -1190,6 +1190,82 @@ FROM rows_ JOIN o USING (batch_id)
 """
 
 
+def q_api_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 API step executor (api_executor.py:93-199): per-URL JSON API
+    request + JSON parse + JSON-path field extraction as one mapInPandas
+    batch map (sources/api.py). Outcome and body derive deterministically
+    from sha256(url) and the URL's embedded case/page numbers so DuckDB
+    replays every branch: 404 -> not_found, 429 -> rate_limit, invalid JSON
+    -> parsing_error, else extracted fields (scalar, list-index, JSON array,
+    per-field miss -> NULL)."""
+    import hashlib
+    import json as _json
+    import re
+
+    from crawler_spark.sources.api import api_batch
+
+    urls = synth_frontier(spark, sf_dir).select("event_id", "url")
+
+    def fetcher(url: str) -> tuple[int, str | None]:
+        h = int(hashlib.sha256(url.encode()).hexdigest()[:2], 16)
+        if h % 7 == 0:
+            return 404, None
+        if h % 7 == 1:
+            return 429, None
+        if h % 7 == 2:
+            return 200, "{not json"
+        case = re.search(r"/cases/(\d+)", url).group(1)
+        page = int(re.search(r"page=(\d+)", url).group(1))
+        return 200, _json.dumps(
+            {"data": {"title": f"case-{case}",
+                      "items": [f"item-{case}-1", f"item-{case}-2"]},
+             "count": page}
+        )
+
+    selectors = {
+        "title": "data.title",
+        "first_item": "data.items.0",
+        "page_count": "count",
+        "items": {"selector": "data.items", "type": "array"},
+        "missing": "data.nope.deep",
+    }
+    return api_batch(urls, fetcher, selectors).select(
+        "event_id", "status_code", "success", "error_category",
+        "title", "first_item", "page_count", "items", "missing",
+    )
+
+
+O_API_EXECUTOR = """
+WITH raw AS (
+  SELECT event_id,
+         'HTTPS://Portal' || (user_id % 50) || '.GO.ID/cases/' || (event_id % 997)
+           || '?utm_source=feed&ref=x&page=' || (event_id % 7 + 1)
+           || '&b=' || (user_id % 13) || '&a=1#s' AS url,
+         event_id % 997 AS case_n,
+         event_id % 7 + 1 AS page
+  FROM events
+),
+r AS (
+  SELECT event_id, case_n, page,
+         ('0x' || substr(sha256(url), 1, 2))::INT % 7 AS h
+  FROM raw
+)
+SELECT event_id,
+       CAST(CASE WHEN h = 0 THEN 404 WHEN h = 1 THEN 429 ELSE 200 END AS INT)
+         AS status_code,
+       h NOT IN (0, 1, 2) AS success,
+       CASE WHEN h = 0 THEN 'not_found' WHEN h = 1 THEN 'rate_limit'
+            WHEN h = 2 THEN 'parsing_error' END AS error_category,
+       CASE WHEN h NOT IN (0, 1, 2) THEN 'case-' || case_n END AS title,
+       CASE WHEN h NOT IN (0, 1, 2) THEN 'item-' || case_n || '-1' END AS first_item,
+       CASE WHEN h NOT IN (0, 1, 2) THEN CAST(page AS VARCHAR) END AS page_count,
+       CASE WHEN h NOT IN (0, 1, 2)
+            THEN '["item-' || case_n || '-1", "item-' || case_n || '-2"]' END AS items,
+       CAST(NULL AS VARCHAR) AS missing
+FROM r
+"""
+
+
 def q_pagination_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 strategy pick (crawler/services/pagination.py:50-143,292-315):
     template -> auto-detect -> selector fallback -> single page -> disabled,
@@ -1885,6 +1961,7 @@ QUERIES = {
     "page_upsert": q_page_upsert,
     "backoff_jitter": q_backoff_jitter,
     "scrape_batch": q_scrape_batch,
+    "api_executor": q_api_executor,
     "error_classify": q_error_classify,
     "pagination_strategy": q_pagination_strategy,
     "url_equivalence": q_url_equivalence,
@@ -1924,6 +2001,7 @@ ORACLES = {
     "page_upsert": O_PAGE_UPSERT,
     "backoff_jitter": O_BACKOFF_JITTER,
     "scrape_batch": O_SCRAPE_BATCH,
+    "api_executor": O_API_EXECUTOR,
     "error_classify": O_ERROR_CLASSIFY,
     "pagination_strategy": O_PAGINATION_STRATEGY,
     "url_equivalence": O_URL_EQUIVALENCE,
