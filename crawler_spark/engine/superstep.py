@@ -153,6 +153,104 @@ class CrawlEngine:
                        "dlq": 0, "fetch_log": 0, "retry_history": 0},
         )
 
+    def enqueue_seeds(self, urls: DataFrame, url_col: str = "url") -> dict[str, Any]:
+        """Mid-crawl seed ingestion (the streaming entry point — the
+        reference accepts new jobs while workers crawl, worker.py consuming
+        NATS continuously): a DataFrame of raw seed URLs joins the frontier
+        at the next round boundary, fully distributed — normalize + hash +
+        host derivation run as the same UDFs/exprs the round plan uses, and
+        the enqueue==seen invariant holds (already-seen URLs are dropped;
+        fresh ones enter frontier AND seen atomically in one enqueue-only
+        commit, with incremental shard maintenance).
+
+        On a fresh store this doubles as distributed init (round -1)."""
+        spark = self.spark
+        fresh_store = not self.store.manifest()["rounds"]
+        round_no = -1 if fresh_store else self.store.latest_round() + 1
+        norm = (
+            urls.select(normalize_url_udf(F.col(url_col)).alias("url_norm"))
+            .filter(F.col("url_norm").isNotNull())
+            .dropDuplicates(["url_norm"])
+            .withColumn("url_hash", url_hash("url_norm"))
+            .withColumn("host", canonical_host_udf(F.col("url_norm")))
+        )
+        batch = norm.select(
+            "url_norm", "url_hash", "host",
+            F.concat(
+                F.lit("/"),
+                F.regexp_extract("url_norm", r"^https?://[^/]+/(.*)$", 1),
+            ).alias("path"),
+            F.concat(F.lit("listing:"), F.col("host")).alias("seed_id"),
+            F.lit(PRIORITY_LISTING).alias("priority"),
+            F.lit(max(round_no, 0)).cast("long").alias("scheduled_ms"),
+            F.lit(0).alias("attempt"),
+            F.lit(max(round_no, 0)).cast("long").alias("not_before"),
+        )
+        seen = self.store.read(spark, "seen") if not fresh_store else None
+        fresh = (
+            batch.join(seen.select("url_hash"), "url_hash", "left_anti")
+            if seen is not None else batch
+        ).select(*[f.name for f in batch.schema.fields]).cache()
+        n_fresh = fresh.count()
+        if not fresh_store and n_fresh == 0:
+            # nothing new: metrics-only commit (no table or blob IO; reads
+            # keep resolving to the previous snapshot chain)
+            entry = self.store.commit_round(
+                round_no, {}, metrics={"phase": "enqueue", "n_enqueued": 0}
+            )
+            fresh.unpersist()
+            return entry["metrics"]
+        seen_delta = fresh.select(
+            "host", "url_hash", F.lit(round_no).cast("int").alias("seen_round")
+        )
+        out_dir = self.store.blob_dir_for(round_no)
+        prev_blob_dir = None if fresh_store else self.store.latest_blob_dir()
+        if prev_blob_dir is None:
+            # fresh store OR expired blobs: authoritative rebuild from the
+            # full post-enqueue membership (same guard as _run_round)
+            base = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            update_seen_shards(
+                base.select("host", "url_hash"), blob_dir=None,
+                n_shards=N_SHARDS, out_dir=out_dir,
+            ).collect()
+        else:
+            update_seen_shards(
+                fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
+                n_shards=N_SHARDS, out_dir=out_dir,
+            ).collect()
+        metrics = {"phase": "enqueue", "n_enqueued": n_fresh}
+        full: dict[str, DataFrame] = {}
+        delta: dict[str, DataFrame] = {}
+        if fresh_store:
+            full = {
+                "frontier": fresh, "seen": seen_delta,
+                "pages": self._empty_pages(), "dlq": self._empty_dlq(),
+                "fetch_log": self._empty_fetch_log(),
+                "retry_history": self._empty_retry_history(),
+            }
+            hints = {"frontier": n_fresh, "seen": n_fresh, "pages": 0,
+                     "dlq": 0, "fetch_log": 0, "retry_history": 0}
+        else:
+            frontier = self.store.read(spark, "frontier")
+            full = {"frontier": frontier.unionByName(fresh)}
+            delta = {"seen": seen_delta}
+            hints = {
+                "frontier": self.store.table_rows("frontier") + n_fresh,
+                "seen": n_fresh,
+            }
+        entry = self.store.commit_round(
+            round_no, full, metrics=metrics, blob_dir=out_dir,
+            delta_tables=delta, row_hints=hints,
+        )
+        fresh.unpersist()
+        return entry["metrics"]
+
+    def add_seeds(self, seeds: list[str]) -> dict[str, Any]:
+        """List convenience wrapper over enqueue_seeds."""
+        return self.enqueue_seeds(
+            self.spark.createDataFrame([(s,) for s in seeds], "url string")
+        )
+
     def _empty_pages(self) -> DataFrame:
         # raw_html is the blob-store parity column (the reference writes the
         # raw page to GCS tasks/{task}/{url_hash}.html, storage.py:56-71;

@@ -1,0 +1,76 @@
+"""Streaming front-end of the superstep crawl engine.
+
+The reference runs continuously: the FastAPI control plane publishes jobs to
+NATS and long-lived workers consume them while crawls are in flight
+(`/root/reference/crawler/worker.py`, `crawler/services/nats_queue.py:93-130`
+— WORK_QUEUE retention, 5-min publish-dedup window). The Spark-native
+equivalent is Structured Streaming driving the SAME batch engine:
+
+    seed files land in a directory (the queue)
+      -> readStream (file source = the durable, replayable queue;
+         maxFilesPerTrigger bounds a micro-batch like NATS batch size)
+      -> foreachBatch: CrawlEngine.enqueue_seeds(batch) — distributed
+         normalize/hash/dedup, enqueue==seen invariant, atomic commit —
+         then run rounds until the frontier drains (or a per-batch cap)
+
+Exactly-once composition: the streaming checkpoint makes each file's batch
+replay on failure, and enqueue_seeds is idempotent under replay (already-
+seen URLs anti-join away; a re-enqueued batch is a metrics-only commit), so
+crash/restart anywhere yields the same frontier, seen set, and pages as one
+uninterrupted run — the same argument as the engine's own resume gate.
+
+NOT a rewrite of the crawl as a stateful streaming operator: the frontier's
+priority/politeness selection is a global-rank decision per round, which is
+exactly what foreachBatch exists for (batch semantics inside a stream).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from crawler_spark.engine.superstep import CrawlEngine
+
+SEED_SCHEMA = "url string"
+
+
+def run_streaming_crawl(
+    spark: SparkSession,
+    engine: CrawlEngine,
+    seed_dir: str,
+    checkpoint_dir: str,
+    rounds_per_batch: int = 20,
+    max_files_per_trigger: int = 1,
+) -> list[dict[str, Any]]:
+    """Drain all seed files currently in ``seed_dir`` (availableNow), one
+    micro-batch per ``max_files_per_trigger`` files, crawling to frontier
+    drain after each enqueue. Returns per-batch engine metrics.
+
+    Production shape: swap the trigger for processingTime and the engine
+    keeps absorbing seed drops forever; the snapshot store commits atomically
+    between micro-batches, so cancel/resume semantics are unchanged.
+    """
+    batch_log: list[dict[str, Any]] = []
+
+    def _handle(batch_df, batch_id: int) -> None:
+        m = engine.enqueue_seeds(batch_df)
+        rounds = engine.run(max_rounds=rounds_per_batch)
+        batch_log.append(
+            {"batch_id": batch_id, "enqueue": m, "n_rounds": len(rounds),
+             "drained": bool(rounds and rounds[-1].get("done"))}
+        )
+
+    stream = (
+        spark.readStream.schema(SEED_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(seed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batch_log
