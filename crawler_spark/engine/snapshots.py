@@ -118,6 +118,51 @@ class SnapshotStore:
         paths = self.table_paths(table)
         return spark.read.parquet(*paths) if paths else None
 
+    def read_at(
+        self, spark: SparkSession, table: str, round_no: int
+    ) -> DataFrame | None:
+        """Time-travel read (Iceberg `VERSION AS OF`): the live state of
+        `table` as of `round_no`, resolved from the manifest chain over only
+        commits <= round_no. Raises if `round_no` predates the retention
+        window (expire_snapshots dropped it) — same contract as Iceberg's
+        missing-snapshot error. Returns None when the table had no commit
+        yet at that round."""
+        all_rounds = self.manifest()["rounds"]
+        if all_rounds and round_no < all_rounds[0]["round"]:
+            raise ValueError(
+                f"round {round_no} predates the retention window "
+                f"(oldest kept: {all_rounds[0]['round']}) — expired"
+            )
+        rounds = [r for r in all_rounds if r["round"] <= round_no]
+        chain = self._live_chain(rounds, table)
+        if not chain:
+            return None
+        paths = [info["path"] for _, info in chain]  # newest-first
+        paths.extend(reversed(chain[-1][1].get("base_paths", [])))
+        return spark.read.parquet(*list(reversed(paths)))
+
+    def history(self) -> list[dict[str, Any]]:
+        """Iceberg `table.history()` analogue over the whole store: one
+        entry per commit — round, wall-clock, per-table (mode, rows, files)
+        from the manifest's footer stats, plus the round metrics. Driver-side
+        metadata only; no data files are read."""
+        return [
+            {
+                "round": r["round"],
+                "committed_at": r.get("committed_at"),
+                "tables": {
+                    t: {
+                        "mode": info.get("mode", "full"),
+                        "rows": info.get("rows"),
+                        "files": len(info.get("lineage") or []),
+                    }
+                    for t, info in r["tables"].items()
+                },
+                "metrics": r.get("metrics", {}),
+            }
+            for r in self.manifest()["rounds"]
+        ]
+
     def table_rows(self, table: str) -> int:
         """Live row count of `table` from manifest metadata alone (footer
         stats summed over the live chain — no data read). For latest-wins

@@ -1,0 +1,77 @@
+"""SnapshotStore time travel (`read_at` = Iceberg VERSION AS OF) and commit
+history (`history()` = table.history()): per-round state reconstruction over
+full+delta chains, retention-window errors after expire_snapshots, and
+metadata-only history."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.engine.snapshots import SnapshotStore
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"v{i}") for i in ids], "id int, v string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    """Rounds: 0 full {0,1} · 1 delta {2} · 2 delta {3} · 3 full {0..4}
+    (compaction) · 4 delta {5}."""
+    st = SnapshotStore(str(tmp_path))
+    st.commit_round(0, {"t": _df(spark, [0, 1])}, metrics={"phase": "init"})
+    st.commit_round(1, {}, delta_tables={"t": _df(spark, [2])})
+    st.commit_round(2, {}, delta_tables={"t": _df(spark, [3])})
+    st.commit_round(3, {"t": _df(spark, [0, 1, 2, 3, 4])})
+    st.commit_round(4, {}, delta_tables={"t": _df(spark, [5])})
+    return st
+
+
+def test_read_at_reconstructs_each_round(spark, store):
+    expect = {0: [0, 1], 1: [0, 1, 2], 2: [0, 1, 2, 3],
+              3: [0, 1, 2, 3, 4], 4: [0, 1, 2, 3, 4, 5]}
+    for rnd, ids in expect.items():
+        assert _ids(store.read_at(spark, "t", rnd)) == ids
+
+
+def test_read_at_latest_equals_read(spark, store):
+    assert _ids(store.read_at(spark, "t", store.latest_round())) == \
+        _ids(store.read(spark, "t"))
+
+
+def test_read_at_between_commits_resolves_backwards(spark, store):
+    # a round with no commit for the table resolves to the last state <= it
+    store.commit_round(5, {}, metrics={"n_due": 0})
+    assert _ids(store.read_at(spark, "t", 5)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_read_at_before_first_commit_is_none(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    st.commit_round(2, {"t": _df(spark, [9])})
+    # round >= oldest kept but before the table's first commit
+    st.commit_round(3, {"u": _df(spark, [1])})
+    assert st.read_at(spark, "u", 2) is None
+
+
+def test_history_is_metadata_only(store):
+    h = store.history()
+    assert [e["round"] for e in h] == [0, 1, 2, 3, 4]
+    assert h[0]["tables"]["t"]["mode"] == "full"
+    assert h[1]["tables"]["t"]["mode"] == "delta"
+    assert h[1]["tables"]["t"]["rows"] == 1
+    assert h[3]["tables"]["t"]["rows"] == 5
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[0]["metrics"] == {"phase": "init"}
+
+
+def test_expired_round_raises_but_live_state_survives(spark, store):
+    store.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        store.read_at(spark, "t", 1)
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
+    assert _ids(store.read_at(spark, "t", store.latest_round())) == \
+        [0, 1, 2, 3, 4, 5]
