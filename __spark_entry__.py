@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "multimodal_decode_wav",
     "duplicate_components",
     "api_executor",
+    "http_executor",
 ]
 
 

@@ -54,6 +54,7 @@ HEADLINE = [
     "seed_outcomes",
     "duplicate_components",
     "api_executor",
+    "http_executor",
 ]
 
 

@@ -1266,6 +1266,78 @@ FROM r
 """
 
 
+def q_http_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 HTTP step executor (http_executor.py:68-213): per-URL page
+    request + CSS/XPath selector extraction over the HTML body as one
+    mapInPandas batch map (sources/api.py http_batch) — same classified
+    error dataflow as the API step, no JSON parse. The page body derives
+    deterministically from the URL's case number; selectors mix CSS, an
+    attribute-array field, an XPath field, and a guaranteed miss."""
+    import hashlib
+    import re
+
+    from crawler_spark.sources.api import http_batch
+
+    urls = synth_frontier(spark, sf_dir).select("event_id", "url")
+
+    def fetcher(url: str) -> tuple[int, str | None]:
+        h = int(hashlib.sha256(url.encode()).hexdigest()[:2], 16)
+        if h % 7 == 0:
+            return 404, None
+        if h % 7 == 1:
+            return 500, None
+        case = re.search(r"/cases/(\d+)", url).group(1)
+        return 200, (
+            f'<html><body><h1 class="t">Case {case}</h1>'
+            f'<div id="m"><span class="nomor">NO-{case}</span></div>'
+            f'<a class="dl" href="/f/{case}_1.pdf">d1</a>'
+            f'<a class="dl" href="/f/{case}_2.pdf">d2</a></body></html>'
+        )
+
+    selectors = {
+        "title": "h1.t",
+        "nomor": {"selector": "#m span.nomor"},
+        "links": {"selector": "a.dl", "attribute": "href", "type": "array"},
+        "xtitle": "//h1[@class='t']/text()",
+        "missing": "div.none",
+    }
+    return http_batch(urls, fetcher, selectors).select(
+        "event_id", "status_code", "success", "error_category",
+        "title", "nomor", "links", "xtitle", "missing",
+    )
+
+
+O_HTTP_EXECUTOR = """
+WITH raw AS (
+  SELECT event_id,
+         'HTTPS://Portal' || (user_id % 50) || '.GO.ID/cases/' || (event_id % 997)
+           || '?utm_source=feed&ref=x&page=' || (event_id % 7 + 1)
+           || '&b=' || (user_id % 13) || '&a=1#s' AS url,
+         event_id % 997 AS case_n
+  FROM events
+),
+r AS (
+  SELECT event_id, case_n,
+         ('0x' || substr(sha256(url), 1, 2))::INT % 7 AS h
+  FROM raw
+)
+SELECT event_id,
+       CAST(CASE WHEN h = 0 THEN 404 WHEN h = 1 THEN 500 ELSE 200 END AS INT)
+         AS status_code,
+       h NOT IN (0, 1) AS success,
+       CASE WHEN h = 0 THEN 'not_found' WHEN h = 1 THEN 'server_error' END
+         AS error_category,
+       CASE WHEN h NOT IN (0, 1) THEN 'Case ' || case_n END AS title,
+       CASE WHEN h NOT IN (0, 1) THEN 'NO-' || case_n END AS nomor,
+       CASE WHEN h NOT IN (0, 1)
+            THEN '["/f/' || case_n || '_1.pdf", "/f/' || case_n || '_2.pdf"]' END
+         AS links,
+       CASE WHEN h NOT IN (0, 1) THEN 'Case ' || case_n END AS xtitle,
+       CAST(NULL AS VARCHAR) AS missing
+FROM r
+"""
+
+
 def q_pagination_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 strategy pick (crawler/services/pagination.py:50-143,292-315):
     template -> auto-detect -> selector fallback -> single page -> disabled,
@@ -1962,6 +2034,7 @@ QUERIES = {
     "backoff_jitter": q_backoff_jitter,
     "scrape_batch": q_scrape_batch,
     "api_executor": q_api_executor,
+    "http_executor": q_http_executor,
     "error_classify": q_error_classify,
     "pagination_strategy": q_pagination_strategy,
     "url_equivalence": q_url_equivalence,
@@ -2002,6 +2075,7 @@ ORACLES = {
     "backoff_jitter": O_BACKOFF_JITTER,
     "scrape_batch": O_SCRAPE_BATCH,
     "api_executor": O_API_EXECUTOR,
+    "http_executor": O_HTTP_EXECUTOR,
     "error_classify": O_ERROR_CLASSIFY,
     "pagination_strategy": O_PAGINATION_STRATEGY,
     "url_equivalence": O_URL_EQUIVALENCE,

@@ -57,6 +57,21 @@ def make_api_executor(fetcher: Fetcher):
     return api_step
 
 
+def make_http_executor(fetcher: Fetcher):
+    """Workflow-orchestrator executor for step type 'http' (the reference's
+    HTTPExecutor, `http_executor.py:68-213`): same request/error dataflow as
+    the API step but the 2xx body is extracted directly as HTML via CSS /
+    XPath selectors (no JSON parse)."""
+
+    def http_step(spark, cfg, inputs):
+        (src,) = inputs.values()
+        return http_batch(
+            src, fetcher, cfg.get("selectors", {}), cfg.get("url_col", "url")
+        )
+
+    return http_step
+
+
 def api_batch(
     urls: DataFrame,
     fetcher: Fetcher,
@@ -66,6 +81,29 @@ def api_batch(
     """Per-URL API request + JSON-path extraction appended to the input
     frame; never raises. Output adds (status_code, success, error_category)
     plus one string column per selector field, in selector order."""
+    return _request_batch(urls, fetcher, selectors, url_col, json_mode=True)
+
+
+def http_batch(
+    urls: DataFrame,
+    fetcher: Fetcher,
+    selectors: dict[str, Any],
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL page request + CSS/XPath extraction over the HTML body
+    (http_executor.py:171-174: one DOM build, per-field extraction with
+    independent failures); same error dataflow as api_batch minus the JSON
+    parse step."""
+    return _request_batch(urls, fetcher, selectors, url_col, json_mode=False)
+
+
+def _request_batch(
+    urls: DataFrame,
+    fetcher: Fetcher,
+    selectors: dict[str, Any],
+    url_col: str,
+    json_mode: bool,
+) -> DataFrame:
     from crawler_spark.kernels.selectors import process_selectors
 
     fields = list(selectors)
@@ -93,11 +131,15 @@ def api_batch(
                 try:
                     status, body = fetcher(url)
                     if 200 <= status < 300:
-                        try:
-                            data = json.loads(body if body is not None else "")
-                        except Exception:
-                            category = "parsing_error"
+                        if json_mode:
+                            try:
+                                data = json.loads(body if body is not None else "")
+                            except Exception:
+                                data = None
+                                category = "parsing_error"
                         else:
+                            data = body if body is not None else ""
+                        if category is None:
                             # api_executor.py:171-175 — selector misses are
                             # per-field None, never a request failure
                             extracted = process_selectors(data, selectors)

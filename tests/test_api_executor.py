@@ -84,6 +84,59 @@ def test_transport_exception_classified(result):
     assert r["error_category"] == "timeout"  # TimeoutError via the R2 ladder
 
 
+def _make_html_fetcher():
+    html = ('<html><body><h1 class="t">T1</h1>'
+            '<a class="dl" href="/a.pdf">x</a><a class="dl" href="/b.pdf">y</a>'
+            '</body></html>')
+
+    def fetcher(url):
+        if url.endswith("/500"):
+            return 500, None
+        return 200, html
+
+    return fetcher
+
+
+def test_http_batch_css_xpath_extraction(spark):
+    from crawler_spark.sources.api import http_batch
+
+    urls = spark.createDataFrame([("http://x/ok",), ("http://x/500",)], "url string")
+    selectors = {
+        "title": "h1.t",
+        "xtitle": "//h1[@class='t']/text()",
+        "links": {"selector": "a.dl", "attribute": "href", "type": "array"},
+        "missing": "div.none",
+    }
+    rows = {r["url"].rsplit("/", 1)[1]: r
+            for r in http_batch(urls, _make_html_fetcher(), selectors).collect()}
+    ok = rows["ok"]
+    assert ok["success"] and ok["title"] == "T1" and ok["xtitle"] == "T1"
+    assert json.loads(ok["links"]) == ["/a.pdf", "/b.pdf"]
+    assert ok["missing"] is None
+    bad = rows["500"]
+    assert not bad["success"] and bad["error_category"] == "server_error"
+    # no JSON parse step: an HTML body must never yield parsing_error
+    assert ok["error_category"] is None
+
+
+def test_orchestrator_http_step(spark):
+    from crawler_spark.engine.orchestrator import WorkflowOrchestrator
+    from crawler_spark.sources.api import make_http_executor
+
+    def load(sp, cfg, inputs):
+        return sp.createDataFrame([("http://x/ok",)], "url string")
+
+    orch = WorkflowOrchestrator(
+        spark, {"load": load, "http": make_http_executor(_make_html_fetcher())}
+    )
+    res = orch.run([
+        {"name": "load", "type": "load"},
+        {"name": "fetch", "type": "http", "input_from": "load",
+         "config": {"selectors": {"title": "h1.t"}}},
+    ])
+    assert res["fetch"].status == "completed" and res["fetch"].n_rows == 1
+
+
 def test_orchestrator_api_step(spark):
     from crawler_spark.engine.orchestrator import WorkflowOrchestrator
 
