@@ -58,6 +58,8 @@ _CHECK_FIRST = [
     "duplicate_components",
     "api_executor",
     "http_executor",
+    "config_merge",
+    "data_attr_extract",
 ]
 
 

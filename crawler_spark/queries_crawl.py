@@ -1926,6 +1926,135 @@ FROM events
 """
 
 
+def q_config_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 config merge (step_orchestrator.py:626-676): global ⊕ step with
+    one-level deep-merge for the policy sections (rate_limit/timeout/retry/
+    headers — a step overriding rate_limit.rps keeps the global burst) and
+    wholesale replacement for everything else. Four merge shapes exercised
+    per event row through the kernel; the oracle states the expected merged
+    values as a CASE table."""
+    import json as _json
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.workflow import merge_config
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 4).cast("int").alias("variant")
+    )
+    out_type = T.StructType([
+        T.StructField("rps", T.DoubleType()),
+        T.StructField("burst", T.IntegerType()),
+        T.StructField("timeout_s", T.IntegerType()),
+        T.StructField("connect_s", T.IntegerType()),
+        T.StructField("selector", T.StringType()),
+        T.StructField("meta_json", T.StringType()),
+    ])
+    g = {"timeout": {"seconds": 30, "connect": 5},
+         "rate_limit": {"rps": 2, "burst": 10},
+         "selector": "g", "meta": {"a": 1}}
+    steps = [
+        {},
+        {"rate_limit": {"rps": 0.5}},
+        {"timeout": {"seconds": 60}, "selector": "s"},
+        {"meta": {"b": 2}, "rate_limit": {"burst": 3}},
+    ]
+
+    @pandas_udf(out_type)
+    def _merge(variant):
+        rows = []
+        for vv in variant:
+            m = merge_config(g, steps[int(vv)])
+            rows.append((
+                float(m["rate_limit"]["rps"]), int(m["rate_limit"]["burst"]),
+                int(m["timeout"]["seconds"]), int(m["timeout"]["connect"]),
+                m["selector"], _json.dumps(m["meta"], sort_keys=True),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "rps", "burst", "timeout_s", "connect_s", "selector", "meta_json"
+        ])
+
+    return ev.select("event_id", "variant", _merge("variant").alias("r")).select(
+        "event_id", "variant", "r.rps", "r.burst", "r.timeout_s",
+        "r.connect_s", "r.selector", "r.meta_json",
+    )
+
+
+O_CONFIG_MERGE = """
+SELECT event_id, CAST(event_id % 4 AS INT) AS variant,
+       CASE event_id % 4 WHEN 1 THEN 0.5 ELSE 2.0 END AS rps,
+       CAST(CASE event_id % 4 WHEN 3 THEN 3 ELSE 10 END AS INT) AS burst,
+       CAST(CASE event_id % 4 WHEN 2 THEN 60 ELSE 30 END AS INT) AS timeout_s,
+       CAST(5 AS INT) AS connect_s,
+       CASE event_id % 4 WHEN 2 THEN 's' ELSE 'g' END AS selector,
+       CASE event_id % 4 WHEN 3 THEN '{"b": 2}' ELSE '{"a": 1}' END AS meta_json
+FROM events
+"""
+
+
+def q_data_attr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 data-attribute URLs (url_extractor.py:330-384): JS-driven
+    navigation targets on non-anchor elements — data-url > data-href >
+    data-link precedence per element, anchors keep their text, script
+    content is never scanned. One variant per event through the same
+    extract_page kernel the crawl loop uses."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.htmlparse import extract_page
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 5).cast("int").alias("variant"),
+        F.col("event_id").cast("string").alias("ids"),
+    )
+    out_type = T.StructType([
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _extract(variant, ids):
+        rows = []
+        for vv, i in zip(variant, ids):
+            v = int(vv)
+            if v == 0:
+                html = f'<div data-url="/d/{i}">x</div>'
+            elif v == 1:
+                html = (f'<span data-url="/u/{i}" data-href="/h/{i}"'
+                        f' data-link="/l/{i}">x</span>')
+            elif v == 2:
+                html = f'<a href="/a/{i}">Anchor {i}</a>'
+            elif v == 3:
+                html = f'<script>var x = \'<div data-url="/s/{i}"></div>\';</script>'
+            else:
+                html = f'<button data-link="/b/{i}">Go</button>'
+            links = extract_page(html)["links"]
+            href, anchor = (links[0][0], links[0][1]) if links else (None, None)
+            rows.append((len(links), href, anchor))
+        return pd.DataFrame(rows, columns=["n_links", "href", "anchor"])
+
+    return ev.select(
+        "event_id", "variant", _extract("variant", "ids").alias("r")
+    ).select("event_id", "variant", "r.n_links", "r.href", "r.anchor")
+
+
+O_DATA_ATTR_EXTRACT = """
+SELECT event_id, CAST(event_id % 5 AS INT) AS variant,
+       CAST(CASE WHEN event_id % 5 = 3 THEN 0 ELSE 1 END AS INT) AS n_links,
+       CASE event_id % 5
+         WHEN 0 THEN '/d/' || event_id
+         WHEN 1 THEN '/u/' || event_id
+         WHEN 2 THEN '/a/' || event_id
+         WHEN 4 THEN '/b/' || event_id
+       END AS href,
+       CASE event_id % 5 WHEN 2 THEN 'Anchor ' || event_id
+                         WHEN 3 THEN NULL ELSE '' END AS anchor
+FROM events
+"""
+
+
 def q_cron_next_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 cron next-run (cron.py:9-73 semantics, from-scratch kernel) over
     the SQL-expressible schedule family: minute steps, daily, weekly,
@@ -2007,6 +2136,8 @@ FROM c
 QUERIES = {
     "robots_gate": q_robots_gate,
     "workflow_toposort": q_workflow_toposort,
+    "config_merge": q_config_merge,
+    "data_attr_extract": q_data_attr_extract,
     "cron_next_run": q_cron_next_run,
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
@@ -2048,6 +2179,8 @@ QUERIES = {
 ORACLES = {
     "robots_gate": O_ROBOTS_GATE,
     "workflow_toposort": O_WORKFLOW_TOPOSORT,
+    "config_merge": O_CONFIG_MERGE,
+    "data_attr_extract": O_DATA_ATTR_EXTRACT,
     "cron_next_run": O_CRON_NEXT_RUN,
     "url_normalize_hash": O_URL_NORMALIZE_HASH,
     "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
