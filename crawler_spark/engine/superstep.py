@@ -85,6 +85,7 @@ class CrawlEngine:
         selector_configs: dict[str, dict] | None = None,
         hot_host_threshold: int | None = None,
         n_salts: int = 4,
+        log_feed: bool = False,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -116,6 +117,13 @@ class CrawlEngine:
         self.selector_configs = selector_configs or {}
         self.hot_host_threshold = hot_host_threshold
         self.n_salts = n_salts
+        # log_feed: additionally append each round's fetch_log rows to an
+        # append-only feed directory for live tailing via
+        # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
+        # log streaming, log_publisher.py, as a file-feed channel). Off by
+        # default — it duplicates fetch_log write IO by design (log shipping
+        # is a second channel, not the table).
+        self.log_feed = log_feed
 
     # ------------------------------------------------------------- bootstrap
 
@@ -689,6 +697,14 @@ class CrawlEngine:
             hints["dlq"] = metrics["n_dlq"]
             hints["fetch_log"] = metrics["n_fetched"]
             hints["retry_history"] = n_failed
+        if self.log_feed and metrics["n_fetched"] > 0:
+            import os
+
+            log_delta.coalesce(
+                max(1, min(metrics["n_fetched"] // SnapshotStore.ROWS_PER_FILE + 1, 64))
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.store.root, "_logfeed", f"feed-{round_no:05d}")
+            )
         self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
             delta_tables=delta, row_hints=hints,

@@ -34,6 +34,31 @@ from crawler_spark.engine.superstep import CrawlEngine
 
 SEED_SCHEMA = "url string"
 
+FETCH_LOG_SCHEMA = (
+    "url_hash string, url_norm string, host string, status_code int,"
+    " fetched_round int, fetch_order int"
+)
+
+
+def tail_fetch_log(spark: SparkSession, store_root: str):
+    """Live log streaming, Spark-native (the reference streams per-job logs
+    over WebSockets, `log_publisher.py` / PRD <200 ms target): an engine
+    built with ``log_feed=True`` appends each round's fetch_log rows to an
+    append-only feed directory (`_logfeed/`), so a streaming file source
+    over it IS a log tail — each committed round's files are discovered as
+    one micro-batch, a restart with the same checkpoint resumes from the
+    last streamed file, and the consumer is any writeStream sink (console,
+    Kafka, memory). The snapshot table itself can't be tailed directly:
+    compaction rounds fold the round's delta into a full rewrite, which a
+    file source would re-deliver — the feed dir is the log-shipping channel,
+    the table stays the queryable state. Delivery is at-least-once across a
+    crash mid-round (a re-run rewrites the same feed dir idempotently)."""
+    return (
+        spark.readStream.schema(FETCH_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(f"{store_root}/_logfeed/feed-*")
+    )
+
 
 def run_streaming_crawl(
     spark: SparkSession,

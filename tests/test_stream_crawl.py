@@ -106,6 +106,46 @@ def test_within_host_order_still_monotonic(spark, stream_result):
         assert seq == sorted(seq)
 
 
+def test_log_feed_tail_is_incremental_and_complete(
+    spark, corpus, robots, tmp_path_factory
+):
+    """tail_fetch_log over a log_feed engine: first tail delivers exactly the
+    rows logged so far, a second tail with the SAME checkpoint delivers only
+    the rows from rounds run in between, and the union equals the fetch_log
+    table (the WebSocket-log-streaming analogue, as a resumable file feed)."""
+    from crawler_spark.streaming.crawl_stream import tail_fetch_log
+
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("feed")), corpus, robots,
+                      per_host_budget=BUDGET, log_feed=True)
+    ckpt = str(tmp_path_factory.mktemp("feed_ckpt"))
+
+    def drain_tail(name):
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.append(batch_df.count())
+
+        q = (
+            tail_fetch_log(spark, eng.store.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sum(got)
+
+    eng.run(seeds=seed_urls(SPEC), max_rounds=3)
+    logged_early = eng.store.read(spark, "fetch_log").count()
+    first = drain_tail("tail1")
+    assert first == logged_early > 0
+
+    eng.run(max_rounds=MAX_ROUNDS)  # continue to drain (crosses compaction)
+    total = eng.store.read(spark, "fetch_log").count()
+    second = drain_tail("tail2")
+    assert second == total - first > 0  # only the new rounds' rows
+    assert first + second == total
+
+
 def test_enqueue_replay_is_idempotent(spark, corpus, robots, tmp_path_factory):
     """Re-delivering an already-processed seed batch (the crash-replay case)
     is a metrics-only no-op: no new frontier rows, no new seen rows."""
