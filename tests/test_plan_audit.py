@@ -167,3 +167,22 @@ def test_crawl_executor_no_cartesian_product(spark):
     plan = q_crawl_executor(spark, SF)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s
+
+
+@pytest.mark.parametrize("qname", [
+    "api_executor", "http_executor", "config_merge", "data_attr_extract",
+])
+def test_request_and_kernel_batch_maps_are_shuffle_free(spark, qname):
+    """The step-executor batch maps and the kernel-replay queries are pure
+    per-row maps: no hash/range exchange anywhere (at 10^10 URLs a keyed
+    shuffle here would be the bottleneck). The one allowed exchange is the
+    fixture reader's round-robin repartition that spreads the single
+    test-parquet file across cores — data-independent, not a key shuffle."""
+    import __spark_entry__ as entrymod
+
+    plan = entrymod.queries()[qname](spark, SF)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= 1, qname
+    assert "hashpartitioning" not in s.lower(), qname
+    assert "rangepartitioning" not in s.lower(), qname
+    assert "CartesianProduct" not in s
