@@ -157,6 +157,46 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
     # warm-up (codegen + python worker pool), not timed
     base.withColumn("n", normalize_url_udf(F.col("url"))).limit(50000).count()
 
+    if mode == "span":
+        # interleaved-payload parse stage (the north rule's span-sequence
+        # half): synthetic page -> full parse_page_udf (DOM walk + C2
+        # normalize + sha + simhash) -> span count. Map-only like "parse"
+        # but Python-kernel-bound (~ms/page), so it runs at a smaller n.
+        from crawler_spark.functions.parse_udfs import parse_page_udf
+
+        pages = base.select(
+            "id",
+            F.concat(
+                F.lit("<html><head><title>Putusan "),
+                F.col("id").cast("string"),
+                F.lit('</title></head><body><div class="content"><h1>Perkara '),
+                F.col("id").cast("string"),
+                F.lit("</h1><p>Menimbang bahwa dalam perkara nomor "),
+                (F.col("id") % 997).cast("string"),
+                F.lit(" telah diperiksa dan diadili dengan seksama.</p><p>"),
+                F.lit("Mengingat ketentuan pasal "),
+                (F.col("id") % 50).cast("string"),
+                F.lit(' sebagaimana dimaksud.</p><a href="/files/'),
+                F.col("id").cast("string"),
+                F.lit('.pdf" class="download">Salinan PDF</a><img src="/img/'),
+                (F.col("id") % 100).cast("string"),
+                F.lit('.jpg"></div></body></html>'),
+            ).alias("html"),
+        )
+        pages.limit(2000).select(parse_page_udf("html")).write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm-up, not timed
+        t0 = time.time()
+        pages.select(
+            "id", F.size(parse_page_udf(F.col("html")).getField("spans")).alias("n")
+        ).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spark.stop()
+        return {
+            "cpus": cpus, "n_urls": n_urls, "wall_sec": round(wall, 2),
+            "urls_per_sec": round(n_urls / wall, 1),
+        }
+
     t0 = time.time()
     normed = base.withColumn("url_norm", normalize_url_udf(F.col("url"))).withColumn(
         "url_hash", url_hash("url_norm")
@@ -241,11 +281,18 @@ def main() -> None:
         n_urls = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "8000000"))
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
         report: dict = {}
-        for mode, label in (("parse", "parse_throughput"), ("round", "frontier_round")):
+        n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "240000"))
+        for mode, label in (
+            ("parse", "parse_throughput"),
+            ("round", "frontier_round"),
+            ("span", "span_parse_throughput"),
+        ):
             best: dict[int, dict] = {}
             for _ in range(trials):
                 for cpus in (8, 32):
-                    r = run_scaling_workload(cpus, n_urls, mode)
+                    r = run_scaling_workload(
+                        cpus, n_pages if mode == "span" else n_urls, mode
+                    )
                     if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                         best[cpus] = r
             speedup = best[8]["wall_sec"] / best[32]["wall_sec"]
