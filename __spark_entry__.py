@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "http_executor",
     "config_merge",
     "data_attr_extract",
+    "ann_ivf_train",
 ]
 
 

@@ -55,6 +55,7 @@ HEADLINE = [
     "duplicate_components",
     "api_executor",
     "http_executor",
+    "ann_ivf_train",
 ]
 
 

@@ -140,3 +140,59 @@ def lsh_bucketed_topk(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's iteration for IVF centroid training (completes
+    the train side of the IVF ANN path; `ivf_assign`/`ivf_topk` are the
+    probe side). Spark-shape per iteration: broadcast-assign (cosine argmax,
+    same rounding as `ivf_assign` so every engine replays the argmax
+    identically) -> posexplode to (centroid, dim) -> map-side-combinable
+    mean -> re-assemble ordered arrays. Deterministic throughout: init =
+    the k lowest-id vectors, means rounded to `round_dp` before the next
+    assignment, ties on centroid id. Lineage is truncated per iteration
+    (eager localCheckpoint — see operators/dedup.connected_components for
+    the measured superlinear-planning failure mode this avoids). Clusters
+    that lose every member drop out (no re-seeding — reproducible).
+
+    Returns (centroids, sizes): the trained centroid table and the member
+    counts of the final assignment that produced it.
+    """
+    w_init = Window.orderBy(id_col)
+    centroids = (
+        corpus.orderBy(id_col).limit(k)
+        .withColumn("centroid_id", F.row_number().over(w_init) - 1)
+        .select("centroid_id", F.col(vec_col).cast("array<double>").alias(vec_col))
+    )
+    sizes = None
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        )
+        exploded = assigned.select(
+            "centroid_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+        )
+        means = exploded.groupBy("centroid_id", "pos").agg(
+            F.round(F.avg("val"), round_dp).alias("val")
+        )
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("s"), lambda x: x["val"]).alias(vec_col),
+            )
+            .localCheckpoint()
+        )
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.count("*").cast("long").alias("n_members")
+        )
+    return centroids, sizes

@@ -1144,6 +1144,67 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, centroids, k=3, nprobe=2)
 
 
+def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (the missing train half of the IVF path):
+    distributed Lloyd's k-means, k=8, 2 iterations, deterministic init (k
+    lowest-id vectors) and rounded means/similarities so DuckDB replays the
+    full fit bit-for-bit. Output: every trained centroid dimension plus the
+    final assignment's member counts."""
+    from crawler_spark.operators.similarity import kmeans_fit
+
+    corpus = _embs(spark, sf_dir)
+    centroids, sizes = kmeans_fit(corpus, k=8, n_iter=2)
+    return (
+        centroids.select(
+            "centroid_id", F.posexplode("embedding").alias("dim_idx", "value")
+        )
+        .join(sizes, "centroid_id")
+        .select("centroid_id", "dim_idx", "value", "n_members")
+    )
+
+
+O_ANN_IVF_TRAIN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN init c) WHERE rn = 1
+),
+m1 AS (
+  SELECT centroid_id, i, round(avg(v[i]), 6) AS val
+  FROM a1, LATERAL unnest(generate_series(1, 64)) AS g(i)
+  GROUP BY centroid_id, i
+),
+c1 AS (SELECT centroid_id, list(val ORDER BY i) AS cv FROM m1 GROUP BY centroid_id),
+a2 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c1 c) WHERE rn = 1
+),
+m2 AS (
+  SELECT centroid_id, i, round(avg(v[i]), 6) AS val
+  FROM a2, LATERAL unnest(generate_series(1, 64)) AS g(i)
+  GROUP BY centroid_id, i
+),
+sizes AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM a2 GROUP BY centroid_id
+)
+SELECT m2.centroid_id, CAST(i - 1 AS INT) AS dim_idx, val AS value, n_members
+FROM m2 JOIN sizes USING (centroid_id)
+"""
+
+
 O_ANN_IVF_TOPK = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1424,6 +1485,7 @@ QUERIES = {
     "duplicate_groups_provenance": q_duplicate_groups_provenance,
     "duplicate_components": q_duplicate_components,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_train": q_ann_ivf_train,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
     "content_normalize": q_content_normalize,
@@ -1453,6 +1515,7 @@ ORACLES = {
     "duplicate_groups_provenance": O_DUPLICATE_GROUPS_PROVENANCE,
     "duplicate_components": O_DUPLICATE_COMPONENTS,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
+    "ann_ivf_train": O_ANN_IVF_TRAIN,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
     "content_normalize": O_CONTENT_NORMALIZE,

@@ -107,3 +107,38 @@ def test_connected_components_nonconvergence_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """kmeans_fit on three orthogonal-direction blobs: the trained centroids
+    partition the points exactly by blob, sizes match, and every centroid
+    points in its blob's direction (cosine > 0.99). Deterministic — no RNG."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    rows = []
+    for blob, axis in enumerate([0, 3, 6]):
+        for j in range(20):
+            v = [0.0] * 9
+            v[axis] = 10.0
+            v[(axis + 1) % 9] = 0.1 * (j % 5)  # small within-blob jitter
+            # ids interleave blobs so the deterministic lowest-k init spans
+            # all three (all-one-blob init can't split — Lloyd's is local)
+            rows.append((j * 10 + blob, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, sizes = kmeans_fit(corpus, k=3, n_iter=3)
+    got_sizes = sorted(r["n_members"] for r in sizes.collect())
+    assert got_sizes == [20, 20, 20]
+    assigned = ivf_assign(corpus, centroids)
+    # every blob maps to exactly one centroid and vice versa
+    pairs = {
+        (r["vec_id"] % 10, r["centroid_id"]) for r in assigned.collect()
+    }
+    assert len(pairs) == 3
+    assert len({c for _, c in pairs}) == 3
+    # the three centroids' dominant dimensions are exactly the blob axes
+    argmaxes = {
+        r["embedding"].index(max(r["embedding"])) for r in centroids.collect()
+    }
+    assert argmaxes == {0, 3, 6}
