@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     "duplicate_components",
     "api_executor",
     "http_executor",
+    "browser_executor",
     "config_merge",
     "data_attr_extract",
     "ann_ivf_train",

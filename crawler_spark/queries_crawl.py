@@ -1338,6 +1338,137 @@ FROM r
 """
 
 
+def q_browser_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 browser step executor (browser_executor.py): per-URL browser
+    navigation + CSS/XPath extraction as one mapInPandas batch map
+    (sources/browser.py) with the render honestly stubbed to identity.
+    Three config variants (event_id % 3) exercise the full timeout ladder
+    (:55-80) and the wait_for > wait_until > 'load' precedence (:151-152);
+    the fetcher's sha256-derived branches cover 404 / 503 / response-None /
+    redirect final_url; selector_wait hit/miss varies with the case number's
+    parity (the span is only rendered for even cases)."""
+    import hashlib
+    import re
+
+    from crawler_spark.sources.browser import browser_batch
+
+    urls = synth_frontier(spark, sf_dir).select(
+        "event_id", "url", (F.col("event_id") % 3).cast("int").alias("variant")
+    )
+
+    def fetcher(url: str) -> tuple[int | None, str | None, str]:
+        h = int(hashlib.sha256(url.encode()).hexdigest()[:2], 16) % 7
+        if h == 0:
+            return 404, None, url
+        if h == 1:
+            return 503, None, url
+        if h == 2:  # Playwright `response is None` path -> proceeds
+            return None, "<html><body></body></html>", url
+        case = re.search(r"/cases/(\d+)", url).group(1)
+        hostnum = re.search(r"Portal(\d+)", url).group(1)
+        body = (
+            f'<html><body><h1 class="t">Case {case}</h1>'
+            + (
+                f'<div id="m"><span class="nomor">NO-{case}</span></div>'
+                if int(case) % 2 == 0
+                else ""
+            )
+            + f'<a class="dl" href="/f/{case}.pdf">d</a></body></html>'
+        )
+        final = (
+            f"https://portal{hostnum}.go.id/cases/{case}" if h == 3 else url
+        )
+        return 200, body, final
+
+    selectors = {
+        "title": "h1.t",
+        "nomor": {"selector": "#m span.nomor"},
+        "link": {"selector": "a.dl", "attribute": "href"},
+        "missing": "div.none",
+    }
+    configs = [
+        {  # GlobalConfig dict timeouts + legacy wait_for + CSS wait
+            "timeout": {"page_load": 20, "selector_wait": 5},
+            "wait_for": "domcontentloaded",
+            "selector_wait": "#m span.nomor",
+        },
+        {  # legacy scalar timeout + selector_wait_timeout + XPath wait
+            "timeout": 45,
+            "selector_wait_timeout": 7,
+            "wait_until": "networkidle",
+            "selector_wait": "//span[@class='nomor']",
+        },
+        {},  # all defaults, no selector wait
+    ]
+    parts = [
+        browser_batch(
+            urls.filter(F.col("variant") == i), fetcher, selectors, cfg
+        )
+        for i, cfg in enumerate(configs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "event_id", "variant", "status_code", "success", "error_category",
+        "page_load_timeout_ms", "selector_wait_timeout_ms", "wait_until",
+        "selector_wait_hit", "content_length", "final_url",
+        "title", "nomor", "link", "missing",
+    )
+
+
+O_BROWSER_EXECUTOR = """
+WITH raw AS (
+  SELECT event_id,
+         CAST(event_id % 3 AS INT) AS variant,
+         'HTTPS://Portal' || (user_id % 50) || '.GO.ID/cases/' || (event_id % 997)
+           || '?utm_source=feed&ref=x&page=' || (event_id % 7 + 1)
+           || '&b=' || (user_id % 13) || '&a=1#s' AS url,
+         event_id % 997 AS case_n,
+         user_id % 50 AS hostnum
+  FROM events
+),
+r AS (
+  SELECT *,
+         ('0x' || substr(sha256(url), 1, 2))::INT % 7 AS h,
+         '<html><body><h1 class="t">Case ' || case_n || '</h1>'
+           || CASE WHEN case_n % 2 = 0
+                   THEN '<div id="m"><span class="nomor">NO-' || case_n
+                        || '</span></div>' ELSE '' END
+           || '<a class="dl" href="/f/' || case_n || '.pdf">d</a></body></html>'
+           AS body
+  FROM raw
+)
+SELECT event_id, variant,
+       CAST(CASE WHEN h = 0 THEN 404 WHEN h = 1 THEN 503
+                 WHEN h = 2 THEN NULL ELSE 200 END AS INT) AS status_code,
+       h NOT IN (0, 1) AS success,
+       CASE WHEN h = 0 THEN 'not_found' WHEN h = 1 THEN 'server_error' END
+         AS error_category,
+       CAST(CASE variant WHEN 0 THEN 20000 WHEN 1 THEN 45000
+                         ELSE 30000 END AS INT) AS page_load_timeout_ms,
+       CAST(CASE variant WHEN 0 THEN 5000 WHEN 1 THEN 7000
+                         ELSE 10000 END AS INT) AS selector_wait_timeout_ms,
+       CASE variant WHEN 0 THEN 'domcontentloaded' WHEN 1 THEN 'networkidle'
+                    ELSE 'load' END AS wait_until,
+       CASE WHEN variant = 2 OR h IN (0, 1) THEN NULL
+            WHEN h = 2 THEN FALSE ELSE case_n % 2 = 0 END AS selector_wait_hit,
+       CAST(CASE WHEN h IN (0, 1) THEN NULL
+                 WHEN h = 2 THEN length('<html><body></body></html>')
+                 ELSE length(body) END AS INT) AS content_length,
+       CASE WHEN h IN (0, 1) THEN NULL
+            WHEN h = 3 THEN 'https://portal' || hostnum || '.go.id/cases/' || case_n
+            ELSE url END AS final_url,
+       CASE WHEN h NOT IN (0, 1, 2) THEN 'Case ' || case_n END AS title,
+       CASE WHEN h NOT IN (0, 1, 2) AND case_n % 2 = 0
+            THEN 'NO-' || case_n END AS nomor,
+       CASE WHEN h NOT IN (0, 1, 2)
+            THEN '/f/' || case_n || '.pdf' END AS link,
+       CAST(NULL AS VARCHAR) AS missing
+FROM r
+"""
+
+
 def q_pagination_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 strategy pick (crawler/services/pagination.py:50-143,292-315):
     template -> auto-detect -> selector fallback -> single page -> disabled,
@@ -2166,6 +2297,7 @@ QUERIES = {
     "scrape_batch": q_scrape_batch,
     "api_executor": q_api_executor,
     "http_executor": q_http_executor,
+    "browser_executor": q_browser_executor,
     "error_classify": q_error_classify,
     "pagination_strategy": q_pagination_strategy,
     "url_equivalence": q_url_equivalence,
@@ -2209,6 +2341,7 @@ ORACLES = {
     "scrape_batch": O_SCRAPE_BATCH,
     "api_executor": O_API_EXECUTOR,
     "http_executor": O_HTTP_EXECUTOR,
+    "browser_executor": O_BROWSER_EXECUTOR,
     "error_classify": O_ERROR_CLASSIFY,
     "pagination_strategy": O_PAGINATION_STRATEGY,
     "url_equivalence": O_URL_EQUIVALENCE,
