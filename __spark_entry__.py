@@ -62,6 +62,11 @@ _CHECK_FIRST = [
     "config_merge",
     "data_attr_extract",
     "ann_ivf_train",
+    # round-3 admin/reporting surface (sqlc stats + audit parity)
+    "website_statistics",
+    "log_level_stats",
+    "dlq_stats_category",
+    "config_history_versions",
 ]
 
 
@@ -72,11 +77,12 @@ def _ordered(full: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from crawler_spark import queries_content, queries_crawl
+    from crawler_spark import queries_admin, queries_content, queries_crawl
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(queries_crawl.QUERIES)
     out.update(queries_content.QUERIES)
+    out.update(queries_admin.QUERIES)
     try:  # engine-level rows-only entries (added as the engine lands)
         from crawler_spark import queries_engine
 
@@ -87,11 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from crawler_spark import queries_content, queries_crawl
+    from crawler_spark import queries_admin, queries_content, queries_crawl
 
     out: dict[str, str] = {}
     out.update(queries_crawl.ORACLES)
     out.update(queries_content.ORACLES)
+    out.update(queries_admin.ORACLES)
     try:
         from crawler_spark import queries_engine
 

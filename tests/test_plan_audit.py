@@ -191,3 +191,27 @@ def test_request_and_kernel_batch_maps_are_shuffle_free(spark, qname,
     assert "hashpartitioning" not in s.lower(), qname
     assert "rangepartitioning" not in s.lower(), qname
     assert "CartesianProduct" not in s
+
+
+def test_admin_stats_plan_shapes(spark):
+    """Reporting surface: the 25-row website dim must arrive by broadcast
+    (never shuffle a fact table against it), the level/category pivots are
+    single map-side-combinable aggregations, and the config-history window +
+    rollup reuse ONE hash partitioning on website_id."""
+    from crawler_spark import queries_admin as qa
+
+    ws = qa.q_website_statistics(spark, SF)
+    s = ws._jdf.queryExecution().executedPlan().toString()
+    assert has_broadcast_join(ws)
+    assert "CartesianProduct" not in s
+
+    for q in (qa.q_log_level_stats, qa.q_dlq_stats_category):
+        plan = q(spark, SF)
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        # 1 round-robin spread of the single test file + 1 hash exchange
+        assert count_shuffles(plan) <= 2, q.__name__
+        assert s.lower().count("hashpartitioning") <= 1, q.__name__
+
+    hist = qa.q_config_history_versions(spark, SF)
+    s = hist._jdf.queryExecution().executedPlan().toString()
+    assert s.lower().count("hashpartitioning(website_id") <= 1, s
