@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawler_spark.kernels import contentnorm, htmlparse, simhash
+from crawler_spark.kernels.dom import build_tree
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -57,10 +58,15 @@ def _parse_one(html: str | None) -> dict:
             "title": None, "spans": [], "links": [],
             "norm_text": "", "content_sha256": None, "simhash": None,
         }
-    page = htmlparse.extract_page(html)
+    # ONE html.parser lex per page: the dom tree serves both the span/link
+    # walk (event replay, no second lex) and the C2 normalize pipeline —
+    # lexing was ~55% of this kernel's time when each extractor parsed its
+    # own copy. normalize_tree mutates (prunes), so it runs last.
+    tree = build_tree(html)
+    page = htmlparse.parse_page_tree(tree)
     # full C2 pipeline (boilerplate/ads/comments/main-extract/timestamps):
     # dynamic page chrome must never flip the content hash between crawls
-    norm = contentnorm.normalize_for_hash(html)
+    norm = contentnorm.normalize_tree(tree)
     return {
         "title": page["title"],
         "spans": [

@@ -125,6 +125,17 @@ def remove_timestamps(text: str) -> str:
     return text
 
 
+def normalize_tree(root: _Node) -> str:
+    """C2 pipeline over an already-built DOM tree. MUTATES the tree (prunes
+    boilerplate/ad subtrees in place) — callers sharing one parse across
+    extractors must run every read-only walk first (parse_udfs does)."""
+    _prune(root)
+    main = _main_content(root)
+    text = _text_of(main)
+    text = remove_timestamps(text)
+    return re.sub(r"\s+", " ", text).strip().lower()
+
+
 def normalize_for_hash(html: str | bytes | None) -> str:
     """HTML -> stable lowercase text for content hashing (C2 full pipeline)."""
     if html is None:
@@ -137,8 +148,4 @@ def normalize_for_hash(html: str | bytes | None) -> str:
         builder.close()
     except Exception:
         pass  # keep whatever parsed
-    _prune(builder.root)
-    main = _main_content(builder.root)
-    text = _text_of(main)
-    text = remove_timestamps(text)
-    return re.sub(r"\s+", " ", text).strip().lower()
+    return normalize_tree(builder.root)

@@ -155,6 +155,38 @@ def extract_page(html: str) -> dict:
     return {"title": parser.title, "spans": spans, "links": links}
 
 
+def _replay_into(node, parser: HTMLParser) -> None:
+    """Feed a dom.Node subtree into an HTMLParser-shaped handler as start/
+    data/end events in document order — the lex-free second consumer of a
+    single ``html.parser`` pass. On well-formed HTML the event stream is
+    identical to lexing; on misnested input the tree's tolerant recovery
+    normalizes event order (every open element gets a synthesized end event,
+    as in HTML5 tree construction) rather than replaying the raw tag soup."""
+    for child in node.children:
+        if isinstance(child, str):
+            parser.handle_data(child)
+        else:
+            attrs = list(child.attrs.items())
+            parser.handle_starttag(child.tag, attrs)
+            _replay_into(child, parser)
+            parser.handle_endtag(child.tag)
+
+
+def parse_page_tree(root) -> dict:
+    """``extract_page`` over an already-built dom tree (see _replay_into for
+    the malformed-input difference vs the streaming parser)."""
+    parser = _SpanParser()
+    _replay_into(root, parser)
+    # every element received an end event, so the unclosed-container drain of
+    # extract_page has nothing left to do here
+    spans = [(k, t, m, i) for i, (k, t, m) in enumerate(parser.spans)]
+    links = [
+        (h, a, parser._container_text.get(c) if c is not None else None, i)
+        for i, (h, a, c) in enumerate(parser.links)
+    ]
+    return {"title": parser.title, "spans": spans, "links": links}
+
+
 class _TextParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)

@@ -144,28 +144,38 @@ def minhash_signature(
     k: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """MinHash signatures over word shingles, fully JVM-side.
+    """MinHash signatures over word shingles, fully JVM-side and MAP-ONLY.
 
     Per-shingle 40-bit base hash h (md5-substring, engine-portable; 40 bits
     keeps a_i*h + b_i inside int64 for exact cross-engine arithmetic), k
     universal-hash permutations h_i = (a_i*h + b_i) mod p, signature_i =
     min over shingles. a_i/b_i are fixed odd constants so the signature is
     deterministic and reproducible in the SQL oracle.
+
+    Plan shape: the shingle array is hashed once per row, then each
+    signature slot is array_min over a per-slot transform — no explode, no
+    groupBy. At 10^10 docs the former explode+min-agg emitted ~50 rows per
+    doc into a hash aggregate; this emits nothing (zero exchanges), so LSH's
+    only shuffle is the band join itself. Docs with fewer than
+    `shingle_words` tokens produce no shingles and are dropped (same
+    semantics as the exploded variant, which had no rows to aggregate).
     """
     p = 2305843009213693951  # 2^61 - 1 (Mersenne)
     coeffs = [(2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(k)]
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles_col(F.col(text_col), shingle_words)).alias("shingle"),
+    hashes = F.transform(
+        word_shingles_col(F.col(text_col), shingle_words),
+        lambda s: F.conv(F.substring(F.md5(s), 17, 10), 16, 10).cast("long"),
     )
-    hashed = shingles.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 17, 10), 16, 10).cast("long")
+    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("hs")).filter(
+        F.size("hs") > 0
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p))
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    return hashed.select("id", *sig_cols)
 
 
 def minhash_lsh_pairs(
