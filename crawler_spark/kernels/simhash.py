@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 import numpy as np
 
@@ -32,6 +33,22 @@ def _token_hash64(token: str) -> int:
     return int(hashlib.md5(token.encode("utf-8")).hexdigest()[16:], 16)
 
 
+# Per-worker token-hash memo: natural-language corpora reuse a small
+# vocabulary, so md5-per-token amortizes to a dict hit. Bounded by periodic
+# reset (executors are long-lived; an unbounded dict over 10^10 pages isn't).
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 1 << 20
+
+
+def _cached_hash64(token: str) -> int:
+    h = _HASH_CACHE.get(token)
+    if h is None:
+        if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+            _HASH_CACHE.clear()
+        h = _HASH_CACHE[token] = _token_hash64(token)
+    return h
+
+
 def simhash64(text: str) -> int | None:
     """Unsigned 64-bit simhash fingerprint; None for empty/token-less text.
 
@@ -43,15 +60,15 @@ def simhash64(text: str) -> int | None:
     tokens = tokenize(text)
     if not tokens:
         return None
-    uniq, counts = np.unique(np.array(tokens, dtype=object), return_counts=True)
-    hashes = np.array([_token_hash64(t) for t in uniq], dtype=np.uint64)
+    tally = Counter(tokens)
+    hashes = np.fromiter(
+        (_cached_hash64(t) for t in tally), dtype=np.uint64, count=len(tally)
+    )
+    counts = np.fromiter(tally.values(), dtype=np.int64, count=len(tally))
     # bit matrix (n_tokens x 64) of {0,1}; votes = sum over tokens of (2b-1)*count
     bits = ((hashes[:, None] >> _BITS) & np.uint64(1)).astype(np.int64)
-    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-    fp = np.uint64(0)
-    for i in np.nonzero(votes > 0)[0]:
-        fp |= np.uint64(1) << np.uint64(i)
-    return int(fp)
+    votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << _BITS).sum(dtype=np.uint64))
 
 
 def simhash64_signed(text: str) -> int | None:
