@@ -21,6 +21,8 @@ the engine plug in here; tests register synthetic ones.
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -47,6 +49,54 @@ class StepResult:
     error: str | None = None
     aggregates: dict[str, Any] = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+def timeout_for_step(step_type: str, cfg: dict) -> float:
+    """Timeout selection ladder (step_orchestrator.py:544-581): a scalar
+    `timeout` is used directly (legacy format); a dict selects `page_load`
+    for browser steps and `http_request` for everything else; default 30 s
+    either way."""
+    tc = cfg.get("timeout", {})
+    if isinstance(tc, bool):  # guard: True is an int in Python
+        return 30.0
+    if isinstance(tc, (int, float)):
+        return float(tc)
+    if not isinstance(tc, dict):
+        return 30.0
+    key = "page_load" if step_type == "browser" else "http_request"
+    v = tc.get(key, 30)
+    return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else 30.0
+
+
+class StepTimeoutError(TimeoutError):
+    pass
+
+
+def _run_with_timeout(spark: SparkSession, fn, timeout_s: float, group: str):
+    """Run fn() under a wall-clock budget. The worker thread tags its Spark
+    jobs with a job group; on expiry the group is cancelled (kills running
+    stages cluster-side — asyncio.wait_for's moral equivalent for a blocking
+    Spark action) and StepTimeoutError is raised. The abandoned thread is a
+    daemon: it dies with its cancelled jobs."""
+    box: dict[str, Any] = {}
+
+    def worker():
+        try:
+            spark.sparkContext.setJobGroup(group, "orchestrator step", True)
+            box["result"] = fn()
+        except Exception as e:  # noqa: BLE001 — surfaced to the caller
+            box["error"] = e
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise StepTimeoutError
+    if "error" in box:
+        raise box["error"]
+    return box.get("result")
 
 
 class WorkflowOrchestrator:
@@ -120,15 +170,40 @@ class WorkflowOrchestrator:
                 )
                 continue
             inputs = {d: results[d].df for d in deps if results[d].df is not None}
+            # per-step timeout enforcement + timing metadata
+            # (step_orchestrator.py:246-292): the timed region covers both
+            # plan construction and the materializing count
+            timeout_s = timeout_for_step(step.get("type", ""), cfg)
+            t0 = time.time()
             try:
-                df = executor(self.spark, cfg, inputs)
-                n = df.count() if collect_counts else None
+                df, n = _run_with_timeout(
+                    self.spark,
+                    lambda: (lambda d: (d, d.count() if collect_counts else None))(
+                        executor(self.spark, cfg, inputs)
+                    ),
+                    timeout_s,
+                    f"step:{name}:{t0}",
+                )
                 res = StepResult(name, "completed", df=df, n_rows=n,
                                  warnings=input_warnings)
+                res.metadata = {
+                    "execution_time_seconds": round(time.time() - t0, 3),
+                    "timeout_configured": timeout_s,
+                }
                 # W5: small aggregates (not data!) feed downstream conditions
                 res.aggregates = {"count": n, "success": (n or 0) > 0}
                 results[name] = res
                 step_aggs[name] = res.aggregates
+            except StepTimeoutError:
+                results[name] = StepResult(
+                    name, "failed",
+                    error=f"Step execution timeout after {timeout_s}s",
+                    metadata={
+                        "timeout": True,
+                        "timeout_seconds": timeout_s,
+                        "execution_time_seconds": round(time.time() - t0, 3),
+                    },
+                )
             except Exception as e:  # noqa: BLE001 — step errors are data
                 results[name] = StepResult(name, "failed", error=str(e)[:500])
         return results

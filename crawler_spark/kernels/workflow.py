@@ -21,6 +21,7 @@ from typing import Any
 
 _REF_RE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 _VAR_RE = re.compile(r"\$\{(\w+)(?:\.([^}]*))?\}")
+_ESCAPE_RE = re.compile(r"\\\$\{([^}]+)\}")  # \${literal} -> ${literal}
 
 
 # ------------------------------------------------------------------ W1 + W2
@@ -157,10 +158,27 @@ def substitute_variables(
     if not isinstance(value, str):
         return value
 
-    cur: Any = value
+    # \${...} escapes a literal reference (variable_substitution.py:36,380-457
+    # semantics): shelve each escape behind a placeholder, substitute, then
+    # restore WITHOUT the backslash.
+    escaped: dict[str, str] = {}
+
+    def _shelve(mm: re.Match) -> str:
+        ph = f"\x00ESC{len(escaped)}\x00"
+        escaped[ph] = "${" + mm.group(1) + "}"
+        return ph
+
+    cur: Any = _ESCAPE_RE.sub(_shelve, value)
+
+    def _restore(v: Any) -> Any:
+        if escaped and isinstance(v, str):
+            for ph, lit in escaped.items():
+                v = v.replace(ph, lit)
+        return v
+
     for _ in range(max_depth):
         if not isinstance(cur, str) or not _VAR_RE.search(cur):
-            return cur
+            return _restore(cur)
         prev = cur
         m = _VAR_RE.fullmatch(cur)
         if m:  # whole-string ref: preserve type
@@ -170,10 +188,10 @@ def substitute_variables(
                 lambda mm: str(_resolve(mm, context, strict, mm.group(0))), cur
             )
         if cur == prev:  # lenient mode left unresolved refs in place
-            return cur
+            return _restore(cur)
     if isinstance(cur, str) and _VAR_RE.search(cur):
         raise SubstitutionError(f"substitution depth exceeded (cycle?): {value!r}")
-    return cur
+    return _restore(cur)
 
 
 def _resolve(m: re.Match, context: dict[str, Any], strict: bool, fallback: str) -> Any:

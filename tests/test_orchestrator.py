@@ -103,3 +103,83 @@ def test_config_deep_merge():
     # non-policy dicts replace wholesale
     out2 = merge_config({"meta": {"a": 1}}, {"meta": {"b": 2}})
     assert out2["meta"] == {"b": 2}
+
+
+class TestStepTimeouts:
+    """Per-step timeout enforcement (reference step_orchestrator.py:246-292,
+    544-581 and tests/unit/test_step_timeout.py scenarios)."""
+
+    def test_timeout_enforcement_fails_step(self, spark):
+        import time as _t
+
+        from crawler_spark.engine.orchestrator import WorkflowOrchestrator
+
+        def slow(sp, cfg, inputs):
+            _t.sleep(3)
+            return sp.range(1)
+
+        orch = WorkflowOrchestrator(spark, {"slow": slow})
+        out = orch.run([{"name": "s1", "type": "slow", "config": {"timeout": 1}}])
+        r = out["s1"]
+        assert r.status == "failed"
+        assert r.error == "Step execution timeout after 1.0s"
+        assert r.metadata["timeout"] is True
+        assert r.metadata["timeout_seconds"] == 1.0
+        assert r.metadata["execution_time_seconds"] >= 1.0
+
+    def test_completion_records_timing_metadata(self, spark):
+        from crawler_spark.engine.orchestrator import WorkflowOrchestrator
+
+        orch = WorkflowOrchestrator(spark, {"fast": lambda sp, c, i: sp.range(5)})
+        out = orch.run([{"name": "s1", "type": "fast"}])
+        r = out["s1"]
+        assert r.status == "completed" and r.n_rows == 5
+        assert r.metadata["timeout_configured"] == 30.0  # default applied
+        assert isinstance(r.metadata["execution_time_seconds"], float)
+        assert r.metadata["execution_time_seconds"] == round(
+            r.metadata["execution_time_seconds"], 3
+        )
+
+    def test_downstream_skipped_after_timeout(self, spark):
+        import time as _t
+
+        from crawler_spark.engine.orchestrator import WorkflowOrchestrator
+
+        def slow(sp, cfg, inputs):
+            _t.sleep(3)
+            return sp.range(1)
+
+        orch = WorkflowOrchestrator(
+            spark, {"slow": slow, "fast": lambda sp, c, i: sp.range(2)}
+        )
+        out = orch.run([
+            {"name": "a", "type": "slow", "config": {"timeout": 1}},
+            {"name": "b", "type": "fast", "input_from": "a"},
+        ])
+        assert out["a"].status == "failed"
+        assert out["b"].status == "skipped"
+
+    def test_global_timeout_override_via_config_merge(self, spark):
+        import time as _t
+
+        from crawler_spark.engine.orchestrator import WorkflowOrchestrator
+
+        def slow(sp, cfg, inputs):
+            _t.sleep(2.5)
+            return sp.range(1)
+
+        orch = WorkflowOrchestrator(spark, {"slow": slow}, global_config={"timeout": 1})
+        out = orch.run([{"name": "s1", "type": "slow"}])
+        assert out["s1"].status == "failed"
+        assert out["s1"].metadata["timeout_seconds"] == 1.0
+
+    def test_timeout_selector_ladder(self):
+        from crawler_spark.engine.orchestrator import timeout_for_step
+
+        assert timeout_for_step("http", {}) == 30.0
+        assert timeout_for_step("http", {"timeout": 12}) == 12.0  # legacy scalar
+        assert timeout_for_step("http", {"timeout": {"http_request": 7}}) == 7.0
+        assert timeout_for_step("browser", {"timeout": {"page_load": 9}}) == 9.0
+        assert timeout_for_step("browser", {"timeout": {"http_request": 7}}) == 30.0
+        assert timeout_for_step("crawl", {"timeout": {"http_request": 5, "page_load": 9}}) == 5.0
+        assert timeout_for_step("http", {"timeout": "bogus"}) == 30.0

@@ -129,3 +129,43 @@ class TestConditionEvaluator:
         assert evaluate_condition("{{ghost.x}} == 1", self.RESULTS) is False
         assert evaluate_condition("no operator here", self.RESULTS) is False
         assert evaluate_condition("{{fetch.url}} > 3", self.RESULTS) is False
+
+
+class TestEscapedReferences:
+    """\\${...} shelving semantics (reference variable_substitution.py:36,380-457):
+    escaped refs survive substitution literally, with the backslash consumed."""
+
+    def test_escape_passes_through_literally(self):
+        from crawler_spark.kernels.workflow import substitute_variables
+
+        ctx = {"variables": {"a": "X"}}
+        assert substitute_variables(r"use \${variables.a} here", ctx) == "use ${variables.a} here"
+
+    def test_escape_alongside_real_substitution(self):
+        from crawler_spark.kernels.workflow import substitute_variables
+
+        ctx = {"variables": {"a": "X"}}
+        assert (
+            substitute_variables(r"${variables.a} and \${variables.a}", ctx)
+            == "X and ${variables.a}"
+        )
+
+    def test_whole_string_escape(self):
+        from crawler_spark.kernels.workflow import substitute_variables
+
+        assert substitute_variables(r"\${not.a.ref}", {}) == "${not.a.ref}"
+
+    def test_escape_does_not_mask_unknown_ref_error(self):
+        import pytest
+
+        from crawler_spark.kernels.workflow import SubstitutionError, substitute_variables
+
+        with pytest.raises(SubstitutionError):
+            substitute_variables(r"\${ok} ${missing.ref}", {}, strict=True)
+
+    def test_nested_value_resolves_before_restore(self):
+        from crawler_spark.kernels.workflow import substitute_variables
+
+        # the substituted value itself may not re-trigger escapes
+        ctx = {"variables": {"a": "${variables.b}", "b": "done"}}
+        assert substitute_variables(r"${variables.a}+\${keep}", ctx) == "done+${keep}"
