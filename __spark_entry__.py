@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "data_attr_extract",
     "ann_ivf_train",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
+    "request_retry",
     "website_statistics",
     "log_level_stats",
     "dlq_stats_category",

@@ -495,6 +495,60 @@ FROM per_host
 """
 
 
+def q_request_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-task request retry (executor_retry.py policy inside the mapInPandas
+    request core): five deterministic per-URL behaviors — 503,503,200 /
+    404-permanent / 429-exhausted / 503,200 / 200 — under max_attempts=3
+    exponential backoff. Asserts final status, success flag, category, and
+    attempts-used per row."""
+    from crawler_spark.sources.api import http_batch
+
+    ev = _events(spark, sf_dir)
+    urls = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://api.go.id/r/"), F.col("event_id").cast("string"),
+            F.lit("/v"), (F.col("event_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+
+    def fetcher(url: str):
+        calls = fetcher.__dict__.setdefault("calls", {})
+        n = calls[url] = calls.get(url, 0) + 1
+        variant = int(url.rsplit("/v", 1)[1])
+        if variant == 0:
+            return (503, None) if n <= 2 else (200, "<p>ok</p>")
+        if variant == 1:
+            return 404, None
+        if variant == 2:
+            return 429, None
+        if variant == 3:
+            return (503, None) if n == 1 else (200, "<p>ok</p>")
+        return 200, "<p>ok</p>"
+
+    cfg = {"max_attempts": 3, "initial_delay_seconds": 1,
+           "max_delay_seconds": 60, "backoff_strategy": "exponential",
+           "backoff_multiplier": 2.0}
+    out = http_batch(urls, fetcher, {}, retry_config=cfg, sleep=lambda s: None)
+    return out.select(
+        "event_id", "status_code", "success", "error_category",
+        F.col("attempts").cast("int").alias("attempts"),
+    )
+
+
+O_REQUEST_RETRY = """
+SELECT event_id,
+       CAST(CASE event_id % 5 WHEN 1 THEN 404 WHEN 2 THEN 429 ELSE 200 END
+            AS INT) AS status_code,
+       event_id % 5 NOT IN (1, 2) AS success,
+       CASE event_id % 5 WHEN 1 THEN 'not_found' WHEN 2 THEN 'rate_limit' END
+         AS error_category,
+       CAST(CASE event_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3
+            WHEN 3 THEN 2 ELSE 1 END AS INT) AS attempts
+FROM events
+"""
+
+
 def q_pagination_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: frontier fan-out — every 100th event is a pagination seed expanded
     to pages 1..(event_id%5+2) (query-param pattern)."""
@@ -2279,6 +2333,7 @@ QUERIES = {
     "backoff_schedule": q_backoff_schedule,
     "retry_routing": q_retry_routing,
     "retry_history": q_retry_history,
+    "request_retry": q_request_retry,
     "seed_outcomes": q_seed_outcomes,
     "pagination_expand": q_pagination_expand,
     "stop_classify": q_stop_classify,
@@ -2323,6 +2378,7 @@ ORACLES = {
     "backoff_schedule": O_BACKOFF_SCHEDULE,
     "retry_routing": O_RETRY_ROUTING,
     "retry_history": O_RETRY_HISTORY,
+    "request_retry": O_REQUEST_RETRY,
     "seed_outcomes": O_SEED_OUTCOMES,
     "pagination_expand": O_PAGINATION_EXPAND,
     "stop_classify": O_STOP_CLASSIFY,

@@ -51,7 +51,8 @@ def make_api_executor(fetcher: Fetcher):
     def api_step(spark, cfg, inputs):
         (src,) = inputs.values()
         return api_batch(
-            src, fetcher, cfg.get("selectors", {}), cfg.get("url_col", "url")
+            src, fetcher, cfg.get("selectors", {}), cfg.get("url_col", "url"),
+            retry_config=cfg.get("retry"),
         )
 
     return api_step
@@ -66,7 +67,8 @@ def make_http_executor(fetcher: Fetcher):
     def http_step(spark, cfg, inputs):
         (src,) = inputs.values()
         return http_batch(
-            src, fetcher, cfg.get("selectors", {}), cfg.get("url_col", "url")
+            src, fetcher, cfg.get("selectors", {}), cfg.get("url_col", "url"),
+            retry_config=cfg.get("retry"),
         )
 
     return http_step
@@ -77,11 +79,19 @@ def api_batch(
     fetcher: Fetcher,
     selectors: dict[str, Any],
     url_col: str = "url",
+    retry_config: dict[str, Any] | None = None,
+    sleep=None,
 ) -> DataFrame:
     """Per-URL API request + JSON-path extraction appended to the input
     frame; never raises. Output adds (status_code, success, error_category)
-    plus one string column per selector field, in selector order."""
-    return _request_batch(urls, fetcher, selectors, url_col, json_mode=True)
+    plus one string column per selector field, in selector order. With a
+    retry_config, requests retry in-task per executor_retry.py policy and an
+    `attempts` column records attempts used (NULL when the final outcome was
+    a transport exception)."""
+    return _request_batch(
+        urls, fetcher, selectors, url_col, json_mode=True,
+        retry_config=retry_config, sleep=sleep,
+    )
 
 
 def http_batch(
@@ -89,12 +99,17 @@ def http_batch(
     fetcher: Fetcher,
     selectors: dict[str, Any],
     url_col: str = "url",
+    retry_config: dict[str, Any] | None = None,
+    sleep=None,
 ) -> DataFrame:
     """Per-URL page request + CSS/XPath extraction over the HTML body
     (http_executor.py:171-174: one DOM build, per-field extraction with
     independent failures); same error dataflow as api_batch minus the JSON
     parse step."""
-    return _request_batch(urls, fetcher, selectors, url_col, json_mode=False)
+    return _request_batch(
+        urls, fetcher, selectors, url_col, json_mode=False,
+        retry_config=retry_config, sleep=sleep,
+    )
 
 
 def _request_batch(
@@ -103,9 +118,13 @@ def _request_batch(
     selectors: dict[str, Any],
     url_col: str,
     json_mode: bool,
+    retry_config: dict[str, Any] | None = None,
+    sleep=None,
 ) -> DataFrame:
     from crawler_spark.kernels.selectors import process_selectors
+    from crawler_spark.sources.request_retry import execute_with_retry
 
+    with_attempts = bool(retry_config)
     fields = list(selectors)
     schema = T.StructType(
         list(urls.schema.fields)
@@ -114,13 +133,18 @@ def _request_batch(
             T.StructField("success", T.BooleanType()),
             T.StructField("error_category", T.StringType()),
         ]
+        + ([T.StructField("attempts", T.IntegerType())] if with_attempts else [])
         + [T.StructField(f, T.StringType()) for f in fields]
     )
 
     def _run(batches):
+        import time as _time
+
+        _sleep = sleep if sleep is not None else _time.sleep
         for pdf in batches:
             out: dict[str, list] = {
                 "status_code": [], "success": [], "error_category": [],
+                **({"attempts": []} if with_attempts else {}),
                 **{f: [] for f in fields},
             }
             for url in pdf[url_col]:
@@ -128,8 +152,14 @@ def _request_batch(
                 category: str | None = None
                 extracted: dict[str, Any] = {}
                 ok = False
+                attempts: int | None = None
                 try:
-                    status, body = fetcher(url)
+                    if with_attempts:
+                        status, body, attempts = execute_with_retry(
+                            lambda u=url: fetcher(u), retry_config, sleep=_sleep
+                        )
+                    else:
+                        status, body = fetcher(url)
                     if 200 <= status < 300:
                         if json_mode:
                             try:
@@ -153,6 +183,8 @@ def _request_batch(
                 out["status_code"].append(status)
                 out["success"].append(ok)
                 out["error_category"].append(category)
+                if with_attempts:
+                    out["attempts"].append(attempts)
                 for f in fields:
                     out[f].append(_stringify(extracted.get(f)) if ok else None)
             pdf = pdf.copy()
