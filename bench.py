@@ -56,6 +56,8 @@ HEADLINE = [
     "api_executor",
     "http_executor",
     "ann_ivf_train",
+    "request_retry",
+    "website_statistics",
 ]
 
 
