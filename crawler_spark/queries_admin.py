@@ -199,9 +199,11 @@ FROM logs GROUP BY job_id
 
 
 def q_dlq_stats_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GetDLQStats + GetDLQStatsByCategory (dead_letter_queue.sql:72-89): per
-    error category — entries, unresolved backlog, retry attempts/successes.
-    (Distinct from dlq_views, which is the unresolved retry-eligible view.)"""
+    """GetDLQStats + GetDLQStatsByCategory (dead_letter_queue.sql:72-89) plus
+    the dlq_metrics_updater.py oldest-unresolved gauge: per error category —
+    entries, unresolved backlog, retry attempts/successes, and the oldest
+    unresolved entry's timestamp (the alerting age metric). (Distinct from
+    dlq_views, which is the unresolved retry-eligible view.)"""
     ev = _events(spark, sf_dir)
     dlq = ev.select(
         _pick(_CATEGORIES, F.col("event_id") % 6 + 1).alias("error_category"),
@@ -210,12 +212,16 @@ def q_dlq_stats_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") % 3 == 0) & (F.col("event_id") % 6 == 0)).alias(
             "retry_success"
         ),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("added_ms"),
     )
     return dlq.groupBy("error_category").agg(
         F.count("*").alias("entry_count"),
         F.count(F.when(~F.col("resolved"), 1)).alias("unresolved_count"),
         F.count(F.when(F.col("retry_attempted"), 1)).alias("retry_attempted_count"),
         F.count(F.when(F.col("retry_success"), 1)).alias("retry_success_count"),
+        F.min(F.when(~F.col("resolved"), F.col("added_ms"))).alias(
+            "oldest_unresolved_ms"
+        ),
     )
 
 
@@ -225,14 +231,16 @@ WITH dlq AS (
            [CAST(event_id % 6 AS INT) + 1] AS error_category,
          event_id % 7 = 0 AS resolved,
          event_id % 3 = 0 AS retry_attempted,
-         event_id % 3 = 0 AND event_id % 6 = 0 AS retry_success
+         event_id % 3 = 0 AND event_id % 6 = 0 AS retry_success,
+         epoch_ms(ts) AS added_ms
   FROM events
 )
 SELECT error_category,
        count(*) AS entry_count,
        count(CASE WHEN NOT resolved THEN 1 END) AS unresolved_count,
        count(CASE WHEN retry_attempted THEN 1 END) AS retry_attempted_count,
-       count(CASE WHEN retry_success THEN 1 END) AS retry_success_count
+       count(CASE WHEN retry_success THEN 1 END) AS retry_success_count,
+       min(CASE WHEN NOT resolved THEN added_ms END) AS oldest_unresolved_ms
 FROM dlq GROUP BY error_category
 """
 
