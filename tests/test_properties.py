@@ -206,3 +206,50 @@ class TestSelectorEngineProperties:
         tree = build_tree("".join(parts))
         got = apply_css_selector(tree, "i, b", select_all=True)
         assert got == [f"b{i}" for i in range(n_b)] + [f"i{i}" for i in range(n_i)]
+
+
+# --------------------------------------------------- stream parse == replay
+
+_TAGS = ["div", "p", "li", "span", "h1", "td", "section", "article"]
+_TEXT = st.text(
+    string.ascii_letters + string.digits + " .,;-", min_size=0, max_size=12
+)
+
+
+@st.composite
+def html_nodes(draw, depth=0):
+    """Small well-formed HTML fragments: nested known tags, text, anchors,
+    images, data-url carriers — everything the span parser reacts to."""
+    kind = draw(
+        st.sampled_from(
+            ["text", "elem", "a", "img", "data"] if depth < 3 else ["text", "img"]
+        )
+    )
+    if kind == "text":
+        return draw(_TEXT)
+    if kind == "img":
+        return f'<img src="/img/{draw(st.integers(0, 99))}.png">'
+    if kind == "a":
+        href = f"/doc/{draw(st.integers(0, 99))}" + draw(
+            st.sampled_from(["", ".pdf", ".html"])
+        )
+        cls = draw(st.sampled_from(["", ' class="download"', ' class="x"']))
+        return f'<a href="{href}"{cls}>{draw(_TEXT)}</a>'
+    if kind == "data":
+        return f'<span data-url="/js/{draw(st.integers(0, 99))}">{draw(_TEXT)}</span>'
+    tag = draw(st.sampled_from(_TAGS))
+    kids = draw(st.lists(html_nodes(depth=depth + 1), max_size=4))
+    return f"<{tag}>" + "".join(kids) + f"</{tag}>"
+
+
+@given(st.lists(html_nodes(), max_size=5))
+@settings(max_examples=120, deadline=None)
+def test_tree_replay_equals_stream_parse_on_wellformed_html(nodes):
+    """The single-lex hot path (build_tree + event replay) must reproduce the
+    streaming extract_page exactly on well-formed HTML — spans, links
+    (incl. container previews), and title."""
+    from crawler_spark.kernels.dom import build_tree
+    from crawler_spark.kernels.htmlparse import extract_page, parse_page_tree
+
+    html = "<html><body>" + "".join(nodes) + "</body></html>"
+    assert parse_page_tree(build_tree(html)) == extract_page(html)
