@@ -168,7 +168,13 @@ class SnapshotStore:
         stats summed over the live chain — no data read). For latest-wins
         tables this is an upper bound (pre-merge); exact for append-only."""
         chain = self._live_chain(self.manifest()["rounds"], table)
-        return sum(info.get("rows", 0) for _, info in chain)
+        if not chain:
+            return 0
+        # folded-away chain segments (expire_snapshots) carry their row sum
+        # forward as base_rows on the terminal entry
+        return sum(info.get("rows", 0) for _, info in chain) + chain[-1][1].get(
+            "base_rows", 0
+        )
 
     def blob_dir_for(self, round_no: int) -> str:
         """Where a round's filter shard blobs live; tasks write here directly
@@ -291,12 +297,19 @@ class SnapshotStore:
             folded = list(terminal_bases) + [
                 info["path"] for _, info in reversed(dropped_part)
             ]
+            # carry the folded rows forward so table_rows() (metrics + file-
+            # count sizing) stays exact across expiry
+            folded_rows = chain[-1][1].get("base_rows", 0) + sum(
+                info.get("rows", 0) for _, info in dropped_part
+            )
             kept_part = [(i, info) for i, info in chain if i >= n_dropped]
             if kept_part:
                 kept_part[-1][1]["base_paths"] = folded
+                kept_part[-1][1]["base_rows"] = folded_rows
             else:
                 newest = dict(dropped_part[0][1])
                 newest["base_paths"] = folded[:-1]  # all but its own path
+                newest["base_rows"] = folded_rows - newest.get("rows", 0)
                 kept[0]["tables"][t] = newest
 
         live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}

@@ -22,6 +22,7 @@ def test_expire_keeps_live_state_and_resume(spark, tmp_path):
 
     before = {t: _table_rows(spark, eng.store, t)
               for t in ("frontier", "seen", "pages", "dlq", "fetch_log")}
+    rows_meta_before = {t: eng.store.table_rows(t) for t in before}
     n_rounds_before = len(eng.store.manifest()["rounds"])
     assert n_rounds_before > 2
 
@@ -31,6 +32,9 @@ def test_expire_keeps_live_state_and_resume(spark, tmp_path):
     # live state identical after expiry
     for t, rows in before.items():
         assert _table_rows(spark, eng.store, t) == rows, f"{t} changed"
+    # metadata row counts survive the fold (base_rows carry-forward)
+    for t, n in rows_meta_before.items():
+        assert eng.store.table_rows(t) == n, f"{t} metadata rows changed"
     # expired snap dirs actually gone
     snap0 = os.path.join(eng.store.root, "pages", "snap-00000")
     # (round 0 wrote pages; only relevant if it is outside the kept window)
