@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "config_merge",
     "data_attr_extract",
     "ann_ivf_train",
+    "simhash_incremental",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

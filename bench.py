@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_ivf_train",
     "request_retry",
     "website_statistics",
+    "simhash_incremental",
 ]
 
 

@@ -73,6 +73,36 @@ def content_hash_stats(pages: DataFrame, content_col: str = "content_sha256") ->
     )
 
 
+def _band_explode(
+    df: DataFrame, id_col: str, fp_col: str, n_bands: int
+) -> DataFrame:
+    """Explode each 64-bit fingerprint into `n_bands` contiguous (band_idx,
+    band) rows — the LSH index rows both the self-join and the incremental
+    probe shuffle on."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    src = df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    return src.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", "b.band_idx", "b.band")
+
+
 def simhash_near_dup_join(
     df: DataFrame,
     id_col: str = "id",
@@ -90,28 +120,7 @@ def simhash_near_dup_join(
     """
     if threshold > n_bands - 1:
         raise ValueError(f"threshold {threshold} needs n_bands >= threshold+1")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    src = df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp")).filter(
-        F.col("fp").isNotNull()
-    )
-    banded = src.select(
-        "id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("fp"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "fp", "b.band_idx", "b.band")
+    banded = _band_explode(df, id_col, fp_col, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -129,6 +138,72 @@ def simhash_near_dup_join(
         )
         .dropDuplicates(["id_a", "id_b"])  # a pair can collide in >1 band
     )
+    return (
+        pairs.withColumn("distance", hamming_col(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("distance") <= threshold)
+        .withColumn("similarity_pct", (1 - F.col("distance") / 64.0) * 100.0)
+        .select("id_a", "id_b", "distance", "similarity_pct")
+    )
+
+
+def simhash_incremental_near_dup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+    threshold: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """C5 in its production shape: probe only the round's NEW fingerprints
+    against the standing corpus index (content_hash.sql:67-78's per-insert
+    lookup in result_persistence.py:231-264, set-at-a-time instead of
+    row-at-a-time).
+
+    Returns exactly the pairs that re-running the full banded self-join on
+    (corpus UNION delta) would ADD — i.e. every near-dup pair with at least
+    one delta member: (corpus x delta) probes plus within-delta pairs. The
+    corpus is touched only through its band rows; at 10^10 docs that index
+    is a bucketed table on (band_idx, band) appended each round, so the
+    equi-join prunes to the delta's buckets and per-round cost is
+    O(|delta| x bucket occupancy), never O(|corpus|) — the invariant
+    full(corpus+delta) == full(corpus) + incremental(corpus, delta) is
+    gated in tests/test_simhash.py.
+    """
+    if threshold > n_bands - 1:
+        raise ValueError(f"threshold {threshold} needs n_bands >= threshold+1")
+    corpus_idx = _band_explode(corpus, id_col, fp_col, n_bands)
+    delta_idx = _band_explode(delta, id_col, fp_col, n_bands)
+    probe = delta_idx.alias("d").join(
+        corpus_idx.alias("c"),
+        (F.col("d.band_idx") == F.col("c.band_idx"))
+        & (F.col("d.band") == F.col("c.band"))
+        & (F.col("d.id") != F.col("c.id")),
+    ).select(
+        F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+        F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+        F.when(F.col("d.id") < F.col("c.id"), F.col("d.fp"))
+        .otherwise(F.col("c.fp"))
+        .alias("fp_a"),
+        F.when(F.col("d.id") < F.col("c.id"), F.col("c.fp"))
+        .otherwise(F.col("d.fp"))
+        .alias("fp_b"),
+    )
+    within = (
+        delta_idx.alias("l")
+        .join(
+            delta_idx.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+    )
+    pairs = probe.unionByName(within).dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn("distance", hamming_col(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("distance") <= threshold)
@@ -186,8 +261,8 @@ def minhash_lsh_pairs(
     Plan shape: ONE exchange — explode bands, groupBy (band, key) with
     collect_list, then expand each bucket's id list to ordered pairs JVM-side
     (nested array transforms). A banded self-join would cost two exchanges
-    AND evaluate the (now map-only, exchange-free) signature lineage once
-    per side; the bucket aggregation evaluates it once. Pair expansion is
+    AND evaluate the signature lineage once per side; the bucket aggregation
+    evaluates it once. Pair expansion is
     quadratic per bucket — the same output the self-join produced — and LSH
     bucket sizes are bounded by construction (that is the point of banding).
     """

@@ -27,6 +27,7 @@ from crawler_spark.operators.dedup import (
     mark_exact_duplicates,
     minhash_lsh_pairs,
     minhash_signature,
+    simhash_incremental_near_dup,
     simhash_near_dup_join,
 )
 from crawler_spark.operators.similarity import brute_force_topk
@@ -210,6 +211,71 @@ SELECT id_a, id_b,
        CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS distance,
        (1 - bit_count(xor(fp_a, fp_b)) / 64.0) * 100.0 AS similarity_pct
 FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 incremental (the reference's production shape: each new page's
+    fingerprint is probed against the STORED corpus at persist time,
+    content_hash.sql:67-78 / result_persistence.py:231-264). Corpus = the
+    documents table; delta = two planted batches (doc_id%3 copies at Hamming
+    distance doc_id%5, doc_id%6 copies at distance 1) so the result covers
+    corpus-delta probes AND within-delta pairs. The oracle independently
+    states the contract as full-join(corpus+delta) restricted to pairs with
+    a delta member; Spark computes it without ever self-joining the corpus."""
+    fp = (
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+        .cast("long")
+    )
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
+    mask_a = F.pow(F.lit(2.0), (F.col("doc_id") % 5).cast("int")).cast("long") - 1
+    delta_a = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"), fp.bitwiseXOR(mask_a).alias("fp")
+    )
+    delta_b = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("id"), fp.bitwiseXOR(F.lit(1)).alias("fp")
+    )
+    return simhash_incremental_near_dup(
+        corpus, delta_a.unionByName(delta_b), id_col="id", fp_col="fp", threshold=3
+    )
+
+
+O_SIMHASH_INCREMENTAL = """
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS fp
+  FROM documents
+),
+delta_a AS (
+  SELECT doc_id + 1000000 AS id,
+         xor(CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT),
+             CAST(power(2, CAST(doc_id % 5 AS INT)) AS BIGINT) - 1) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+delta_b AS (
+  SELECT doc_id + 2000000 AS id,
+         xor(CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT), 1) AS fp
+  FROM documents WHERE doc_id % 6 = 0
+),
+all_fp AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta_a UNION ALL SELECT * FROM delta_b
+),
+banded AS (
+  SELECT id, fp, b AS band_idx,
+         (fp >> (b * 16)) & 65535 AS band
+  FROM all_fp, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS distance,
+       (1 - bit_count(xor(fp_a, fp_b)) / 64.0) * 100.0 AS similarity_pct
+FROM pairs
+WHERE bit_count(xor(fp_a, fp_b)) <= 3 AND id_b >= 1000000
 """
 
 
@@ -1471,6 +1537,7 @@ QUERIES = {
     "page_stats": q_page_stats,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
+    "simhash_incremental": q_simhash_incremental,
     "dedup_minhash_lsh": q_minhash_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_profile": q_text_profile,
@@ -1501,6 +1568,7 @@ ORACLES = {
     "page_stats": O_PAGE_STATS,
     "simhash_fingerprint": O_SIMHASH_FINGERPRINT,
     "simhash_near_dup": O_SIMHASH_NEAR_DUP,
+    "simhash_incremental": O_SIMHASH_INCREMENTAL,
     "dedup_minhash_lsh": O_MINHASH_LSH,
     "ann_cosine_topk": O_ANN_COSINE_TOPK,
     "text_profile": O_TEXT_PROFILE,

@@ -96,6 +96,28 @@ def test_simhash_banded_join_shuffle_budget(spark, docs):
     assert count_shuffles(plan) <= 3
 
 
+def test_simhash_incremental_probe_no_cartesian(spark, docs):
+    """The delta probe must stay an equi-join on (band_idx, band) — the
+    corpus side is only ever touched through its band index, never crossed."""
+    from crawler_spark.operators.dedup import simhash_incremental_near_dup
+
+    fp = (
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+        .cast("long")
+    )
+    corpus = docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"), fp.bitwiseXOR(F.lit(1)).alias("fp")
+    )
+    plan = simhash_incremental_near_dup(corpus, delta, id_col="id", fp_col="fp")
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert count_occurrences(plan, "CartesianProduct") == 0
+    # probe join (2 sides) + within-delta join reuses the delta exchange
+    # + pair dedup: bounded, never O(|corpus|^2)
+    assert count_shuffles(plan) <= 6
+
+
 def test_expressions_stay_in_codegen(spark, docs):
     from crawler_spark.functions.text import quality_score_col, token_count_ws_col
 

@@ -83,6 +83,46 @@ def test_band_pigeonhole():
         assert shared, f"no shared band at distance {len(flip)}"
 
 
+def test_incremental_near_dup_invariant(spark):
+    """The index-maintenance contract: incremental(corpus, delta) emits
+    exactly the pairs full(corpus UNION delta) adds over full(corpus) —
+    corpus-delta probes and within-delta pairs, never corpus-corpus ones."""
+    from crawler_spark.operators.dedup import (
+        simhash_incremental_near_dup,
+        simhash_near_dup_join,
+    )
+
+    base = 0x0123456789ABCDEF
+    corpus_rows = [(1, base), (2, base ^ 0b11), (3, base ^ (0xFF << 40))]
+    # delta: near-dup of corpus doc 1 (d=1), far from everything (d=8 spread
+    # over all bands), exact copy of corpus doc 3, and a within-delta pair
+    delta_rows = [
+        (10, base ^ 0b100),
+        (11, base ^ 0x0101010101010101),
+        (12, base ^ (0xFF << 40)),
+        (13, base ^ (0xFF << 40) ^ 0b1),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id long, simhash long")
+    delta = spark.createDataFrame(delta_rows, "id long, simhash long")
+    inc = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in simhash_incremental_near_dup(corpus, delta).collect()
+    }
+    full_union = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in simhash_near_dup_join(corpus.unionByName(delta)).collect()
+    }
+    full_corpus = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in simhash_near_dup_join(corpus).collect()
+    }
+    assert inc == full_union - full_corpus
+    # sanity on the fixture: at least one probe pair, one exact copy,
+    # and one within-delta pair actually exercised
+    assert (1, 10, 1) in inc and (3, 12, 0) in inc and (12, 13, 1) in inc
+    assert all(a >= 10 or b >= 10 for a, b, _ in inc)
+
+
 def test_connected_components_multi_hop(spark):
     """A 4-node path graph needs 3 propagation hops — catches a closure that
     stops after one round; isolated node keeps its own label."""
