@@ -160,6 +160,17 @@ GROUP BY kind
 """
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous dedup: micro-batches probe the accumulated corpus index
+    and append to it (foreachBatch over simhash_incremental_near_dup) —
+    each near-dup pair is emitted exactly once, when its later member
+    arrives, so the drained union equals the batch self-join and the oracle
+    is the simhash_near_dup SQL verbatim."""
+    from crawler_spark.streaming.ingest import run_incremental_near_dup
+
+    return run_incremental_near_dup(spark, sf_dir)
+
+
 QUERIES = {
     "frontier_crawl_pages": q_frontier_crawl_pages,
     "frontier_round_metrics": q_frontier_round_metrics,
@@ -167,11 +178,16 @@ QUERIES = {
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_host_budget": q_stream_host_budget,
     "stream_span_extract": q_stream_span_extract,
+    "stream_near_dup": q_stream_near_dup,
 }
+
+
+from crawler_spark.queries_content import O_SIMHASH_NEAR_DUP  # noqa: E402
 
 ORACLES = {
     "stream_window_counts": O_STREAM_WINDOW_COUNTS,
     "stream_dedup_counts": O_STREAM_DEDUP_COUNTS,
     "stream_span_extract": O_STREAM_SPAN_EXTRACT,
     "stream_host_budget": O_STREAM_HOST_BUDGET,
+    "stream_near_dup": O_SIMHASH_NEAR_DUP,
 }

@@ -231,3 +231,76 @@ def run_span_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("off").alias("max_offset"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_incremental_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str | None = None,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Continuous near-dup maintenance: each micro-batch's fingerprints are
+    probed ONLY against the accumulated corpus (foreachBatch ->
+    simhash_incremental_near_dup), then appended to it — the streaming form
+    of the reference's persist-time fuzzy lookup
+    (result_persistence.py:231-264). Every near-dup pair is emitted exactly
+    once, in the batch where its LATER member arrives, so the union of
+    emissions over ANY batch partitioning equals the batch self-join (gated
+    across real micro-batch boundaries in tests/test_streaming.py).
+
+    Fixture = the simhash_near_dup corpus (doc fp + planted copy at Hamming
+    distance doc_id%4+1), so the oracle is literally that query's SQL.
+    """
+    import os
+    import tempfile
+
+    from crawler_spark.operators.dedup import simhash_incremental_near_dup
+
+    if src_dir is None:
+        docs = read_documents_stream(spark, sf_dir)
+    else:
+        schema = spark.read.parquet(src_dir).schema
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(src_dir)
+        )
+    root = tempfile.mkdtemp(prefix="stream_neardup_")
+    index_dir = os.path.join(root, "index")
+    pairs_dir = os.path.join(root, "pairs")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fp = (
+            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+            .cast("long")
+        )
+        flips = (F.col("doc_id") % 4 + 1).cast("int")
+        delta = batch_df.select(
+            F.col("doc_id").alias("id"), fp.alias("fp")
+        ).unionByName(
+            batch_df.select(
+                (F.col("doc_id") + 1_000_000).alias("id"),
+                fp.bitwiseXOR(F.pow(F.lit(2.0), flips).cast("long") - 1)
+                .alias("fp"),
+            )
+        )
+        corpus = (
+            sess.read.parquet(index_dir)
+            if os.path.isdir(index_dir)
+            else sess.createDataFrame([], "id long, fp long")
+        )
+        pairs = simhash_incremental_near_dup(
+            corpus, delta, id_col="id", fp_col="fp", threshold=3
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        delta.write.mode("append").parquet(index_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)

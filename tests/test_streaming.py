@@ -69,6 +69,67 @@ def test_stateful_budget_conserves_counts(spark, events):
         assert 0 <= r.n_throttled <= r.n_requests
 
 
+def test_stream_near_dup_multi_batch_equals_batch_join(spark, tmp_path):
+    """Continuous dedup across REAL micro-batch boundaries. Synthetic corpus:
+    120 docs whose text repeats every 40 ids, split into thirds — so docs k,
+    k+40, k+80 share a fingerprint but land in batches 0, 1, 2, and every
+    matching base-base pair CROSSES a micro-batch boundary. The drained
+    union must equal the batch banded self-join on the full corpus, each
+    pair exactly once. A probe that re-initialized the corpus index between
+    batches loses the cross-batch pairs; one that re-scanned prior batches
+    re-emits them."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.dedup import simhash_near_dup_join
+    from crawler_spark.streaming.ingest import run_incremental_near_dup
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, f"dokumen putusan nomor {i % 40} tahun dua ribu") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    t0 = time.time() - 100
+    for i in range(3):
+        part = rows[40 * i:40 * (i + 1)]
+        p = os.path.join(d, f"part-{i:03d}.parquet")
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in part], pa.int64()),
+                "text": [r[1] for r in part],
+            }),
+            p,
+        )
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+
+    got = run_incremental_near_dup(
+        spark, SF, src_dir=d, max_files_per_trigger=1
+    ).collect()
+    pairs = [(r.id_a, r.id_b, r.distance) for r in got]
+    assert len(pairs) == len(set(pairs)), "a pair was emitted more than once"
+
+    fp = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10).cast("long")
+    flips = (F.col("doc_id") % 4 + 1).cast("int")
+    corpus = docs.select(F.col("doc_id").alias("id"), fp.alias("fp")).unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("id"),
+            fp.bitwiseXOR(F.pow(F.lit(2.0), flips).cast("long") - 1).alias("fp"),
+        )
+    )
+    want = {
+        (r.id_a, r.id_b, r.distance)
+        for r in simhash_near_dup_join(corpus, id_col="id", fp_col="fp").collect()
+    }
+    assert set(pairs) == want
+    # cross-batch carry-over genuinely exercised: doc 0 (batch 0) matches
+    # docs 40 and 80 (batches 1 and 2) at distance 0
+    assert (0, 40, 0) in want and (0, 80, 0) in want and (40, 80, 0) in want
+
+
 def test_stateful_budget_multi_batch_replay(spark, tmp_path):
     """The availableNow single-batch oracle alone can't prove the state
     carry-over; here the input is split into 3 files drained one per
