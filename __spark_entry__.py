@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "data_attr_extract",
     "ann_ivf_train",
     "simhash_incremental",
+    "minhash_incremental",
     "stream_near_dup",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",

@@ -293,6 +293,64 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_keys(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_key) rows for LSH banding over minhash signatures."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+
+
+def minhash_incremental_pairs(
+    corpus_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate maintenance in its production shape: probe only
+    the round's NEW signatures against the standing corpus band index, the
+    set-at-a-time form of the reference's persist-time duplicate lookup
+    (result_persistence.py:231-264) for the MinHash family — the sibling of
+    `simhash_incremental_near_dup`.
+
+    Returns exactly the candidate pairs that re-running `minhash_lsh_pairs`
+    on (corpus UNION delta) would ADD: signatures never change, so every new
+    pair has >= 1 delta member — (corpus x delta) band probes plus
+    within-delta bucket pairs (invariant gated in tests/test_simhash.py).
+    The corpus is touched only through its (band_idx, band_key, id) index; at
+    10^10 docs that index is a standing table bucketed on (band_idx,
+    band_key) appended each round, so the equi-join prunes to the delta's
+    buckets and per-round cost is O(|delta| x bucket occupancy), never
+    O(|corpus|). Within-delta pairs reuse the one-exchange bucket
+    aggregation (no delta self-join).
+    """
+    corpus_idx = _band_keys(corpus_sigs, bands, rows_per_band)
+    delta_idx = _band_keys(delta_sigs, bands, rows_per_band)
+    probe = (
+        delta_idx.alias("d")
+        .join(
+            corpus_idx.alias("c"),
+            (F.col("d.band_idx") == F.col("c.band_idx"))
+            & (F.col("d.band_key") == F.col("c.band_key"))
+            & (F.col("d.id") != F.col("c.id")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+        )
+    )
+    within = minhash_lsh_pairs(delta_sigs, bands=bands, rows_per_band=rows_per_band)
+    return probe.unionByName(within).distinct()
+
+
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from crawler_spark.operators.dedup import (
     content_hash_stats,
     jaccard_pairs,
     mark_exact_duplicates,
+    minhash_incremental_pairs,
     minhash_lsh_pairs,
     minhash_signature,
     simhash_incremental_near_dup,
@@ -345,6 +346,94 @@ SELECT p.id_a, p.id_b,
        round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
 FROM pairs p JOIN tsets a ON p.id_a = a.id JOIN tsets b ON p.id_b = b.id
+""".replace(
+    "{mins}",
+    ",\n         ".join(
+        f"min((h60 * {2 * i + 1} + {1000003 * (i + 1) + 12345}) % 2305843009213693951) AS mh_{i}"
+        for i in range(16)
+    ),
+)
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH incremental maintenance (the persist-time duplicate lookup
+    of result_persistence.py:231-264, set-at-a-time, MinHash family): corpus
+    = documents; delta = two planted batches (doc_id%4 + ' tambahan akhir
+    dokumen' at +1M, doc_id%8 + ' salinan resmi berkas' at +2M) so the
+    result covers corpus-delta probes AND within-delta pairs. Spark probes
+    only the delta against the corpus band index; the oracle independently
+    states the contract as the FULL banded join on corpus+delta restricted
+    to pairs with a delta member. Candidates verified with exact Jaccard."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+    delta = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.concat(F.col("text"), F.lit(" tambahan akhir dokumen")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 8 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("id"),
+            F.concat(F.col("text"), F.lit(" salinan resmi berkas")).alias("text"),
+        )
+    )
+    corpus_sigs = minhash_signature(corpus, "id", "text", k=16, shingle_words=3)
+    delta_sigs = minhash_signature(delta, "id", "text", k=16, shingle_words=3)
+    pairs = minhash_incremental_pairs(corpus_sigs, delta_sigs, bands=4, rows_per_band=4)
+    return jaccard_pairs(corpus.unionByName(delta), pairs, "id", "text").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+O_MINHASH_INCREMENTAL = r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text || ' tambahan akhir dokumen' AS text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text || ' salinan resmi berkas' AS text
+  FROM documents WHERE doc_id % 8 = 0
+),
+toks AS (
+  SELECT id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS t FROM corpus
+),
+sh AS (
+  SELECT id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+h AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle),17,10)) AS BIGINT) AS h60 FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM h GROUP BY id
+),
+banded AS (
+  SELECT id, b AS band_idx,
+         CASE b
+           WHEN 0 THEN mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3
+           WHEN 1 THEN mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7
+           WHEN 2 THEN mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11
+           ELSE mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15
+         END AS band_key
+  FROM sig, LATERAL unnest(generate_series(0,3)) AS g(b)
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+),
+tsets AS (
+  SELECT id, list_distinct(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS ts
+  FROM corpus
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+FROM pairs p JOIN tsets a ON p.id_a = a.id JOIN tsets b ON p.id_b = b.id
+WHERE p.id_b >= 1000000
 """.replace(
     "{mins}",
     ",\n         ".join(
@@ -1538,6 +1627,7 @@ QUERIES = {
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
     "simhash_incremental": q_simhash_incremental,
+    "minhash_incremental": q_minhash_incremental,
     "dedup_minhash_lsh": q_minhash_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_profile": q_text_profile,
@@ -1569,6 +1659,7 @@ ORACLES = {
     "simhash_fingerprint": O_SIMHASH_FINGERPRINT,
     "simhash_near_dup": O_SIMHASH_NEAR_DUP,
     "simhash_incremental": O_SIMHASH_INCREMENTAL,
+    "minhash_incremental": O_MINHASH_INCREMENTAL,
     "dedup_minhash_lsh": O_MINHASH_LSH,
     "ann_cosine_topk": O_ANN_COSINE_TOPK,
     "text_profile": O_TEXT_PROFILE,

@@ -123,6 +123,45 @@ def test_incremental_near_dup_invariant(spark):
     assert all(a >= 10 or b >= 10 for a, b, _ in inc)
 
 
+def test_minhash_incremental_invariant(spark):
+    """MinHash sibling of the simhash index-maintenance contract:
+    incremental(corpus, delta) emits exactly the candidate pairs
+    full-LSH(corpus UNION delta) adds over full-LSH(corpus) — corpus-delta
+    band probes and within-delta bucket pairs, never corpus-corpus ones."""
+    from crawler_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    t = "putusan pengadilan negeri nomor satu dua tiga tentang perkara perdata"
+    corpus_rows = [
+        (1, t),
+        (2, t + " tambahan"),
+        (3, "dokumen lain yang sama sekali berbeda isinya dari semua naskah"),
+    ]
+    delta_rows = [
+        (10, t),  # exact copy of corpus doc 1
+        (11, t + " salinan"),  # near corpus + near delta 10
+        (12, "teks unik ketiga belas tanpa pasangan dalam korpus manapun x"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id long, text string")
+    delta = spark.createDataFrame(delta_rows, "id long, text string")
+    c_sigs = minhash_signature(corpus, "id", "text")
+    d_sigs = minhash_signature(delta, "id", "text")
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(c_sigs, d_sigs).collect()
+    }
+    both = minhash_signature(corpus.unionByName(delta), "id", "text")
+    full_union = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(both).collect()}
+    full_corpus = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(c_sigs).collect()}
+    assert inc == full_union - full_corpus
+    # fixture exercises a probe pair and a within-delta pair; no corpus-only
+    assert (1, 10) in inc and (10, 11) in inc
+    assert all(b >= 10 for _a, b in inc)
+
+
 def test_connected_components_multi_hop(spark):
     """A 4-node path graph needs 3 propagation hops — catches a closure that
     stops after one round; isolated node keeps its own label."""
