@@ -59,6 +59,7 @@ HEADLINE = [
     "request_retry",
     "website_statistics",
     "simhash_incremental",
+    "minhash_incremental",
 ]
 
 
