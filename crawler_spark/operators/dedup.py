@@ -263,8 +263,15 @@ def minhash_lsh_pairs(
     (nested array transforms). A banded self-join would cost two exchanges
     AND evaluate the signature lineage once per side; the bucket aggregation
     evaluates it once. Pair expansion is
-    quadratic per bucket — the same output the self-join produced — and LSH
-    bucket sizes are bounded by construction (that is the point of banding).
+    quadratic per bucket — the same output the self-join produced — and
+    NEAR-dup bucket sizes are bounded by construction (that is the point of
+    banding). The honest boundary: EXACT duplicates share every band, so a
+    corpus with k copies of one page makes a k-sized bucket (k^2 pairs and a
+    k-id collect_list in one task) under this aggregation AND a k^2-row join
+    under the self-join alternative. Run exact dedup first
+    (`mark_exact_duplicates`, as the pipeline does) so identical content
+    collapses to canonicals before LSH — then bucket size is governed by the
+    band collision probability it was tuned for.
     """
     band_structs = [
         F.struct(
