@@ -137,8 +137,20 @@ class SnapshotStore:
         chain = self._live_chain(rounds, table)
         if not chain:
             return None
+        terminal = chain[-1][1]
+        if terminal.get("mode", "full") == "delta" and "base_paths" not in terminal:
+            # the chain never reached a full snapshot: this round's base was
+            # expired without a fold (expire_snapshots only folds into the
+            # CURRENT live chain). Returning just the surviving deltas would
+            # be silently-partial data — same contract as the
+            # predates-retention case above: raise.
+            raise ValueError(
+                f"table {table!r} at round {round_no}: delta chain base "
+                f"predates the retention window (expired without fold) — "
+                f"history unreachable"
+            )
         paths = [info["path"] for _, info in chain]  # newest-first
-        paths.extend(reversed(chain[-1][1].get("base_paths", [])))
+        paths.extend(reversed(terminal.get("base_paths", [])))
         return spark.read.parquet(*list(reversed(paths)))
 
     def history(self) -> list[dict[str, Any]]:
@@ -162,6 +174,23 @@ class SnapshotStore:
             }
             for r in self.manifest()["rounds"]
         ]
+
+    def table_rows_many(self, tables: list[str]) -> dict[str, int]:
+        """table_rows for several tables with ONE manifest read + parse —
+        the per-round hint block asks for six counts; re-reading the
+        O(tables x rounds) manifest JSON per count is driver IO that grows
+        with crawl age."""
+        rounds = self.manifest()["rounds"]
+        out: dict[str, int] = {}
+        for t in tables:
+            chain = self._live_chain(rounds, t)
+            out[t] = (
+                sum(info.get("rows", 0) for _, info in chain)
+                + chain[-1][1].get("base_rows", 0)
+                if chain
+                else 0
+            )
+        return out
 
     def table_rows(self, table: str) -> int:
         """Live row count of `table` from manifest metadata alone (footer

@@ -200,9 +200,23 @@ class CrawlEngine:
             if seen is not None else batch
         ).select(*[f.name for f in batch.schema.fields]).cache()
         n_fresh = fresh.count()
-        if not fresh_store and n_fresh == 0:
-            # nothing new: metrics-only commit (no table or blob IO; reads
-            # keep resolving to the previous snapshot chain)
+        # an enqueue commit advances the round counter, so in TTL mode it
+        # also OWNS its round's cuckoo retirement — each round retires
+        # exactly its expiring cohort (seen_round == round - ttl), the same
+        # cadence as _run_round; a commit that skipped its cohort would
+        # leave those keys in the filter until the next full rebuild
+        ttl_deletes = (
+            seen.filter(
+                F.col("seen_round") == round_no - self.ttl_rounds
+            ).select("host", "url_hash")
+            if self.ttl_rounds is not None and seen is not None
+            else None
+        )
+        if not fresh_store and n_fresh == 0 and (
+            ttl_deletes is None or ttl_deletes.limit(1).count() == 0
+        ):
+            # nothing new, nothing expiring: metrics-only commit (no table
+            # or blob IO; reads keep resolving to the previous chain)
             entry = self.store.commit_round(
                 round_no, {}, metrics={"phase": "enqueue", "n_enqueued": 0}
             )
@@ -215,8 +229,13 @@ class CrawlEngine:
         prev_blob_dir = None if fresh_store else self.store.latest_blob_dir()
         if prev_blob_dir is None:
             # fresh store OR expired blobs: authoritative rebuild from the
-            # full post-enqueue membership (same guard as _run_round)
+            # full post-enqueue membership (same guard as _run_round; under
+            # TTL, from the window the NEXT round's probe will use)
             base = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            if self.ttl_rounds is not None:
+                base = base.filter(
+                    F.col("seen_round") >= round_no + 1 - self.ttl_rounds
+                )
             update_seen_shards(
                 base.select("host", "url_hash"), blob_dir=None,
                 n_shards=N_SHARDS, out_dir=out_dir,
@@ -224,8 +243,16 @@ class CrawlEngine:
         else:
             update_seen_shards(
                 fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
-                n_shards=N_SHARDS, out_dir=out_dir,
+                deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir,
             ).collect()
+        if not fresh_store and n_fresh == 0:
+            # TTL retirement only: blob-dir commit with no table writes
+            entry = self.store.commit_round(
+                round_no, {}, metrics={"phase": "enqueue", "n_enqueued": 0},
+                blob_dir=out_dir,
+            )
+            fresh.unpersist()
+            return entry["metrics"]
         metrics = {"phase": "enqueue", "n_enqueued": n_fresh}
         full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
@@ -304,7 +331,6 @@ class CrawlEngine:
     # ------------------------------------------------------------- one round
 
     def run_round(self, round_no: int) -> dict[str, Any]:
-        spark = self.spark
         self._in_round = True
         try:
             return self._run_round(round_no)
@@ -662,17 +688,20 @@ class CrawlEngine:
         # would make chain reads slow as the crawl ages); at production
         # counts the same hints yield genuinely parallel writes
         n_failed = metrics["n_fetched"] - metrics["n_ok"]
+        prev_rows = self.store.table_rows_many(
+            ["seen", "pages", "dlq", "fetch_log", "retry_history"]
+        )  # one manifest read for all five hints
         hints = {
             "frontier": max(
                 1,
                 metrics["n_due"] - metrics["n_selected"]
                 + metrics["n_retry"] + metrics["n_new_urls"],
             ),
-            "seen": self.store.table_rows("seen") + metrics["n_new_urls"],
-            "pages": self.store.table_rows("pages") + metrics["n_ok"],
-            "dlq": self.store.table_rows("dlq") + metrics["n_dlq"],
-            "fetch_log": self.store.table_rows("fetch_log") + metrics["n_fetched"],
-            "retry_history": self.store.table_rows("retry_history") + n_failed,
+            "seen": prev_rows["seen"] + metrics["n_new_urls"],
+            "pages": prev_rows["pages"] + metrics["n_ok"],
+            "dlq": prev_rows["dlq"] + metrics["n_dlq"],
+            "fetch_log": prev_rows["fetch_log"] + metrics["n_fetched"],
+            "retry_history": prev_rows["retry_history"] + n_failed,
         }
         if self.ttl_rounds is not None or compaction:
             full["seen"] = next_seen

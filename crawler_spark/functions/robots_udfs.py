@@ -93,12 +93,17 @@ def robots_decide_udf():
     Unlike robots_eval_udfs (driver-known host->txt map in the closure), the
     policy TEXT rides as a column — the full parse -> group-select -> match
     path is exercised per distinct policy, memoized per executor (one parse
-    per distinct robots.txt, not per row)."""
+    per distinct robots.txt, not per row; clear-on-full bound like the
+    simhash token cache — executors are long-lived, ~one distinct policy
+    per host is unbounded at web scale)."""
     cache: dict[str, RobotsPolicy] = {}
+    cache_max = 1 << 16
 
     def _policy(txt: str) -> RobotsPolicy:
         pol = cache.get(txt)
         if pol is None:
+            if len(cache) >= cache_max:
+                cache.clear()
             pol = cache[txt] = parse_robots(txt)
         return pol
 

@@ -273,18 +273,9 @@ def minhash_lsh_pairs(
     collapses to canonicals before LSH — then bucket size is governed by the
     band collision probability it was tuned for.
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
     buckets = (
-        signatures.select("id", F.explode(F.array(*band_structs)).alias("b"))
-        .groupBy("b.band_idx", "b.band_key")
+        _band_keys(signatures, bands, rows_per_band)
+        .groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )

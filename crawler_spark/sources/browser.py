@@ -33,7 +33,6 @@ content_length/final_url metadata — is real and oracled.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Callable
 from typing import Any
 
@@ -102,12 +101,9 @@ def make_browser_executor(fetcher: BrowserFetcher, render: Render | None = None)
     return browser_step
 
 
-def _stringify(value: Any) -> str | None:
-    if value is None:
-        return None
-    if isinstance(value, str):
-        return value
-    return json.dumps(value)
+# shared with the api/http executors — the stable cell encoding must stay
+# byte-identical across step types (strings pass through, rest JSON)
+from crawler_spark.sources.api import _stringify  # noqa: E402
 
 
 def browser_batch(

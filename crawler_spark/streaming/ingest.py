@@ -251,7 +251,9 @@ def run_incremental_near_dup(
     Fixture = the simhash_near_dup corpus (doc fp + planted copy at Hamming
     distance doc_id%4+1), so the oracle is literally that query's SQL.
     """
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from crawler_spark.operators.dedup import simhash_incremental_near_dup
@@ -265,7 +267,11 @@ def run_incremental_near_dup(
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(src_dir)
         )
+    # the returned DataFrame reads pairs_dir lazily, so the working dir must
+    # outlive this call — reclaim it at process exit instead of leaking one
+    # index+pairs+checkpoint copy per invocation (bench reruns, sweeps)
     root = tempfile.mkdtemp(prefix="stream_neardup_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     index_dir = os.path.join(root, "index")
     pairs_dir = os.path.join(root, "pairs")
 

@@ -69,3 +69,64 @@ def test_ttl_recrawl_replaces_page_row_not_duplicates(spark, tmp_path):
     # fetch_log keeps every attempt
     log = eng.store.read(spark, "fetch_log")
     assert log.filter(log.url_norm == url).count() >= 2
+
+
+def test_enqueue_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
+    """An enqueue_seeds commit advances the round counter, so it must also
+    retire its round's expiring cohort from the cuckoo layer — previously it
+    skipped the delete and those keys sat in the filter until the next full
+    rebuild (found by review). Uses a duplicate-seed enqueue (n_fresh == 0)
+    so the early-return path is the one exercised."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine.superstep import N_SHARDS
+    from crawler_spark.operators.seenset import probe_seen_files
+
+    corpus, robots, seeds = build_corpus(SPEC), robots_map(SPEC), seed_urls(SPEC)
+    eng = CrawlEngine(spark, str(tmp_path / "ttlq"), corpus, robots,
+                      per_host_budget=3, ttl_rounds=TTL)
+    # 4 rounds leaves TWO populated cohorts inside the TTL window (2 and 3),
+    # so the enqueue retires the older one while the newer stays active
+    eng.run(seeds=seeds, max_rounds=4)
+
+    seen = eng.store.read(spark, "seen")
+    cohort_rounds = sorted(
+        r[0] for r in seen.select("seen_round").distinct().collect()
+    )
+    # target the OLDEST cohort still retirable at/after the next round, so
+    # newer cohorts stay in the active window; idle-enqueue forward until
+    # the next enqueue round is the one that retires it (each intermediate
+    # enqueue retires its own, possibly empty, cohort)
+    target = next(
+        c for c in cohort_rounds if c + TTL >= eng.store.latest_round() + 1
+    )
+    enqueue_round = target + TTL
+    while eng.store.latest_round() + 1 < enqueue_round:
+        eng.add_seeds([seeds[0]])  # duplicate -> n_fresh == 0
+    cohort = seen.filter(
+        F.col("seen_round") == target
+    ).select("host", "url_hash").collect()
+    active = seen.filter(
+        F.col("seen_round") > target
+    ).select("host", "url_hash").collect()
+    assert cohort, "fixture must have an expiring cohort at the enqueue round"
+    assert active, "fixture must keep at least one newer cohort active"
+
+    eng.add_seeds([seeds[0]])  # already-seen -> n_fresh == 0 path
+    assert eng.store.latest_round() == enqueue_round
+    blob_dir = eng.store.latest_blob_dir()
+    assert blob_dir.endswith(f"{enqueue_round:05d}"), (
+        "enqueue must commit a new blob dir carrying its cohort retirement"
+    )
+
+    def probes(rows):
+        df = spark.createDataFrame(rows, "host string, url_hash string")
+        return {
+            (r["host"], r["url_hash"]): r["maybe_seen"]
+            for r in probe_seen_files(
+                df, blob_dir, n_shards=N_SHARDS, layer="cuckoo"
+            ).collect()
+        }
+
+    assert not any(probes(cohort).values()), "expired cohort still in cuckoo"
+    assert all(probes(active).values()), "active window keys must stay present"

@@ -75,3 +75,18 @@ def test_expired_round_raises_but_live_state_survives(spark, store):
     assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
     assert _ids(store.read_at(spark, "t", store.latest_round())) == \
         [0, 1, 2, 3, 4, 5]
+
+
+def test_read_at_orphaned_delta_raises_not_partial(spark, store):
+    """keep_last=3 keeps rounds 2,3,4; the live chain terminates at round
+    3's full snapshot, so rounds 0-1 are dropped WITHOUT a fold and round
+    2's kept delta entry has no reachable base. read_at(2) must raise —
+    returning just [3] (the surviving delta rows) would be silently-partial
+    history (found by review, reproduced before the fix)."""
+    store.expire_snapshots(keep_last=3)
+    with pytest.raises(ValueError, match="unreachable|expired"):
+        store.read_at(spark, "t", 2)
+    # rounds at or after the terminal full snapshot still reconstruct
+    assert _ids(store.read_at(spark, "t", 3)) == [0, 1, 2, 3, 4]
+    assert _ids(store.read_at(spark, "t", 4)) == [0, 1, 2, 3, 4, 5]
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
