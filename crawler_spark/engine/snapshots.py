@@ -293,11 +293,14 @@ class SnapshotStore:
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, Any]:
         """Iceberg `expire_snapshots` / the reference's partition-maintenance
         script (scripts/maintain_partitions.py, Q7): physically delete
-        snapshot dirs and blob dirs no longer reachable from the most recent
-        ``keep_last`` rounds. Time travel to expired rounds is lost; the
-        CURRENT state of every table is preserved — a table last written in
-        an expired round is folded into the oldest kept manifest entry so
-        reads and resume behave identically."""
+        snapshot dirs and blob dirs no longer referenced by ANY of the most
+        recent ``keep_last`` rounds. Time travel to expired rounds is lost,
+        but every KEPT round stays fully readable (read_at) — a kept delta
+        whose chain base leaves the window keeps those dirs alive via a
+        `base_paths` fold, reclaimed later once the referencing round itself
+        expires (Iceberg's files-referenced-by-retained-snapshots rule); the
+        CURRENT state of every table is preserved, so reads and resume
+        behave identically."""
         import shutil
 
         man = self.manifest()
@@ -307,18 +310,54 @@ class SnapshotStore:
         dropped, kept = rounds[:-keep_last], rounds[-keep_last:]
         n_dropped = len(dropped)
 
-        # Per table: the live state is a CHAIN (full base + deltas). Chain
-        # entries whose round leaves the kept window must survive on disk and
-        # stay reachable — fold their paths into the oldest surviving chain
-        # entry as `base_paths` (or, when no kept round touches the table at
-        # all, fold the whole chain into the oldest kept manifest entry).
+        # Per table: state at any round is a CHAIN (full base + deltas).
+        # Iceberg's expire_snapshots removes data files only when NO
+        # retained snapshot references them — so every KEPT round must stay
+        # readable (read_at), not just the live state. For each table, the
+        # oldest kept entry whose chain dips below the window gets the
+        # below-window chain folded in as `base_paths` (those dirs then
+        # survive on disk); newer kept rounds' chains terminate at or above
+        # that entry, so they resolve too. When no kept round touches the
+        # table at all, the whole live chain folds into the oldest kept
+        # manifest entry. Disk for folded dirs is reclaimed once the rounds
+        # referencing them expire in a later pass.
         all_tables = {t for r in rounds for t in r["tables"]}
         live_paths: set[str] = set()
         for t in all_tables:
-            chain = self._live_chain(rounds, t)  # newest-first
+            kept_idxs = [
+                i for i in range(n_dropped, len(rounds)) if t in rounds[i]["tables"]
+            ]
+            if not kept_idxs:
+                # table last written in a dropped round: fold its live chain
+                # into the oldest kept manifest entry so read()/resume hold
+                chain = self._live_chain(rounds, t)  # newest-first
+                terminal_bases = chain[-1][1].get("base_paths", [])
+                live_paths.update(info["path"] for _, info in chain)
+                live_paths.update(terminal_bases)
+                folded = list(terminal_bases) + [
+                    info["path"] for _, info in reversed(chain)
+                ]
+                folded_rows = chain[-1][1].get("base_rows", 0) + sum(
+                    info.get("rows", 0) for _, info in chain
+                )
+                newest = dict(chain[0][1])
+                newest["base_paths"] = folded[:-1]  # all but its own path
+                newest["base_rows"] = folded_rows - newest.get("rows", 0)
+                kept[0]["tables"][t] = newest
+                continue
+            # chain as of the OLDEST kept round that has the table — if it
+            # dips below the window, fold the below-window part into that
+            # entry (newer kept chains stop at or above it)
+            chain = self._live_chain(rounds[: kept_idxs[0] + 1], t)
             terminal_bases = chain[-1][1].get("base_paths", [])
             live_paths.update(info["path"] for _, info in chain)
             live_paths.update(terminal_bases)
+            # every kept entry's own path (and any base fold it already
+            # carries from an earlier expiry) stays live regardless of chains
+            for i in kept_idxs:
+                info = rounds[i]["tables"][t]
+                live_paths.add(info["path"])
+                live_paths.update(info.get("base_paths", []))
             dropped_part = [(i, info) for i, info in chain if i < n_dropped]
             if not dropped_part:
                 continue
@@ -331,15 +370,9 @@ class SnapshotStore:
             folded_rows = chain[-1][1].get("base_rows", 0) + sum(
                 info.get("rows", 0) for _, info in dropped_part
             )
-            kept_part = [(i, info) for i, info in chain if i >= n_dropped]
-            if kept_part:
-                kept_part[-1][1]["base_paths"] = folded
-                kept_part[-1][1]["base_rows"] = folded_rows
-            else:
-                newest = dict(dropped_part[0][1])
-                newest["base_paths"] = folded[:-1]  # all but its own path
-                newest["base_rows"] = folded_rows - newest.get("rows", 0)
-                kept[0]["tables"][t] = newest
+            oldest_kept = rounds[kept_idxs[0]]["tables"][t]
+            oldest_kept["base_paths"] = folded
+            oldest_kept["base_rows"] = folded_rows
 
         live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}
         # keep the newest blob dir even if it predates the kept window, AND
@@ -358,9 +391,12 @@ class SnapshotStore:
         removed = 0
         for r in dropped:
             for info in r["tables"].values():
-                if info["path"] not in live_paths and os.path.isdir(info["path"]):
-                    shutil.rmtree(info["path"])
-                    removed += 1
+                # a dropped entry releases its own dir AND any base fold it
+                # carried (deferred reclamation of earlier expiries' files)
+                for p in [info["path"], *info.get("base_paths", [])]:
+                    if p not in live_paths and os.path.isdir(p):
+                        shutil.rmtree(p)
+                        removed += 1
             bd = r.get("blob_dir")
             if bd and bd not in live_blob_dirs and os.path.isdir(bd):
                 shutil.rmtree(bd)

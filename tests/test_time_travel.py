@@ -77,16 +77,26 @@ def test_expired_round_raises_but_live_state_survives(spark, store):
         [0, 1, 2, 3, 4, 5]
 
 
-def test_read_at_orphaned_delta_raises_not_partial(spark, store):
-    """keep_last=3 keeps rounds 2,3,4; the live chain terminates at round
-    3's full snapshot, so rounds 0-1 are dropped WITHOUT a fold and round
-    2's kept delta entry has no reachable base. read_at(2) must raise —
-    returning just [3] (the surviving delta rows) would be silently-partial
-    history (found by review, reproduced before the fix)."""
+def test_kept_delta_round_stays_readable_after_expiry(spark, store):
+    """keep_last=3 keeps rounds 2,3,4; round 2 is a delta whose base
+    (rounds 0-1) leaves the window. Iceberg semantics: files referenced by
+    ANY retained snapshot survive — so read_at(2) must return the TRUE
+    round-2 state, not raise and certainly not the silently-partial [3]
+    the pre-fix code produced (found by review). The below-window dirs are
+    reclaimed only once the rounds referencing them expire too."""
+    import os
+
+    r0_dir = store.manifest()["rounds"][0]["tables"]["t"]["path"]
     store.expire_snapshots(keep_last=3)
-    with pytest.raises(ValueError, match="unreachable|expired"):
-        store.read_at(spark, "t", 2)
-    # rounds at or after the terminal full snapshot still reconstruct
+    assert os.path.isdir(r0_dir), "dir referenced by kept round 2 must survive"
+    assert _ids(store.read_at(spark, "t", 2)) == [0, 1, 2, 3]
     assert _ids(store.read_at(spark, "t", 3)) == [0, 1, 2, 3, 4]
     assert _ids(store.read_at(spark, "t", 4)) == [0, 1, 2, 3, 4, 5]
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="expired"):
+        store.read_at(spark, "t", 1)
+    # deferred reclamation: once round 2 itself expires, its fold is
+    # unreferenced and the below-window dirs go
+    store.expire_snapshots(keep_last=2)
+    assert not os.path.isdir(r0_dir)
     assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
