@@ -221,3 +221,103 @@ def test_kmeans_recovers_separated_clusters(spark):
         r["embedding"].index(max(r["embedding"])) for r in centroids.collect()
     }
     assert argmaxes == {0, 3, 6}
+
+
+class TestIncrementalInvariantRandomized:
+    """Hypothesis-randomized form of the index-maintenance contract: for ANY
+    corpus/delta split of ANY fingerprint multiset (planted near-dups plus
+    noise, empty sides included), incremental(corpus, delta) ==
+    full(corpus UNION delta) - full(corpus). The fixed-fixture tests above
+    pin known shapes; this sweeps the split boundary and distance spectrum."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _fp_split(draw):
+        st_ = TestIncrementalInvariantRandomized.st
+        bases = draw(st_.lists(
+            st_.integers(0, 2**64 - 1), min_size=1, max_size=4))
+        rows = []
+        for b in bases:
+            rows.append(b)
+            for _ in range(draw(st_.integers(0, 2))):
+                mask = 0
+                for bit in draw(st_.lists(st_.integers(0, 63), max_size=5)):
+                    mask |= 1 << bit
+                rows.append(b ^ mask)
+        # full unsigned-64 spectrum, stored as the signed longs the engine
+        # uses (simhash64_signed)
+        rows = [(i, to_signed64(fp)) for i, fp in enumerate(rows)]
+        cut = draw(st_.integers(0, len(rows)))
+        return rows[:cut], rows[cut:]
+
+    @given(split=_fp_split())
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_simhash_incremental_matches_full_diff(self, spark, split):
+        from crawler_spark.operators.dedup import (
+            simhash_incremental_near_dup,
+            simhash_near_dup_join,
+        )
+
+        corpus_rows, delta_rows = split
+        schema = "id long, simhash long"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        delta = spark.createDataFrame(delta_rows, schema)
+        inc = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in simhash_incremental_near_dup(corpus, delta).collect()
+        }
+        full_union = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in simhash_near_dup_join(corpus.unionByName(delta)).collect()
+        }
+        full_corpus = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in simhash_near_dup_join(corpus).collect()
+        }
+        assert inc == full_union - full_corpus
+
+    @st.composite
+    def _text_split(draw):
+        st_ = TestIncrementalInvariantRandomized.st
+        vocab = ["putusan", "nomor", "tahun", "perkara", "pasal", "hakim"]
+        docs = draw(st_.lists(
+            st_.lists(st_.sampled_from(vocab), min_size=3, max_size=8),
+            min_size=1, max_size=6,
+        ))
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+        cut = draw(st_.integers(0, len(rows)))
+        return rows[:cut], rows[cut:]
+
+    @given(split=_text_split())
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_minhash_incremental_matches_full_diff(self, spark, split):
+        """Tiny shared vocabulary forces shingle collisions, so random docs
+        land in shared LSH buckets across arbitrary corpus/delta splits."""
+        from crawler_spark.operators.dedup import (
+            minhash_incremental_pairs,
+            minhash_lsh_pairs,
+            minhash_signature,
+        )
+
+        corpus_rows, delta_rows = split
+        schema = "id long, text string"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        delta = spark.createDataFrame(delta_rows, schema)
+        c_sigs = minhash_signature(corpus, "id", "text")
+        d_sigs = minhash_signature(delta, "id", "text")
+        inc = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_incremental_pairs(c_sigs, d_sigs).collect()
+        }
+        both = minhash_signature(corpus.unionByName(delta), "id", "text")
+        full_union = {
+            (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(both).collect()
+        }
+        full_corpus = {
+            (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(c_sigs).collect()
+        }
+        assert inc == full_union - full_corpus
