@@ -147,7 +147,8 @@ class CrawlEngine:
         # fresh bloom+cuckoo shards, written task-side into the store
         out_dir = self.store.blob_dir_for(-1)
         update_seen_shards(
-            seen, blob_dir=None, n_shards=N_SHARDS, out_dir=out_dir
+            seen, blob_dir=None, n_shards=N_SHARDS, out_dir=out_dir,
+            with_exact=True,
         ).collect()  # tiny (shard, n_items) stat rows only
         self.store.commit_round(
             -1,
@@ -238,12 +239,12 @@ class CrawlEngine:
                 )
             update_seen_shards(
                 base.select("host", "url_hash"), blob_dir=None,
-                n_shards=N_SHARDS, out_dir=out_dir,
+                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
         else:
             update_seen_shards(
                 fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
-                deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir,
+                deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
         if not fresh_store and n_fresh == 0:
             # TTL retirement only: blob-dir commit with no table writes
@@ -483,8 +484,13 @@ class CrawlEngine:
         # from the store — no blobs on the driver or in the UDF closure.
         # TTL mode probes the cuckoo layer (maintained with deletes, so the
         # filter reflects the active window exactly); permanent mode probes
-        # the cheaper bloom layer. FPs never lose URLs: maybe_seen hits are
-        # verified against the (TTL-filtered) exact table.
+        # the cheaper bloom layer. FPs never lose URLs: filter hits are
+        # verified IN-TASK against the shard's exact-<s> pair file
+        # (exact_files mode) — the shard files track the active window on
+        # the per-round delete cadence, so the per-round anti-join shuffle
+        # against the full seen table (the last O(|corpus|) exchange in the
+        # round plan) is gone; `seen_active` only feeds the no-filters
+        # bootstrap path.
         prev_blob_dir = self.store.latest_blob_dir()
         seen_active = (
             seen.filter(F.col("seen_round") >= round_no - self.ttl_rounds)
@@ -495,6 +501,7 @@ class CrawlEngine:
             cands, seen_active, prev_blob_dir, n_shards=N_SHARDS,
             layer="cuckoo" if self.ttl_rounds is not None else "bloom",
             seen_unique=True,  # one row per hash by construction
+            exact_files=True,
         ).cache()
 
         is_listing = F.col("url_norm").rlike(r"\?page=")
@@ -658,7 +665,7 @@ class CrawlEngine:
             )
             update_seen_shards(
                 base.select("host", "url_hash"), blob_dir=None,
-                n_shards=N_SHARDS, out_dir=out_dir,
+                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
         else:
             deletes = (
@@ -670,7 +677,7 @@ class CrawlEngine:
             )
             update_seen_shards(
                 fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
-                deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir,
+                deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) — per-round IO is O(delta) regardless of crawl

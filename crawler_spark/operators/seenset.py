@@ -48,6 +48,84 @@ def with_shard_and_key(
     ).withColumn("filter_key", F.xxhash64(F.col(hash_col)))
 
 
+def verify_key_col(hash_col: str = "url_hash"):
+    """Second identity dimension for the SHARD-LOCAL exact layer: the first
+    60 bits of the sha256 digest itself (independent of the xxhash64 filter
+    key). (filter_key, verify_key) is ~124 bits of identity — collision odds
+    across 10^10 keys ~1e-17, below storage-corruption rates; production on
+    Iceberg would bucket the full 32-byte digest, same plan shape."""
+    return F.conv(F.substring(F.col(hash_col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------- exact key shards
+#
+# `exact-<shard>` files next to the bloom/cuckoo blobs: the shard's ACTIVE
+# (filter_key, verify_key) pairs, lexsorted, as two uint64 arrays. With these
+# the probe task IS the exact arbiter — the per-round anti-join against the
+# seen table (the last O(|corpus|) shuffle in the round plan) disappears.
+# Under TTL the per-round delete cadence keeps file content == the active
+# window of the NEXT round's probe (each commit retires exactly its expiring
+# cohort — gated in tests/test_seen_ttl.py), so no per-entry round metadata
+# is needed.
+
+_EXACT_MAGIC = b"XACT"
+
+
+def _exact_to_bytes(k1, k2) -> bytes:
+    import numpy as np
+
+    order = np.lexsort((k2, k1))
+    k1, k2 = k1[order], k2[order]
+    return (
+        _EXACT_MAGIC
+        + len(k1).to_bytes(8, "little")
+        + k1.astype("<u8").tobytes()
+        + k2.astype("<u8").tobytes()
+    )
+
+
+def _exact_from_bytes(blob: bytes):
+    import numpy as np
+
+    assert blob[:4] == _EXACT_MAGIC
+    n = int.from_bytes(blob[4:12], "little")
+    k1 = np.frombuffer(blob, dtype="<u8", count=n, offset=12)
+    k2 = np.frombuffer(blob, dtype="<u8", count=n, offset=12 + 8 * n)
+    return k1, k2
+
+
+_EXACT_CACHE: dict[str, object] = {}
+
+
+def _load_exact(path: str):
+    if path not in _EXACT_CACHE:
+        if len(_EXACT_CACHE) > 64:  # bound executor memory across rounds
+            _EXACT_CACHE.clear()
+        if not os.path.exists(path):
+            _EXACT_CACHE[path] = None
+        else:
+            with open(path, "rb") as fh:
+                _EXACT_CACHE[path] = _exact_from_bytes(fh.read())
+    return _EXACT_CACHE[path]
+
+
+def _pairs_contains(k1_sorted, k2_sorted, q1, q2):
+    """Vectorized membership of (q1, q2) pairs in the lexsorted pair arrays:
+    searchsorted bounds on the first key, then a scan of the (tiny — equal-k1
+    runs are hash collisions) second-key range."""
+    import numpy as np
+
+    out = np.zeros(len(q1), dtype=bool)
+    if len(k1_sorted) == 0 or len(q1) == 0:
+        return out
+    lo = np.searchsorted(k1_sorted, q1, "left")
+    hi = np.searchsorted(k1_sorted, q1, "right")
+    for i in range(len(q1)):
+        if lo[i] < hi[i] and q2[i] in k2_sorted[lo[i]:hi[i]]:
+            out[i] = True
+    return out
+
+
 _BUILD_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType()),
@@ -182,18 +260,28 @@ def probe_seen_files(
     hash_col: str = "url_hash",
     n_shards: int = 64,
     layer: str = "bloom",
+    exact: bool = False,
 ) -> DataFrame:
     """Adds maybe_seen via a shard-local file probe: ONE shuffle routes each
     candidate to its shard's partition; the task reads `<blob_dir>/<layer>-
     <shard>` once (executor-cached) and probes numpy-vectorized. On a cluster
     blob_dir is shared storage (HDFS/S3) — per-task reads are a few MB and
-    amortized across the partition; total driver traffic is zero."""
+    amortized across the partition; total driver traffic is zero.
+
+    ``exact=True``: rows the filter flags are then verified IN-TASK against
+    the shard's `exact-<s>` pair file (loaded only when the batch has filter
+    hits, executor-cached), so `maybe_seen` becomes an EXACT seen verdict —
+    the caller needs no anti-join against the seen table at all."""
     routed = with_shard_and_key(candidates, host_col, hash_col, n_shards)
+    if exact:
+        routed = routed.withColumn("verify_key", verify_key_col(hash_col))
     schema = T.StructType(
         list(routed.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
     def _probe(batches):
+        import numpy as np
+
         for pdf in batches:
             out = pd.Series(False, index=pdf.index)
             keys = pdf["filter_key"].to_numpy(dtype="int64").astype("uint64")
@@ -202,7 +290,24 @@ def probe_seen_files(
                 if flt is None:
                     continue  # shard never built -> nothing seen there
                 m = (pdf["shard"] == s).to_numpy()
-                out[m] = flt.contains_many(keys[m])
+                hits = flt.contains_many(keys[m])
+                if exact and hits.any():
+                    pairs = _load_exact(os.path.join(blob_dir, f"exact-{int(s)}"))
+                    if pairs is None:
+                        raise RuntimeError(
+                            f"exact-{int(s)} missing in {blob_dir} — store "
+                            "built without with_exact; rebuild shards first"
+                        )
+                    vks = (
+                        pdf.loc[m, "verify_key"]
+                        .to_numpy(dtype="int64").astype("uint64")
+                    )
+                    verified = np.zeros(len(hits), dtype=bool)
+                    verified[hits] = _pairs_contains(
+                        pairs[0], pairs[1], keys[m][hits], vks[hits]
+                    )
+                    hits = verified
+                out[m] = hits
             pdf = pdf.copy()
             pdf["maybe_seen"] = out
             yield pdf
@@ -220,6 +325,7 @@ def update_seen_shards(
     bits_per_key: int = 12,
     with_cuckoo: bool = True,
     out_dir: str | None = None,
+    with_exact: bool = False,
 ) -> DataFrame:
     """INCREMENTAL shard maintenance: per shard, load the previous round's
     blobs from ``blob_dir`` (None == build fresh), add the new keys, delete
@@ -227,26 +333,40 @@ def update_seen_shards(
     recompacted by the periodic full rebuild), and emit the new blob row.
     ONE shuffle on shard; per-round work is O(delta), not O(|seen|).
 
+    ``with_exact=True`` (requires ``out_dir``) additionally maintains the
+    shard's `exact-<s>` pair file — the shard-local EXACT membership layer
+    that lets the probe task be the final arbiter, deleting the per-round
+    anti-join shuffle against the seen table. Deletes remove pairs, so
+    under TTL the file tracks the active window on the same cadence as the
+    cuckoo layer.
+
     With ``out_dir`` set, each TASK writes its shard's blob files directly to
     the (shared) store directory and only a tiny (shard, n_items) stat row
     returns — blobs never transit the driver. Blob files land before the
     manifest flips, so a crash leaves orphans, never a half-commit (same
     contract as the parquet snapshots).
 
+    ``with_exact`` requires ``out_dir`` (exact arrays never transit the
+    driver by design).
+
     Every shard emits a row even with an empty delta (a synthetic carrier row
     per shard keeps the groupBy total), so the new snapshot's blob dir is
     always complete. Raises on cuckoo overflow instead of dropping keys."""
+    if with_exact and out_dir is None:
+        raise ValueError("with_exact=True requires out_dir (task-side writes)")
     spark = adds.sparkSession
     a = (
         with_shard_and_key(adds, host_col, hash_col, n_shards)
-        .select("shard", "filter_key")
+        .withColumn("verify_key", verify_key_col(hash_col))
+        .select("shard", "filter_key", "verify_key")
         .withColumn("op", F.lit(1))
     )
     parts = [a]
     if deletes is not None:
         parts.append(
             with_shard_and_key(deletes, host_col, hash_col, n_shards)
-            .select("shard", "filter_key")
+            .withColumn("verify_key", verify_key_col(hash_col))
+            .select("shard", "filter_key", "verify_key")
             .withColumn("op", F.lit(-1))
         )
     # carrier rows: every shard appears even with no delta this round.
@@ -256,6 +376,7 @@ def update_seen_shards(
         spark.range(n_shards).select(
             F.col("id").cast("int").alias("shard"),
             F.lit(0).cast("long").alias("filter_key"),
+            F.lit(0).cast("long").alias("verify_key"),
             F.lit(0).alias("op"),
         )
     )
@@ -264,6 +385,8 @@ def update_seen_shards(
         routed = routed.unionByName(p)
 
     def _update(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         shard = int(pdf["shard"].iloc[0])
         real = pdf[pdf["op"] != 0]
         add_keys = (
@@ -274,6 +397,40 @@ def update_seen_shards(
             real.loc[real["op"] == -1, "filter_key"]
             .to_numpy(dtype="int64").astype("uint64")
         )
+        if with_exact:
+            add_vk = (
+                real.loc[real["op"] == 1, "verify_key"]
+                .to_numpy(dtype="int64").astype("uint64")
+            )
+            del_vk = (
+                real.loc[real["op"] == -1, "verify_key"]
+                .to_numpy(dtype="int64").astype("uint64")
+            )
+            k1 = np.empty(0, dtype="uint64")
+            k2 = np.empty(0, dtype="uint64")
+            if blob_dir is not None:
+                xp = os.path.join(blob_dir, f"exact-{shard}")
+                if os.path.exists(xp):
+                    with open(xp, "rb") as fh:
+                        k1, k2 = _exact_from_bytes(fh.read())
+                    k1, k2 = k1.copy(), k2.copy()
+            if len(del_keys):
+                order = np.lexsort((del_vk, del_keys))
+                drop = _pairs_contains(
+                    del_keys[order], del_vk[order], k1, k2
+                )
+                k1, k2 = k1[~drop], k2[~drop]
+            k1 = np.concatenate([k1, add_keys])
+            k2 = np.concatenate([k2, add_vk])
+            # defensive pair-dedup (engine adds are fresh-only by invariant)
+            order = np.lexsort((k2, k1))
+            k1, k2 = k1[order], k2[order]
+            if len(k1):
+                keep = np.concatenate(
+                    [[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+                )
+                k1, k2 = k1[keep], k2[keep]
+            exact_blob = _exact_to_bytes(k1, k2)
         bloom = cuckoo = None
         if blob_dir is not None:
             b = os.path.join(blob_dir, f"bloom-{shard}")
@@ -311,6 +468,9 @@ def update_seen_shards(
             if cuckoo_blob is not None:
                 with open(os.path.join(out_dir, f"cuckoo-{shard}"), "wb") as fh:
                     fh.write(cuckoo_blob)
+            if with_exact:
+                with open(os.path.join(out_dir, f"exact-{shard}"), "wb") as fh:
+                    fh.write(exact_blob)
             bloom_blob = cuckoo_blob = None  # stats only back to the driver
         return pd.DataFrame(
             {
@@ -333,6 +493,7 @@ def seen_filter_pipeline_files(
     n_shards: int = 64,
     layer: str = "bloom",
     seen_unique: bool = False,
+    exact_files: bool = False,
 ) -> DataFrame:
     """Two-layer seen dedup with the file-backed shard probe: definitely-new
     rows skip the exact anti-join entirely; only maybe_seen survivors (true
@@ -341,7 +502,22 @@ def seen_filter_pipeline_files(
     ``seen_unique=True`` skips the distinct() on the seen side — the engine's
     seen table has one row per hash by construction (fresh keys are deduped
     against seen before insert), and an anti-join is semantically dedup-free
-    anyway; the distinct was a full extra aggregation over |seen| per round."""
+    anyway; the distinct was a full extra aggregation over |seen| per round.
+
+    ``exact_files=True``: the shard files carry the exact pair layer
+    (update_seen_shards with_exact), so the probe task is the final arbiter
+    and the anti-join against `seen` disappears — the ONLY data movement is
+    the candidates' repartition on shard. This removes the last per-round
+    exchange whose volume scales with |corpus| rather than |delta| (the
+    anti-join shuffled the full seen hash column every round). `seen` is
+    then only used for the no-filters bootstrap path."""
+    if blob_dir is not None and exact_files:
+        probed = probe_seen_files(
+            candidates, blob_dir, host_col, hash_col, n_shards, layer, exact=True
+        )
+        return probed.filter(~F.col("maybe_seen")).drop(
+            "maybe_seen", "shard", "filter_key", "verify_key"
+        )
     build = seen.select(hash_col) if seen_unique else seen.select(hash_col).distinct()
     if blob_dir is None:  # no filters built yet -> plain exact anti-join
         return candidates.join(build, hash_col, "left_anti")

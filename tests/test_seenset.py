@@ -240,3 +240,102 @@ class TestFileBackedShards:
         )
         out = eng.run(seeds=seed_urls(spec), max_rounds=4)
         assert any(m.get("n_ok", 0) > 0 for m in out)
+
+
+class TestExactFilesPipeline:
+    """exact_files mode: the shard files carry the exact (filter_key,
+    verify_key) pair layer, the probe task is the final arbiter, and the
+    per-round anti-join against the seen table — the last exchange whose
+    volume scales with |corpus| — disappears. Must equal the plain exact
+    anti-join bit-for-bit, across incremental rounds and deletes."""
+
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+            host.alias("host"), F.sha2(F.col("text"), 256).alias("url_hash")
+        )
+        cands = docs.filter(F.col("doc_id") % 2 == 0).select(
+            host.alias("host"), F.sha2(F.col("text"), 256).alias("url_hash"),
+            "doc_id",
+        )
+        return docs, seen, cands
+
+    def test_equals_exact_anti_join(self, spark, tmp_path):
+        from crawler_spark.operators.seenset import (
+            seen_filter_pipeline_files,
+            update_seen_shards,
+        )
+
+        _docs, seen, cands = self._frames(spark)
+        d = str(tmp_path / "b0")
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=8, out_dir=d, with_exact=True
+        ).collect()
+        got = seen_filter_pipeline_files(
+            cands, seen, d, n_shards=8, exact_files=True
+        )
+        assert set(got.columns) == {"host", "url_hash", "doc_id"}
+        want = cands.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+        assert {r.doc_id for r in got.collect()} == {
+            r.doc_id for r in want.collect()
+        }
+
+    def test_incremental_round_with_deletes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.seenset import (
+            seen_filter_pipeline_files,
+            update_seen_shards,
+        )
+
+        docs, seen, cands = self._frames(spark)
+        d0, d1 = str(tmp_path / "b0"), str(tmp_path / "b1")
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=8, out_dir=d0, with_exact=True
+        ).collect()
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        adds = docs.filter(F.col("doc_id") % 5 == 0).select(
+            host.alias("host"),
+            F.sha2(F.concat(F.col("text"), F.lit("v2")), 256).alias("url_hash"),
+        )
+        dels = seen.filter(F.xxhash64("url_hash") % 4 == 0)
+        update_seen_shards(
+            adds, blob_dir=d0, deletes=dels, n_shards=8, out_dir=d1,
+            with_exact=True,
+        ).collect()
+        seen2 = seen.join(dels, ["host", "url_hash"], "left_anti").unionByName(adds)
+        cands2 = cands.unionByName(
+            adds.withColumn("doc_id", F.lit(-1)).select("host", "url_hash", "doc_id")
+        )
+        got = seen_filter_pipeline_files(
+            cands2, seen2, d1, n_shards=8, layer="cuckoo", exact_files=True
+        )
+        want = cands2.join(
+            seen2.select("url_hash").distinct(), "url_hash", "left_anti"
+        )
+        assert sorted((r.host, r.url_hash) for r in got.collect()) == sorted(
+            (r.host, r.url_hash) for r in want.collect()
+        )
+
+    def test_single_exchange_no_join(self, spark, tmp_path):
+        from crawler_spark.plans.audit import count_occurrences, count_shuffles
+        from crawler_spark.operators.seenset import (
+            seen_filter_pipeline_files,
+            update_seen_shards,
+        )
+
+        _docs, seen, cands = self._frames(spark)
+        d = str(tmp_path / "b0")
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=8, out_dir=d, with_exact=True
+        ).collect()
+        plan = seen_filter_pipeline_files(
+            cands, seen, d, n_shards=8, exact_files=True
+        )
+        # one exchange: the candidates' repartition on shard. NO join node —
+        # the corpus side contributes zero data movement.
+        assert count_shuffles(plan) == 1
+        assert count_occurrences(plan, r"Join") == 0
