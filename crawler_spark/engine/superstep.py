@@ -196,10 +196,23 @@ class CrawlEngine:
             F.lit(max(round_no, 0)).cast("long").alias("not_before"),
         )
         seen = self.store.read(spark, "seen") if not fresh_store else None
-        fresh = (
-            batch.join(seen.select("url_hash"), "url_hash", "left_anti")
-            if seen is not None else batch
-        ).select(*[f.name for f in batch.schema.fields]).cache()
+        enq_blob_dir = None if fresh_store else self.store.latest_blob_dir()
+        if seen is None:
+            deduped = batch
+        elif self.ttl_rounds is None and enq_blob_dir is not None:
+            # permanent membership: the shard exact files ARE the full seen
+            # set (no deletes ever), so the batch dedups shard-locally —
+            # no per-enqueue shuffle of the seen table
+            deduped = seen_filter_pipeline_files(
+                batch, seen, enq_blob_dir, n_shards=N_SHARDS,
+                seen_unique=True, exact_files=True,
+            )
+        else:
+            # TTL mode keeps the table join: enqueue semantics are
+            # "ever seen" (any cohort, expired or not), which the
+            # window-tracking exact files deliberately do not retain
+            deduped = batch.join(seen.select("url_hash"), "url_hash", "left_anti")
+        fresh = deduped.select(*[f.name for f in batch.schema.fields]).cache()
         n_fresh = fresh.count()
         # an enqueue commit advances the round counter, so in TTL mode it
         # also OWNS its round's cuckoo retirement — each round retires
@@ -227,7 +240,7 @@ class CrawlEngine:
             "host", "url_hash", F.lit(round_no).cast("int").alias("seen_round")
         )
         out_dir = self.store.blob_dir_for(round_no)
-        prev_blob_dir = None if fresh_store else self.store.latest_blob_dir()
+        prev_blob_dir = enq_blob_dir
         if prev_blob_dir is None:
             # fresh store OR expired blobs: authoritative rebuild from the
             # full post-enqueue membership (same guard as _run_round; under
