@@ -196,14 +196,7 @@ class SnapshotStore:
         """Live row count of `table` from manifest metadata alone (footer
         stats summed over the live chain — no data read). For latest-wins
         tables this is an upper bound (pre-merge); exact for append-only."""
-        chain = self._live_chain(self.manifest()["rounds"], table)
-        if not chain:
-            return 0
-        # folded-away chain segments (expire_snapshots) carry their row sum
-        # forward as base_rows on the terminal entry
-        return sum(info.get("rows", 0) for _, info in chain) + chain[-1][1].get(
-            "base_rows", 0
-        )
+        return self.table_rows_many([table])[table]
 
     def blob_dir_for(self, round_no: int) -> str:
         """Where a round's filter shard blobs live; tasks write here directly

@@ -365,9 +365,28 @@ class CrawlEngine:
             # drained only when nothing is held for a later round either.
             # No table changed — commit metrics only (zero data IO); reads
             # keep resolving every table to its last-written snapshot/chain.
+            # EXCEPT: this commit still advances the round counter, so under
+            # TTL it owns its round's cohort retirement — with exact_files
+            # the final dedup arbiter, a skipped delete round would suppress
+            # TTL re-crawls for that cohort until the next full rebuild
+            # (pre-exact-layer the window-filtered anti-join corrected it).
+            blob_kw: dict[str, Any] = {}
+            if self.ttl_rounds is not None:
+                idle_dels = seen.filter(
+                    F.col("seen_round") == round_no - self.ttl_rounds
+                ).select("host", "url_hash")
+                prev = self.store.latest_blob_dir()
+                if prev is not None and idle_dels.limit(1).count() > 0:
+                    out_dir = self.store.blob_dir_for(round_no)
+                    update_seen_shards(
+                        idle_dels.limit(0), blob_dir=prev, deletes=idle_dels,
+                        n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                    ).collect()
+                    blob_kw["blob_dir"] = out_dir
             entry = self.store.commit_round(
                 round_no, {},
                 metrics={"n_due": 0, "done": frontier.isEmpty()},
+                **blob_kw,
             )
             return entry["metrics"]
 

@@ -95,11 +95,21 @@ def _exact_from_bytes(blob: bytes):
 
 
 _EXACT_CACHE: dict[str, object] = {}
+# byte-based bound: pair arrays are orders of magnitude larger than filter
+# blobs (~16 B/key), so an entry-count cap like the filter cache's 64 would
+# permit many GB per worker. Shard-routed probes touch ~1 shard per task, so
+# a small byte budget keeps the hit rate without the OOM.
+_EXACT_CACHE_MAX_BYTES = 512 * 1024 * 1024
 
 
 def _load_exact(path: str):
     if path not in _EXACT_CACHE:
-        if len(_EXACT_CACHE) > 64:  # bound executor memory across rounds
+        total = sum(
+            v[0].nbytes + v[1].nbytes
+            for v in _EXACT_CACHE.values()
+            if v is not None
+        )
+        if total > _EXACT_CACHE_MAX_BYTES:
             _EXACT_CACHE.clear()
         if not os.path.exists(path):
             _EXACT_CACHE[path] = None
@@ -120,8 +130,10 @@ def _pairs_contains(k1_sorted, k2_sorted, q1, q2):
         return out
     lo = np.searchsorted(k1_sorted, q1, "left")
     hi = np.searchsorted(k1_sorted, q1, "right")
-    for i in range(len(q1)):
-        if lo[i] < hi[i] and q2[i] in k2_sorted[lo[i]:hi[i]]:
+    # iterate only first-key hits: the loop is O(matches), not O(len(q1)) —
+    # matters when the query side is the full shard (the delete path)
+    for i in np.flatnonzero(lo < hi):
+        if q2[i] in k2_sorted[lo[i]:hi[i]]:
             out[i] = True
     return out
 
@@ -355,30 +367,30 @@ def update_seen_shards(
     if with_exact and out_dir is None:
         raise ValueError("with_exact=True requires out_dir (task-side writes)")
     spark = adds.sparkSession
-    a = (
-        with_shard_and_key(adds, host_col, hash_col, n_shards)
-        .withColumn("verify_key", verify_key_col(hash_col))
-        .select("shard", "filter_key", "verify_key")
-        .withColumn("op", F.lit(1))
-    )
-    parts = [a]
+
+    def _routed(df: DataFrame, op: int) -> DataFrame:
+        out = with_shard_and_key(df, host_col, hash_col, n_shards)
+        if with_exact:  # don't compute/shuffle the extra column otherwise
+            out = out.withColumn("verify_key", verify_key_col(hash_col))
+            out = out.select("shard", "filter_key", "verify_key")
+        else:
+            out = out.select("shard", "filter_key")
+        return out.withColumn("op", F.lit(op))
+
+    parts = [_routed(adds, 1)]
     if deletes is not None:
-        parts.append(
-            with_shard_and_key(deletes, host_col, hash_col, n_shards)
-            .withColumn("verify_key", verify_key_col(hash_col))
-            .select("shard", "filter_key", "verify_key")
-            .withColumn("op", F.lit(-1))
-        )
+        parts.append(_routed(deletes, -1))
     # carrier rows: every shard appears even with no delta this round.
     # filter_key is 0, NOT NULL — a null would make Arrow hand pandas a
     # float64 column and silently corrupt full-range 64-bit keys (> 2^53).
+    carrier_cols = [
+        F.col("id").cast("int").alias("shard"),
+        F.lit(0).cast("long").alias("filter_key"),
+    ]
+    if with_exact:
+        carrier_cols.append(F.lit(0).cast("long").alias("verify_key"))
     parts.append(
-        spark.range(n_shards).select(
-            F.col("id").cast("int").alias("shard"),
-            F.lit(0).cast("long").alias("filter_key"),
-            F.lit(0).cast("long").alias("verify_key"),
-            F.lit(0).alias("op"),
-        )
+        spark.range(n_shards).select(*carrier_cols, F.lit(0).alias("op"))
     )
     routed = parts[0]
     for p in parts[1:]:
@@ -414,6 +426,17 @@ def update_seen_shards(
                     with open(xp, "rb") as fh:
                         k1, k2 = _exact_from_bytes(fh.read())
                     k1, k2 = k1.copy(), k2.copy()
+                elif os.path.exists(os.path.join(blob_dir, f"bloom-{shard}")):
+                    # filter blobs exist but the exact layer doesn't: the
+                    # store predates with_exact. Starting from empty would
+                    # commit a DELTA-ONLY exact file as authoritative — the
+                    # next probe would then re-admit every previously-seen
+                    # URL. Same contract as the probe guard: fail loudly.
+                    raise RuntimeError(
+                        f"exact-{shard} missing in {blob_dir} while filter "
+                        "blobs exist — store predates the exact layer; run "
+                        "a full rebuild (blob_dir=None) first"
+                    )
             if len(del_keys):
                 order = np.lexsort((del_vk, del_keys))
                 drop = _pairs_contains(

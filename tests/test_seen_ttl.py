@@ -130,3 +130,61 @@ def test_enqueue_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
 
     assert not any(probes(cohort).values()), "expired cohort still in cuckoo"
     assert all(probes(active).values()), "active window keys must stay present"
+
+
+def test_idle_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
+    """A metrics-only round (due empty because everything is held by retry
+    backoff) still advances the round counter, so it must retire its TTL
+    cohort from the shard files — with exact_files the final arbiter, a
+    skipped delete round would suppress that cohort's TTL re-crawls until
+    the next full rebuild (found by second review pass). Forced directly:
+    commit a frontier whose entries are all held, then run the idle round."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine.superstep import N_SHARDS
+    from crawler_spark.operators.seenset import probe_seen_files
+
+    corpus, robots, seeds = build_corpus(SPEC), robots_map(SPEC), seed_urls(SPEC)
+    eng = CrawlEngine(spark, str(tmp_path / "ttlidle"), corpus, robots,
+                      per_host_budget=3, ttl_rounds=TTL)
+    eng.run(seeds=seeds, max_rounds=4)
+
+    seen = eng.store.read(spark, "seen")
+    cohort_rounds = sorted(
+        r[0] for r in seen.select("seen_round").distinct().collect()
+    )
+    target = next(
+        c for c in cohort_rounds if c + TTL >= eng.store.latest_round() + 1
+    )
+    idle_round = target + TTL
+    # hold every frontier entry past the idle round so due is empty
+    # (materialized: the commit would otherwise overwrite the snapshot
+    # files its own lineage reads)
+    held_rows = eng.store.read(spark, "frontier").withColumn(
+        "not_before", F.lit(idle_round + 100).cast("long")
+    ).collect()
+    frontier = spark.createDataFrame(
+        held_rows, eng.store.read(spark, "frontier").schema
+    )
+    # bring the store to idle_round - 1 with the held frontier
+    eng.store.commit_round(
+        idle_round - 1, {"frontier": frontier}, metrics={"phase": "hold"}
+    )
+    cohort = seen.filter(F.col("seen_round") == target).select(
+        "host", "url_hash"
+    ).collect()
+    assert cohort
+
+    m = eng.run_round(idle_round)
+    assert m["n_due"] == 0 and not m.get("done")
+    blob_dir = eng.store.latest_blob_dir()
+    assert blob_dir.endswith(f"{idle_round:05d}"), (
+        "idle round must commit a blob dir carrying its cohort retirement"
+    )
+    probed = probe_seen_files(
+        spark.createDataFrame(cohort, "host string, url_hash string"),
+        blob_dir, n_shards=N_SHARDS, layer="cuckoo",
+    )
+    assert not any(r["maybe_seen"] for r in probed.collect()), (
+        "expired cohort still in cuckoo after the idle round"
+    )
