@@ -202,6 +202,50 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
             "urls_per_sec": round(n_urls / wall, 1),
         }
 
+    if mode == "probe":
+        # the r03-final dedup arbiter at two parallelism levels: candidates
+        # repartition on shard, each task probes its shard's bloom + exact
+        # pair file (executor-cached) — zero corpus-side exchange. Shard
+        # files are built once OUTSIDE the timed region (they are the
+        # standing state a round inherits, not per-round work).
+        import tempfile
+
+        from crawler_spark.operators.seenset import (
+            seen_filter_pipeline_files,
+            update_seen_shards,
+        )
+
+        n_seen = n_urls
+        seen = spark.range(0, n_seen, 1, n_parts).select(
+            F.concat(F.lit("portal"), (F.col("id") % 2000).cast("string"),
+                     F.lit(".go.id")).alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("url_hash"),
+        )
+        blob_dir = os.environ.get("SPARK_GRAFT_PROBE_BLOBS")
+        if not blob_dir or not os.path.isdir(blob_dir):
+            blob_dir = tempfile.mkdtemp(prefix="probe_blobs_")
+            update_seen_shards(
+                seen, blob_dir=None, n_shards=64, out_dir=blob_dir,
+                with_exact=True,
+            ).collect()
+            os.environ["SPARK_GRAFT_PROBE_BLOBS"] = blob_dir
+        cands = spark.range(n_seen // 2, n_seen // 2 + n_seen, 1, n_parts).select(
+            F.concat(F.lit("portal"), (F.col("id") % 2000).cast("string"),
+                     F.lit(".go.id")).alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("url_hash"),
+        )  # 50% dups
+        t0 = time.time()
+        seen_filter_pipeline_files(
+            cands, seen, blob_dir, n_shards=64, seen_unique=True,
+            exact_files=True,
+        ).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spark.stop()
+        return {
+            "cpus": cpus, "n_urls": n_urls, "wall_sec": round(wall, 2),
+            "urls_per_sec": round(n_urls / wall, 1),
+        }
+
     t0 = time.time()
     normed = base.withColumn("url_norm", normalize_url_udf(F.col("url"))).withColumn(
         "url_hash", url_hash("url_norm")
@@ -291,6 +335,7 @@ def main() -> None:
             ("parse", "parse_throughput"),
             ("round", "frontier_round"),
             ("span", "span_parse_throughput"),
+            ("probe", "seen_probe_dedup"),
         ):
             best: dict[int, dict] = {}
             for _ in range(trials):

@@ -130,9 +130,15 @@ def _pairs_contains(k1_sorted, k2_sorted, q1, q2):
         return out
     lo = np.searchsorted(k1_sorted, q1, "left")
     hi = np.searchsorted(k1_sorted, q1, "right")
-    # iterate only first-key hits: the loop is O(matches), not O(len(q1)) —
-    # matters when the query side is the full shard (the delete path)
-    for i in np.flatnonzero(lo < hi):
+    width = hi - lo
+    # unit-width ranges (the overwhelmingly common case — an equal-k1 run
+    # longer than 1 is a 64-bit hash collision within a shard) compare
+    # fully vectorized; only collision runs fall to the Python loop. A
+    # hit-proportional Python loop here was the probe stage's bottleneck at
+    # high dup rates (millions of interpreted iterations per task).
+    ones = np.flatnonzero(width == 1)
+    out[ones] = k2_sorted[lo[ones]] == q2[ones]
+    for i in np.flatnonzero(width > 1):
         if q2[i] in k2_sorted[lo[i]:hi[i]]:
             out[i] = True
     return out

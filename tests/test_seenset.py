@@ -339,3 +339,22 @@ class TestExactFilesPipeline:
         # the corpus side contributes zero data movement.
         assert count_shuffles(plan) == 1
         assert count_occurrences(plan, r"Join") == 0
+
+
+def test_pairs_contains_unit():
+    """Direct coverage of the vectorized pair-membership kernel: unit-width
+    runs (vectorized path), collision runs (loop path), absent first keys,
+    and empty corpus/query edges."""
+    import numpy as np
+
+    from crawler_spark.operators.seenset import _pairs_contains
+
+    k1 = np.array([2, 5, 5, 5, 9], dtype="uint64")
+    k2 = np.array([7, 1, 2, 3, 0], dtype="uint64")
+    q1 = np.array([2, 2, 5, 5, 5, 8, 9], dtype="uint64")
+    q2 = np.array([7, 8, 2, 9, 1, 7, 0], dtype="uint64")
+    got = _pairs_contains(k1, k2, q1, q2)
+    assert got.tolist() == [True, False, True, False, True, False, True]
+    empty = np.empty(0, dtype="uint64")
+    assert _pairs_contains(empty, empty, q1, q2).tolist() == [False] * 7
+    assert _pairs_contains(k1, k2, empty, empty).tolist() == []
