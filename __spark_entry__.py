@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "simhash_incremental",
     "minhash_incremental",
     "stream_near_dup",
+    "seen_probe_exact",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

@@ -114,6 +114,63 @@ SELECT b.event_id, b.url_hash FROM batch b ANTI JOIN seen s USING (url_hash)
 """
 
 
+_PROBE_BLOBS: dict[str, str] = {}
+
+
+def q_seen_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 in its r03-final production shape: the shard-local exact layer IS
+    the dedup arbiter — candidates repartition once on shard, each task
+    probes its shard's bloom blob and verifies hits against the exact
+    (filter_key, verify_key) pair file; no anti-join against the seen table
+    exists in the plan (single-Exchange/no-Join gate in tests/test_seenset).
+    Seen = documents with doc_id%3==0; candidates = doc_id%2==0, so dup and
+    fresh rows both occur. The oracle states the contract as the plain
+    anti-join. Shard files build once per process (standing state, keyed by
+    sf_dir — the probe is what's under test)."""
+    import tempfile
+
+    from crawler_spark.operators.seenset import (
+        seen_filter_pipeline_files,
+        update_seen_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(F.lit("portal"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".go.id"))
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        host.alias("host"), F.sha2(F.col("text"), 256).alias("url_hash")
+    )
+    if sf_dir not in _PROBE_BLOBS:
+        d = tempfile.mkdtemp(prefix="probe_query_blobs_")
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=8, out_dir=d, with_exact=True
+        ).collect()
+        _PROBE_BLOBS[sf_dir] = d
+    cands = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id"), host.alias("host"),
+        F.sha2(F.col("text"), 256).alias("url_hash"),
+    )
+    return seen_filter_pipeline_files(
+        cands, seen, _PROBE_BLOBS[sf_dir], n_shards=8, seen_unique=True,
+        exact_files=True,
+    )
+
+
+O_SEEN_PROBE_EXACT = """
+WITH seen AS (
+  SELECT DISTINCT sha256(text) AS url_hash FROM documents WHERE doc_id % 3 = 0
+),
+cands AS (
+  SELECT doc_id,
+         'portal' || (doc_id % 7) || '.go.id' AS host,
+         sha256(text) AS url_hash
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT c.doc_id, c.host, c.url_hash
+FROM cands c ANTI JOIN seen s USING (url_hash)
+"""
+
+
 def q_priority_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S3: exact-int priority score, per-host rank, top-5 per host.
     Tiebreak on event_id keeps order deterministic under any parallelism."""
@@ -2326,6 +2383,7 @@ QUERIES = {
     "cron_next_run": q_cron_next_run,
     "url_normalize_hash": q_url_normalize_hash,
     "url_seen_antijoin": q_url_seen_antijoin,
+    "seen_probe_exact": q_seen_probe_exact,
     "priority_frontier": q_priority_frontier,
     "politeness_budget": q_politeness_budget,
     "politeness_pacing": q_politeness_pacing,
@@ -2371,6 +2429,7 @@ ORACLES = {
     "cron_next_run": O_CRON_NEXT_RUN,
     "url_normalize_hash": O_URL_NORMALIZE_HASH,
     "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
+    "seen_probe_exact": O_SEEN_PROBE_EXACT,
     "priority_frontier": O_PRIORITY_FRONTIER,
     "politeness_budget": O_POLITENESS_BUDGET,
     "politeness_pacing": O_POLITENESS_PACING,
