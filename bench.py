@@ -60,6 +60,7 @@ HEADLINE = [
     "website_statistics",
     "simhash_incremental",
     "minhash_incremental",
+    "seen_probe_exact",
 ]
 
 
