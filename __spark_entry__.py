@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "minhash_incremental",
     "stream_near_dup",
     "seen_probe_exact",
+    "depth_priority_frontier",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

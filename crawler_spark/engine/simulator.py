@@ -50,7 +50,9 @@ class SimResult:
     retries: list[tuple[str, int]] = field(default_factory=list)
 
 
-def _mk_row(norm: str, priority: int, scheduled_ms: int, not_before: int) -> dict:
+def _mk_row(
+    norm: str, priority: int, scheduled_ms: int, not_before: int, depth: int = 0
+) -> dict:
     h = hashlib.sha256(norm.encode()).hexdigest()
     host = canonical_host(norm)
     m = re.match(r"^https?://[^/]+(/.*)?$", norm)
@@ -60,7 +62,7 @@ def _mk_row(norm: str, priority: int, scheduled_ms: int, not_before: int) -> dic
         "url_norm": norm, "url_hash": h, "host": host, "path": path,
         "seed_id": f"listing:{host}" if is_listing else f"detail:{h}",
         "priority": priority, "scheduled_ms": scheduled_ms,
-        "attempt": 0, "not_before": not_before,
+        "attempt": 0, "not_before": not_before, "depth": depth,
     }
 
 
@@ -72,15 +74,21 @@ def simulate(
     max_rounds: int = 20,
     user_agent: str = "lexi-spark",
     ttl_rounds: int | None = None,
+    max_depth: int | None = None,
+    domain_priority: dict[str, int] | None = None,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
     }
+    dom_prio = dict(domain_priority or {})
     res = SimResult()
     frontier: dict[str, dict] = {}
     seen_round: dict[str, int] = {}  # hash -> round last enqueued (TTL window)
     for u in seeds:
-        row = _mk_row(normalize_url(u), PRIORITY_LISTING, 0, 0)
+        norm = normalize_url(u)
+        row = _mk_row(
+            norm, dom_prio.get(canonical_host(norm), PRIORITY_LISTING), 0, 0, 0
+        )
         frontier[row["url_hash"]] = row
         res.seen.add(row["url_hash"])
         seen_round[row["url_hash"]] = -1
@@ -115,6 +123,7 @@ def simulate(
         for r in allowed:
             by_host.setdefault(r["host"], []).append(r)
         new_rows: list[dict] = []
+        new_link_rows: dict[str, dict] = {}  # this round's link discoveries
         for host in by_host:
             pol = policies.get(host)
             cd = pol.crawl_delay(user_agent) if pol else None
@@ -146,6 +155,9 @@ def simulate(
                     res.crawl_order.append((rnd, host, order, r["url_norm"]))
                     page = extract_page(content)
                     for href, *_meta in page["links"]:
+                        cand_depth = r["depth"] + 1
+                        if max_depth is not None and cand_depth > max_depth:
+                            continue  # over-horizon: dropped BEFORE seen
                         absu = resolve_relative(href, r["url_norm"])
                         try:
                             norm = normalize_url(absu)
@@ -155,16 +167,26 @@ def simulate(
                             continue
                         row = _mk_row(
                             norm,
-                            PRIORITY_LISTING if "?page=" in norm else PRIORITY_DETAIL,
+                            dom_prio.get(
+                                canonical_host(norm),
+                                PRIORITY_LISTING if "?page=" in norm else PRIORITY_DETAIL,
+                            ),
                             rnd + 1,
                             rnd + 1,
+                            cand_depth,
                         )
-                        if is_seen(row["url_hash"], rnd) or row["url_hash"] in {
-                            x["url_hash"] for x in new_rows
-                        }:
+                        prev = new_link_rows.get(row["url_hash"])
+                        if prev is not None:
+                            # within-round dup: min depth wins (engine's
+                            # first_by_order on (depth, pos)); every other
+                            # column of the two rows is identical
+                            prev["depth"] = min(prev["depth"], cand_depth)
+                            continue
+                        if is_seen(row["url_hash"], rnd):
                             continue
                         res.seen.add(row["url_hash"])
                         seen_round[row["url_hash"]] = rnd
+                        new_link_rows[row["url_hash"]] = row
                         new_rows.append(row)
                 elif _retryable(status):
                     if r["attempt"] + 1 < MAX_ATTEMPTS:

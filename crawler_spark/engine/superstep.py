@@ -64,7 +64,7 @@ REBUILD_EVERY = 8  # full shard rebuild cadence (bloom compaction)
 
 FRONTIER_SCHEMA = (
     "url_norm string, url_hash string, host string, path string, seed_id string,"
-    " priority int, scheduled_ms long, attempt int, not_before long"
+    " priority int, scheduled_ms long, attempt int, not_before long, depth int"
 )
 
 
@@ -86,6 +86,8 @@ class CrawlEngine:
         hot_host_threshold: int | None = None,
         n_salts: int = 4,
         log_feed: bool = False,
+        max_depth: int | None = None,
+        domain_priority: dict[str, int] | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -106,7 +108,22 @@ class CrawlEngine:
         for stragglerless stages. The set of fetched URLs over a drained
         crawl is unchanged (gated by tests/test_salted_engine.py); None (the
         default) keeps the exact-order plan the simulator equivalence gate
-        pins."""
+        pins.
+
+        max_depth: hop-count crawl horizon (north rule's DEPTH-priority
+        frontier; the reference bounds expansion by max_pages per seed —
+        pagination.py service:50-143 — hop depth is the graph-crawl
+        generalization): every frontier row carries `depth` (seeds = 0,
+        links from a depth-d page enter at d+1); candidates that would
+        exceed max_depth are dropped AT EXTRACTION, before the seen set —
+        so a shorter path discovered later can still enqueue the URL.
+
+        domain_priority: per-host priority override 0-10 (the reference's
+        per-website crawl_job.priority, current_schema.sql:172 — every job
+        for a website inherits its configured priority): hosts in the map
+        score with the override for listings AND details, others keep the
+        type-based defaults. Feeds the same S1 score, so high-priority
+        domains drain first within every host's budget window."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -117,6 +134,8 @@ class CrawlEngine:
         self.selector_configs = selector_configs or {}
         self.hot_host_threshold = hot_host_threshold
         self.n_salts = n_salts
+        self.max_depth = max_depth
+        self.domain_priority = dict(domain_priority or {})
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -126,6 +145,19 @@ class CrawlEngine:
         self.log_feed = log_feed
 
     # ------------------------------------------------------------- bootstrap
+
+    def _priority_expr(self, host_col: F.Column, default_col: F.Column) -> F.Column:
+        """Per-host domain_priority override as a literal-map lookup (the
+        broadcast-join degenerate case — the website dim is tiny); hosts
+        outside the map keep the type-based default."""
+        if not self.domain_priority:
+            return default_col
+        pairs: list[F.Column] = []
+        for h, p in sorted(self.domain_priority.items()):
+            pairs.extend([F.lit(h), F.lit(int(p))])
+        return F.coalesce(
+            F.element_at(F.create_map(*pairs), host_col), default_col
+        ).cast("int")
 
     def init_frontier(self, seeds: list[str]) -> None:
         """Round -1 commit: seeds enter frontier AND seen (enqueue == seen)."""
@@ -139,7 +171,8 @@ class CrawlEngine:
             host = canonical_host(norm)
             path = norm.split(host, 1)[1] if host in norm else "/"
             rows.append((norm, h, host, path or "/", f"listing:{host}",
-                         PRIORITY_LISTING, 0, 0, 0))
+                         self.domain_priority.get(host, PRIORITY_LISTING),
+                         0, 0, 0, 0))
         frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         seen = frontier.select(
             "host", "url_hash", F.lit(-1).cast("int").alias("seen_round")
@@ -190,10 +223,13 @@ class CrawlEngine:
                 F.regexp_extract("url_norm", r"^https?://[^/]+/(.*)$", 1),
             ).alias("path"),
             F.concat(F.lit("listing:"), F.col("host")).alias("seed_id"),
-            F.lit(PRIORITY_LISTING).alias("priority"),
+            self._priority_expr(
+                F.col("host"), F.lit(PRIORITY_LISTING)
+            ).alias("priority"),
             F.lit(max(round_no, 0)).cast("long").alias("scheduled_ms"),
             F.lit(0).alias("attempt"),
             F.lit(max(round_no, 0)).cast("long").alias("not_before"),
+            F.lit(0).cast("int").alias("depth"),
         )
         seen = self.store.read(spark, "seen") if not fresh_store else None
         enq_blob_dir = None if fresh_store else self.store.latest_blob_dir()
@@ -452,6 +488,7 @@ class CrawlEngine:
             "p", parse_page_udf(F.col("content"))
         ).select(
             "url_hash", "url_norm", "host", "seed_id", "fetch_order", "content",
+            "depth",
             "p.title", "p.spans", "p.links", "p.content_sha256", "p.simhash",
         ).cache()
 
@@ -479,12 +516,17 @@ class CrawlEngine:
 
         # ---- link extraction -> absolutize -> normalize -> scope -> dedup
         links = parsed.select(
-            "url_norm", "host",
+            "url_norm", "host", "depth",
             F.explode_outer("links").alias("l"),
         ).select(
             F.col("url_norm").alias("base"), F.col("host").alias("src_host"),
+            (F.col("depth") + 1).cast("int").alias("cand_depth"),
             F.col("l.href").alias("href"), F.col("l.pos").alias("pos"),
         ).filter(F.col("href").isNotNull())
+        if self.max_depth is not None:
+            # depth horizon: over-depth candidates are dropped BEFORE the
+            # seen set, so a shorter path found later may still enqueue them
+            links = links.filter(F.col("cand_depth") <= self.max_depth)
         cands = (
             links.withColumn("abs_url", resolve_relative_udf(F.col("href"), F.col("base")))
             .withColumn("cand_norm", normalize_url_udf(F.col("abs_url")))
@@ -503,9 +545,14 @@ class CrawlEngine:
                     F.col("cand_norm").alias("url_norm"),
                     F.unhex(F.col("cand_hash")).alias("url_key"),
                     F.col("cand_host").alias("host"),
+                    F.col("cand_depth").alias("depth"),
                     "pos",
                 ),
-                "url_key", ["url_norm", "pos"],
+                # min depth wins (a URL reachable two ways this round enters
+                # at its SHORTEST path — the BFS invariant the depth horizon
+                # needs); pos breaks ties, and rows tied on (depth, pos) are
+                # identical in every remaining column
+                "url_key", ["depth", "pos"],
             )
             .withColumn("url_hash", F.lower(F.hex("url_key")))
             .drop("url_key")
@@ -542,10 +589,14 @@ class CrawlEngine:
             F.concat(F.lit("/"), F.regexp_extract("url_norm", r"^https?://[^/]+/(.*)$", 1)).alias("path"),
             F.when(is_listing, F.concat(F.lit("listing:"), F.col("host")))
             .otherwise(F.concat(F.lit("detail:"), F.col("url_hash"))).alias("seed_id"),
-            F.when(is_listing, F.lit(PRIORITY_LISTING)).otherwise(F.lit(PRIORITY_DETAIL)).alias("priority"),
+            self._priority_expr(
+                F.col("host"),
+                F.when(is_listing, F.lit(PRIORITY_LISTING)).otherwise(F.lit(PRIORITY_DETAIL)),
+            ).alias("priority"),
             F.lit(round_no + 1).cast("long").alias("scheduled_ms"),
             F.lit(0).alias("attempt"),
             F.lit(round_no + 1).cast("long").alias("not_before"),
+            F.col("depth"),
         )
 
         # ---- retry routing (R4/R5)
@@ -565,6 +616,7 @@ class CrawlEngine:
             "scheduled_ms",
             (F.col("attempt") + 1).cast("int").alias("attempt"),
             (F.lit(round_no) + backoff_rounds).cast("long").alias("not_before"),
+            "depth",
         )
         to_dlq = failures.filter(
             is_retryable_col(F.col("error_category")) & (F.col("attempt") + 1 >= MAX_ATTEMPTS)

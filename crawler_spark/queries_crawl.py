@@ -242,6 +242,66 @@ WHERE fetch_order <= budget
 """
 
 
+def q_depth_priority_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-horizon + domain-priority selection (north rule "depth/
+    domain-priority frontier"; engine analogue: CrawlEngine(max_depth=...,
+    domain_priority=...), gated vs the simulator in tests/test_depth_frontier
+    .py). Each row carries a hop-count depth; rows beyond the horizon are
+    dropped BEFORE ranking (in the engine: before the seen set), and hosts
+    in the domain-priority map score with the override instead of the
+    row-type default — the reference's per-website crawl_job.priority
+    (current_schema.sql:172) folded into the same S1 score."""
+    df = synth_frontier(spark, sf_dir).withColumn(
+        "depth", (F.col("event_id") % 5).cast("int")
+    )
+    # every 7th portal is a priority-9 domain (a literal broadcast map,
+    # exactly the engine's _priority_expr shape)
+    pairs: list = []
+    for i in range(0, 50, 7):
+        pairs.extend([F.lit(f"portal{i}.go.id"), F.lit(9)])
+    prio_eff = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("host")), F.col("priority")
+    ).cast("int")
+    scored = (
+        df.filter(F.col("depth") <= 3)  # horizon: max_depth=3
+        .withColumn("prio_eff", prio_eff)
+        .withColumn(
+            "priority_score",
+            priority_score_col(F.col("prio_eff"), F.col("scheduled_at")),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_score").asc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("fetch_order", F.row_number().over(w))
+        .filter(F.col("fetch_order") <= 4)
+        .select("event_id", "host", "depth", "prio_eff",
+                F.col("fetch_order").cast("int").alias("fetch_order"))
+    )
+
+
+O_DEPTH_PRIORITY_FRONTIER = _F_CTE + """
+, scored AS (
+  SELECT event_id, host,
+         CAST(event_id % 5 AS INT) AS depth,
+         CAST(CASE WHEN CAST(regexp_extract(host, 'portal(\\d+)', 1) AS INT) % 7 = 0
+              THEN 9 ELSE priority END AS INT) AS prio_eff,
+         scheduled_at
+  FROM f
+  WHERE event_id % 5 <= 3
+)
+SELECT event_id, host, depth, prio_eff, CAST(fetch_order AS INT) AS fetch_order
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY host
+           ORDER BY CAST(10 - prio_eff AS BIGINT) * 1000000000000
+                    + epoch_ms(scheduled_at), event_id) AS fetch_order
+  FROM scored)
+WHERE fetch_order <= 4
+"""
+
+
 def q_politeness_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 token-bucket pacing: the applyInPandas per-host fetch scheduler
     assigns each URL a virtual fetch time from genuine incremental token-bucket
@@ -2385,6 +2445,7 @@ QUERIES = {
     "url_seen_antijoin": q_url_seen_antijoin,
     "seen_probe_exact": q_seen_probe_exact,
     "priority_frontier": q_priority_frontier,
+    "depth_priority_frontier": q_depth_priority_frontier,
     "politeness_budget": q_politeness_budget,
     "politeness_pacing": q_politeness_pacing,
     "http_classify": q_http_classify,
@@ -2431,6 +2492,7 @@ ORACLES = {
     "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
     "seen_probe_exact": O_SEEN_PROBE_EXACT,
     "priority_frontier": O_PRIORITY_FRONTIER,
+    "depth_priority_frontier": O_DEPTH_PRIORITY_FRONTIER,
     "politeness_budget": O_POLITENESS_BUDGET,
     "politeness_pacing": O_POLITENESS_PACING,
     "http_classify": O_HTTP_CLASSIFY,
