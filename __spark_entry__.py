@@ -67,6 +67,7 @@ _CHECK_FIRST = [
     "stream_near_dup",
     "seen_probe_exact",
     "depth_priority_frontier",
+    "ann_pq_topk",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

@@ -142,6 +142,156 @@ def lsh_bucketed_topk(
     )
 
 
+def _pq_subslices(vec: "F.Column", m: int, dsub: int) -> "F.Column":
+    """Split a dim-length vector into m contiguous dsub-length sub-vectors."""
+    return F.array(*[F.slice(vec, j * dsub + 1, dsub) for j in range(m)])
+
+
+def pq_fit_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization: train m per-subspace codebooks (ksub codewords
+    each) and encode every corpus vector as m small codes.
+
+    This is the compressed-domain scan path for 100 TB embedding corpora: a
+    768-dim float vector (3 KB) becomes m codes (m bytes at ksub<=256), so
+    the similarity scan reads ~1000x fewer bytes — the codebooks are a tiny
+    broadcast dim and raw vectors are only touched at train/encode time.
+
+    Deterministic for cross-engine replay (same discipline as kmeans_fit):
+    init codebook j = sub-slices of the ksub lowest-id vectors; ONE Lloyd
+    refinement with L2 assignment; the argmin key is
+    round(<cv,cv> - 2<sv,cv>, round_dp) — the |sv|^2-free expansion of the
+    squared L2 distance (constant per row, so the argmin is unchanged) —
+    with ties on code id; refined means rounded to round_dp.
+
+    Spark shape: one posexplode pass over the corpus (m rows/vector), an
+    equi-join on sub_idx against the broadcast codebook, argmin window
+    partitioned by (vector, subspace). No cartesian, no Python.
+
+    Returns (codebooks(sub_idx, code, cv), codes(id, sub_idx, code)).
+    """
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(_pq_subslices(v, m, dsub)).alias("sub_idx", "sv"),
+    )
+    w_init = Window.orderBy(id_col)
+    init = (
+        corpus.orderBy(id_col).limit(ksub)
+        .withColumn("code", F.row_number().over(w_init) - 1)
+        .select(
+            "code",
+            F.posexplode(_pq_subslices(v, m, dsub)).alias("sub_idx", "cv"),
+        )
+    )
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        from crawler_spark.functions.vectors import dot_col
+
+        scored = subs.join(F.broadcast(codebook), "sub_idx").withColumn(
+            "__key",
+            F.round(
+                dot_col(F.col("cv"), F.col("cv"))
+                - 2 * dot_col(F.col("sv"), F.col("cv")),
+                round_dp,
+            ),
+        )
+        w = Window.partitionBy(id_col, "sub_idx").orderBy(
+            F.col("__key").asc(), F.col("code").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "sub_idx", "code", "sv")
+        )
+
+    a1 = _assign(init)
+    means = a1.select(
+        "sub_idx", "code", F.posexplode("sv").alias("pos", "val")
+    ).groupBy("sub_idx", "code", "pos").agg(
+        F.round(F.avg("val"), round_dp).alias("val")
+    )
+    codebooks = (
+        means.groupBy("sub_idx", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s"))
+        .select(
+            "sub_idx", "code",
+            F.transform(F.col("s"), lambda x: x["val"]).alias("cv"),
+        )
+        .localCheckpoint()  # truncate the two-pass lineage before re-assign
+    )
+    codes = _assign(codebooks).select(id_col, "sub_idx", "code")
+    return codebooks, codes
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries score against CODES, not
+    raw vectors. Per query, a lookup table of partial dot products
+    round(<q_j, cv>, 6) and codeword norms round(<cv,cv>, 6) is built
+    against the broadcast codebooks (m x ksub rows per query); the corpus
+    side contributes only its codes. approx cosine =
+    sum_j <q_j, cv_code_j> / (|q| * sqrt(sum_j |cv_code_j|^2)), rounded 4dp.
+
+    Shuffle inventory: the codes scan joins the broadcast LUT (zero
+    exchange), ONE hash shuffle for the (query, vector) partial-sum
+    aggregation (map-side combined), one top-k window per query. On a real
+    deployment codes are written once at ingest and this is the only scan —
+    combine with ivf_topk lists (IVF-PQ) to prune it further.
+    """
+    from crawler_spark.functions.vectors import dot_col, norm_col
+
+    dsub = dim // m
+    codebooks, codes = pq_fit_encode(
+        corpus, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    qsubs = queries.select(
+        F.col(query_id_col),
+        norm_col(qv).alias("qnorm"),
+        F.posexplode(_pq_subslices(qv, m, dsub)).alias("sub_idx", "qsv"),
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
+        query_id_col, "qnorm", "sub_idx", "code",
+        F.round(dot_col(F.col("qsv"), F.col("cv")), 6).alias("partial"),
+        F.round(dot_col(F.col("cv"), F.col("cv")), 6).alias("cnorm2"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum("partial") / (F.max("qnorm") * F.sqrt(F.sum("cnorm2"))), 4
+            ).alias("cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,

@@ -1360,6 +1360,92 @@ FROM m2 JOIN sizes USING (centroid_id)
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC): 64-dim vectors -> 4 subspaces x 8
+    codewords, one deterministic Lloyd refinement per subspace, then the
+    compressed-domain asymmetric scan — queries score against CODES via a
+    broadcast lookup table; raw corpus vectors are never read at query time.
+    The 100 TB shape: 16x compression here (64 doubles -> 4 codes), ~1000x
+    at production dims. Oracle replays the full fit+encode+scan."""
+    from crawler_spark.operators.similarity import pq_adc_topk
+
+    corpus = _embs(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(corpus, queries, dim=64, m=4, ksub=8, k=3)
+
+
+# the oracle replays: sub-slicing, init codebooks (8 lowest-id vectors), one
+# L2-argmin Lloyd pass (argmin key = round(<cv,cv> - 2<sv,cv>, 6) — the
+# |sv|^2-free expansion), re-assignment, per-query LUT, and the ADC cosine
+_PQ_SUBS = "(VALUES (0,1,16),(1,17,32),(2,33,48),(3,49,64)) AS j(sub_idx, lo, hi)"
+O_ANN_PQ_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, j.sub_idx, v[j.lo:j.hi] AS sv
+  FROM e, {_PQ_SUBS}
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM e ORDER BY vec_id LIMIT 8
+),
+icb AS (
+  SELECT s.sub_idx, i.code, s.sv AS cv
+  FROM init i JOIN sub s ON s.vec_id = i.vec_id
+),
+a1 AS (
+  SELECT vec_id, sub_idx, code, sv FROM (
+    SELECT s.vec_id, s.sub_idx, c.code, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+             ORDER BY round(list_inner_product(c.cv, c.cv)
+                            - 2 * list_inner_product(s.sv, c.cv), 6),
+                      c.code) AS rn
+    FROM sub s JOIN icb c USING (sub_idx)) WHERE rn = 1
+),
+m1 AS (
+  SELECT sub_idx, code, i, round(avg(sv[i]), 6) AS val
+  FROM a1, LATERAL unnest(generate_series(1, 16)) AS g(i)
+  GROUP BY sub_idx, code, i
+),
+cb AS (SELECT sub_idx, code, list(val ORDER BY i) AS cv FROM m1
+       GROUP BY sub_idx, code),
+codes AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT s.vec_id, s.sub_idx, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+             ORDER BY round(list_inner_product(c.cv, c.cv)
+                            - 2 * list_inner_product(s.sv, c.cv), 6),
+                      c.code) AS rn
+    FROM sub s JOIN cb c USING (sub_idx)) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_inner_product(v, v)) AS qnorm
+      FROM e WHERE vec_id < 5),
+qsub AS (
+  SELECT query_id, qnorm, j.sub_idx, qv[j.lo:j.hi] AS qsv
+  FROM q, {_PQ_SUBS}
+),
+lut AS (
+  SELECT qs.query_id, qs.qnorm, c.sub_idx, c.code,
+         round(list_inner_product(qs.qsv, c.cv), 6) AS partial,
+         round(list_inner_product(c.cv, c.cv), 6) AS cnorm2
+  FROM qsub qs JOIN cb c ON c.sub_idx = qs.sub_idx
+),
+s AS (
+  SELECT l.query_id, k.vec_id,
+         round(sum(l.partial) / (max(l.qnorm) * sqrt(sum(l.cnorm2))), 4)
+           AS cosine
+  FROM codes k JOIN lut l ON l.sub_idx = k.sub_idx AND l.code = k.code
+  GROUP BY l.query_id, k.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 O_ANN_IVF_TOPK = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1642,6 +1728,7 @@ QUERIES = {
     "duplicate_groups_provenance": q_duplicate_groups_provenance,
     "duplicate_components": q_duplicate_components,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_train": q_ann_ivf_train,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
@@ -1674,6 +1761,7 @@ ORACLES = {
     "duplicate_groups_provenance": O_DUPLICATE_GROUPS_PROVENANCE,
     "duplicate_components": O_DUPLICATE_COMPONENTS,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
+    "ann_pq_topk": O_ANN_PQ_TOPK,
     "ann_ivf_train": O_ANN_IVF_TRAIN,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
