@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "seen_probe_exact",
     "depth_priority_frontier",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

@@ -292,6 +292,89 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: coarse lists prune WHICH codes are scanned, PQ codes decide
+    HOW they are scored — the standard billion-scale ANN composition. Each
+    query probes its nprobe nearest centroid lists (ivf_assign semantics)
+    and ADC-scores only the codes of vectors in those lists; raw corpus
+    vectors are read once at build time (assign + encode), never at query
+    time. Cost vs pq_adc_topk: x(nprobe/n_lists); cost vs ivf_topk: the
+    probed lists are scanned in code domain (bytes, not vectors).
+
+    Shuffle inventory: build = one argmin window per stage (list assign,
+    code assign); query = codes ⋈ broadcast(probes) ⋈ broadcast(LUT), ONE
+    partial-sum shuffle, one top-k window. On Iceberg, codes are written
+    bucketed by list id, so the probe join prunes files before it prunes
+    rows."""
+    from crawler_spark.functions.vectors import cosine_col, dot_col, norm_col
+
+    dsub = dim // m
+    codebooks, codes = pq_fit_encode(
+        corpus, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    lists = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    coded = codes.join(lists, id_col)  # (id, sub_idx, code, centroid_id)
+
+    cq = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).crossJoin(F.broadcast(cq)).withColumn(
+        "__sim", F.round(cosine_col(F.col("__qvec"), F.col("__cvec")), 4)
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+
+    qv = F.col(vec_col).cast("array<double>")
+    qsubs = queries.select(
+        F.col(query_id_col),
+        norm_col(qv).alias("qnorm"),
+        F.posexplode(_pq_subslices(qv, m, dsub)).alias("sub_idx", "qsv"),
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
+        query_id_col, "qnorm", "sub_idx", "code",
+        F.round(dot_col(F.col("qsv"), F.col("cv")), 6).alias("partial"),
+        F.round(dot_col(F.col("cv"), F.col("cv")), 6).alias("cnorm2"),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(lut), [query_id_col, "sub_idx", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum("partial") / (F.max("qnorm") * F.sqrt(F.sum("cnorm2"))), 4
+            ).alias("cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,

@@ -1446,6 +1446,112 @@ WHERE rn <= 3
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: coarse lists (first-16-vector centroids, nprobe=2)
+    prune which CODES are scanned; PQ-ADC (4x8 codebooks) scores them — the
+    billion-scale layout where query time touches neither raw vectors nor
+    unprobed lists. Oracle replays lists + fit + encode + probe + ADC."""
+    from crawler_spark.operators.similarity import ivfpq_topk
+
+    corpus = _embs(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        corpus, queries, centroids, dim=64, m=4, ksub=8, k=3, nprobe=2
+    )
+
+
+O_ANN_IVFPQ_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, j.sub_idx, v[j.lo:j.hi] AS sv
+  FROM e, {_PQ_SUBS}
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+  FROM e ORDER BY vec_id LIMIT 8
+),
+icb AS (
+  SELECT s.sub_idx, i.code, s.sv AS cv
+  FROM init i JOIN sub s ON s.vec_id = i.vec_id
+),
+a1 AS (
+  SELECT vec_id, sub_idx, code, sv FROM (
+    SELECT s.vec_id, s.sub_idx, c.code, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+             ORDER BY round(list_inner_product(c.cv, c.cv)
+                            - 2 * list_inner_product(s.sv, c.cv), 6),
+                      c.code) AS rn
+    FROM sub s JOIN icb c USING (sub_idx)) WHERE rn = 1
+),
+m1 AS (
+  SELECT sub_idx, code, i, round(avg(sv[i]), 6) AS val
+  FROM a1, LATERAL unnest(generate_series(1, 16)) AS g(i)
+  GROUP BY sub_idx, code, i
+),
+cb AS (SELECT sub_idx, code, list(val ORDER BY i) AS cv FROM m1
+       GROUP BY sub_idx, code),
+codes AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT s.vec_id, s.sub_idx, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+             ORDER BY round(list_inner_product(c.cv, c.cv)
+                            - 2 * list_inner_product(s.sv, c.cv), 6),
+                      c.code) AS rn
+    FROM sub s JOIN cb c USING (sub_idx)) WHERE rn = 1
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+lists AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_inner_product(v, v)) AS qnorm
+      FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+                      c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2
+),
+qsub AS (
+  SELECT query_id, qnorm, j.sub_idx, qv[j.lo:j.hi] AS qsv
+  FROM q, {_PQ_SUBS}
+),
+lut AS (
+  SELECT qs.query_id, qs.qnorm, c.sub_idx, c.code,
+         round(list_inner_product(qs.qsv, c.cv), 6) AS partial,
+         round(list_inner_product(c.cv, c.cv), 6) AS cnorm2
+  FROM qsub qs JOIN cb c ON c.sub_idx = qs.sub_idx
+),
+s AS (
+  SELECT l.query_id, k.vec_id,
+         round(sum(l.partial) / (max(l.qnorm) * sqrt(sum(l.cnorm2))), 4)
+           AS cosine
+  FROM codes k
+  JOIN lists ls ON ls.vec_id = k.vec_id
+  JOIN probes p ON p.centroid_id = ls.centroid_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.sub_idx = k.sub_idx AND l.code = k.code
+  GROUP BY l.query_id, k.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 O_ANN_IVF_TOPK = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1729,6 +1835,7 @@ QUERIES = {
     "duplicate_components": q_duplicate_components,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivf_train": q_ann_ivf_train,
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
@@ -1762,6 +1869,7 @@ ORACLES = {
     "duplicate_components": O_DUPLICATE_COMPONENTS,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "ann_pq_topk": O_ANN_PQ_TOPK,
+    "ann_ivfpq_topk": O_ANN_IVFPQ_TOPK,
     "ann_ivf_train": O_ANN_IVF_TRAIN,
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,

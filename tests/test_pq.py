@@ -84,6 +84,64 @@ class TestPQRecall:
         overlaps = [len(ex[q] & ap[q]) / 3.0 for q in ex]
         assert sum(overlaps) / len(overlaps) >= 0.25, overlaps
 
+    def test_ivfpq_equals_adc_restricted_to_probed_lists(self, embs):
+        """IVF-PQ must be EXACTLY pq_adc_topk computed over the union of the
+        query's probed lists — pruning changes which codes are scanned,
+        never how they score. Replays the probe set independently and
+        compares scores per (query, vec)."""
+        from crawler_spark.operators.similarity import ivf_assign, ivfpq_topk
+
+        centroids = embs.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        queries = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in ivfpq_topk(
+                embs, queries, centroids, dim=DIM, m=M, ksub=KSUB, k=3, nprobe=2
+            ).collect()
+        }
+        # independent recomputation: full ADC scores + probe membership
+        lists = {
+            r.vec_id: r.centroid_id
+            for r in ivf_assign(embs, centroids).select("vec_id", "centroid_id").collect()
+        }
+        probes = {}
+        qassign = ivf_assign(
+            queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+            centroids,
+        )
+        # nprobe=2: take the two best lists per query the same way the op does
+        from crawler_spark.functions.vectors import cosine_col
+        from pyspark.sql import Window
+
+        cq = centroids.select("centroid_id", F.col("embedding").alias("cv"))
+        qs = queries.crossJoin(F.broadcast(cq)).withColumn(
+            "sim", F.round(cosine_col(F.col("embedding"), F.col("cv")), 4)
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("centroid_id").asc()
+        )
+        for r in (
+            qs.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= 2)
+            .select("query_id", "centroid_id")
+            .collect()
+        ):
+            probes.setdefault(r.query_id, set()).add(r.centroid_id)
+        full = pq_adc_topk(embs, queries, dim=DIM, m=M, ksub=KSUB, k=len(lists))
+        want = {}
+        for r in full.collect():
+            if lists[r.vec_id] in probes[r.query_id]:
+                want.setdefault(r.query_id, []).append((r.cosine, r.vec_id))
+        expect = {}
+        for qid, scored in want.items():
+            for cos, vid in sorted(scored, key=lambda t: (-t[0], t[1]))[:3]:
+                expect[(qid, vid)] = cos
+        assert got == expect
+
     def test_self_is_top1(self, embs):
         """A query that IS a corpus vector must retrieve itself first — its
         codes reconstruct to the nearest cell by construction."""
