@@ -61,6 +61,10 @@ HEADLINE = [
     "simhash_incremental",
     "minhash_incremental",
     "seen_probe_exact",
+    # r03 late additions
+    "depth_priority_frontier",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
