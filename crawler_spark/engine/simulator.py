@@ -82,14 +82,19 @@ def simulate(
     }
     dom_prio = dict(domain_priority or {})
     res = SimResult()
-    frontier: dict[str, dict] = {}
+    # The frontier is a MULTISET of rows (a list, removal by identity), not a
+    # hash-keyed map: the engine's frontier table never dedups on url_hash —
+    # enqueue dedup happens only through the seen set at extraction time —
+    # so under TTL expiry a retry row and a re-discovered fresh row for the
+    # same URL can legitimately coexist, and the simulator must mirror that.
+    frontier: list[dict] = []
     seen_round: dict[str, int] = {}  # hash -> round last enqueued (TTL window)
     for u in seeds:
         norm = normalize_url(u)
         row = _mk_row(
             norm, dom_prio.get(canonical_host(norm), PRIORITY_LISTING), 0, 0, 0
         )
-        frontier[row["url_hash"]] = row
+        frontier.append(row)
         res.seen.add(row["url_hash"])
         seen_round[row["url_hash"]] = -1
 
@@ -103,7 +108,7 @@ def simulate(
     for rnd in range(0, max_rounds):
         if not frontier:
             break
-        due = [r for r in frontier.values() if r["not_before"] <= rnd]
+        due = [r for r in frontier if r["not_before"] <= rnd]
         if not due:
             continue
         res.rounds = rnd + 1
@@ -116,7 +121,7 @@ def simulate(
                 allowed.append(r)
             else:
                 res.robots_excluded.append(r["url_norm"])
-                del frontier[r["url_hash"]]
+                frontier.remove(r)
 
         # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
         by_host: dict[str, list[dict]] = {}
@@ -142,7 +147,7 @@ def simulate(
             detectors: dict[str, StopDetector] = {}
             stopped_chains: set[str] = set()
             for order, r in enumerate(rows, 1):
-                del frontier[r["url_hash"]]
+                frontier.remove(r)  # by identity — duplicates unaffected
                 if r["seed_id"] in stopped_chains:
                     continue  # consumed, never fetched (chain ended this round)
                 status, content, ra = corpus.get(r["url_norm"], (404, "", None))
@@ -202,6 +207,5 @@ def simulate(
                     else:
                         res.dlq.append((r["url_norm"], r["attempt"] + 1))
                 # non-retryable failures simply leave the frontier
-        for row in new_rows:
-            frontier[row["url_hash"]] = row
+        frontier.extend(new_rows)
     return res

@@ -159,6 +159,16 @@ class CrawlEngine:
             F.element_at(F.create_map(*pairs), host_col), default_col
         ).cast("int")
 
+    @staticmethod
+    def _evolve_frontier(df: DataFrame) -> DataFrame:
+        """Iceberg-style add-column schema evolution: frontier snapshots
+        committed before the depth column existed read back with depth=0
+        (seed depth), so a pre-upgrade store resumes instead of failing
+        column resolution."""
+        if "depth" not in df.columns:
+            df = df.withColumn("depth", F.lit(0).cast("int"))
+        return df
+
     def init_frontier(self, seeds: list[str]) -> None:
         """Round -1 commit: seeds enter frontier AND seen (enqueue == seen)."""
         rows = []
@@ -316,7 +326,7 @@ class CrawlEngine:
             hints = {"frontier": n_fresh, "seen": n_fresh, "pages": 0,
                      "dlq": 0, "fetch_log": 0, "retry_history": 0}
         else:
-            frontier = self.store.read(spark, "frontier")
+            frontier = self._evolve_frontier(self.store.read(spark, "frontier"))
             full = {"frontier": frontier.unionByName(fresh)}
             delta = {"seen": seen_delta}
             hints = {
@@ -389,7 +399,7 @@ class CrawlEngine:
 
     def _run_round(self, round_no: int) -> dict[str, Any]:
         spark = self.spark
-        frontier = self.store.read(spark, "frontier")
+        frontier = self._evolve_frontier(self.store.read(spark, "frontier"))
         seen = self.store.read(spark, "seen")
         pages = self.store.read(spark, "pages")
         dlq = self.store.read(spark, "dlq")
@@ -475,8 +485,17 @@ class CrawlEngine:
             selected = per_host_budget_selection(
                 scored, budgets, tiebreak="url_hash"
             ).cache()
+        # row-IDENTITY anti-join, not url_hash: under TTL expiry a retry row
+        # and a re-discovered fresh row for the same URL legitimately coexist
+        # (the reference would hold two jobs too — the Redis dedup key
+        # expired and NATS's 5-min dedup window is long past, nats_queue.py
+        # :100); selecting one must not consume the other. (url_hash,
+        # attempt, scheduled_ms, not_before) is a full row identity: no two
+        # frontier rows can share all four. Same single shuffle as before —
+        # the join key still hashes on url_hash first.
+        row_key = ["url_hash", "attempt", "scheduled_ms", "not_before"]
         not_selected = scored.join(
-            selected.select("url_hash"), "url_hash", "left_anti"
+            selected.select(*row_key), row_key, "left_anti"
         ).select(*[f.name for f in frontier.schema.fields])
 
         # paced fetch with stateful per-chain stop detection

@@ -84,19 +84,8 @@ def ivf_topk(
     (write the corpus bucketed by centroid_id -> probes prune partitions);
     recall tunes with nprobe, cost ~ nprobe/n_centroids of brute force."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cq = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
-    qscored = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).crossJoin(F.broadcast(cq)).withColumn(
-        "__sim", F.round(cosine_col(F.col("__qvec"), F.col("__cvec")), 4)
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, "centroid_id", "__qvec")
+    probes = _probe_lists(
+        queries, centroids, nprobe, vec_col, query_id_col, keep_qvec=True
     )
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col),
@@ -147,6 +136,98 @@ def _pq_subslices(vec: "F.Column", m: int, dsub: int) -> "F.Column":
     return F.array(*[F.slice(vec, j * dsub + 1, dsub) for j in range(m)])
 
 
+def _pq_dsub(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires m to divide dim exactly (dim={dim}, m={m}): a "
+            f"remainder would silently drop the trailing {dim % m} dimensions "
+            "from codebooks and codes while qnorm still covers them"
+        )
+    return dim // m
+
+
+def _probe_lists(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+    keep_qvec: bool = False,
+) -> DataFrame:
+    """The IVF probe: each query's nprobe nearest centroid lists by rounded
+    cosine (ties on centroid id) — shared by ivf_topk and ivfpq_topk so the
+    probe semantics (and their DuckDB oracles) cannot drift apart."""
+    from crawler_spark.functions.vectors import cosine_col
+
+    cq = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).crossJoin(F.broadcast(cq)).withColumn(
+        "__sim", F.round(cosine_col(F.col("__qvec"), F.col("__cvec")), 4)
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    cols = [query_id_col, "centroid_id"] + (["__qvec"] if keep_qvec else [])
+    return (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(*cols)
+    )
+
+
+def _adc_scan(
+    scan_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The ADC scan: per-query LUT of partial dots + codeword norms against
+    the broadcast codebooks, partial-sum aggregation, approx-cosine top-k.
+    `scan_codes` is (id, sub_idx, code); if it already carries query_id
+    (pre-pruned, IVF-PQ), the LUT joins per query — otherwise every query
+    scans every code (plain PQ). Shared by pq_adc_topk and ivfpq_topk."""
+    from crawler_spark.functions.vectors import dot_col, norm_col
+
+    dsub = _pq_dsub(dim, m)
+    qv = F.col(vec_col).cast("array<double>")
+    qsubs = queries.select(
+        F.col(query_id_col),
+        norm_col(qv).alias("qnorm"),
+        F.posexplode(_pq_subslices(qv, m, dsub)).alias("sub_idx", "qsv"),
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
+        query_id_col, "qnorm", "sub_idx", "code",
+        F.round(dot_col(F.col("qsv"), F.col("cv")), 6).alias("partial"),
+        F.round(dot_col(F.col("cv"), F.col("cv")), 6).alias("cnorm2"),
+    )
+    join_keys = ["sub_idx", "code"]
+    if query_id_col in scan_codes.columns:
+        join_keys = [query_id_col] + join_keys
+    scored = (
+        scan_codes.join(F.broadcast(lut), join_keys)
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum("partial") / (F.max("qnorm") * F.sqrt(F.sum("cnorm2"))), 4
+            ).alias("cosine")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    )
+
+
 def pq_fit_encode(
     corpus: DataFrame,
     dim: int,
@@ -177,7 +258,7 @@ def pq_fit_encode(
 
     Returns (codebooks(sub_idx, code, cv), codes(id, sub_idx, code)).
     """
-    dsub = dim // m
+    dsub = _pq_dsub(dim, m)
     v = F.col(vec_col).cast("array<double>")
     subs = corpus.select(
         F.col(id_col),
@@ -256,39 +337,11 @@ def pq_adc_topk(
     deployment codes are written once at ingest and this is the only scan —
     combine with ivf_topk lists (IVF-PQ) to prune it further.
     """
-    from crawler_spark.functions.vectors import dot_col, norm_col
-
-    dsub = dim // m
     codebooks, codes = pq_fit_encode(
         corpus, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
-    qv = F.col(vec_col).cast("array<double>")
-    qsubs = queries.select(
-        F.col(query_id_col),
-        norm_col(qv).alias("qnorm"),
-        F.posexplode(_pq_subslices(qv, m, dsub)).alias("sub_idx", "qsv"),
-    )
-    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
-        query_id_col, "qnorm", "sub_idx", "code",
-        F.round(dot_col(F.col("qsv"), F.col("cv")), 6).alias("partial"),
-        F.round(dot_col(F.col("cv"), F.col("cv")), 6).alias("cnorm2"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["sub_idx", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            F.round(
-                F.sum("partial") / (F.max("qnorm") * F.sqrt(F.sum("cnorm2"))), 4
-            ).alias("cosine")
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    return _adc_scan(
+        codes, queries, codebooks, dim, m, k, id_col, vec_col, query_id_col
     )
 
 
@@ -313,14 +366,14 @@ def ivfpq_topk(
     time. Cost vs pq_adc_topk: x(nprobe/n_lists); cost vs ivf_topk: the
     probed lists are scanned in code domain (bytes, not vectors).
 
-    Shuffle inventory: build = one argmin window per stage (list assign,
-    code assign); query = codes ⋈ broadcast(probes) ⋈ broadcast(LUT), ONE
-    partial-sum shuffle, one top-k window. On Iceberg, codes are written
-    bucketed by list id, so the probe join prunes files before it prunes
-    rows."""
-    from crawler_spark.functions.vectors import cosine_col, dot_col, norm_col
-
-    dsub = dim // m
+    Composition of the two shared kernels: `_probe_lists` (the ivf_topk
+    probe, verbatim) prunes which codes reach `_adc_scan` (the pq_adc_topk
+    scan, verbatim) — pruning changes WHICH codes are scanned, never how
+    they score (gated in tests/test_pq.py). Shuffle inventory: build = one
+    argmin window per stage (list assign, code assign); query = codes ⋈
+    broadcast(probes) ⋈ broadcast(LUT), ONE partial-sum shuffle, one top-k
+    window. On Iceberg, codes are written bucketed by list id, so the probe
+    join prunes files before it prunes rows."""
     codebooks, codes = pq_fit_encode(
         corpus, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
@@ -328,50 +381,12 @@ def ivfpq_topk(
         id_col, "centroid_id"
     )
     coded = codes.join(lists, id_col)  # (id, sub_idx, code, centroid_id)
-
-    cq = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
-    qscored = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).crossJoin(F.broadcast(cq)).withColumn(
-        "__sim", F.round(cosine_col(F.col("__qvec"), F.col("__cvec")), 4)
+    probes = _probe_lists(queries, centroids, nprobe, vec_col, query_id_col)
+    pruned = coded.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col, id_col, "sub_idx", "code"
     )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, "centroid_id")
-    )
-
-    qv = F.col(vec_col).cast("array<double>")
-    qsubs = queries.select(
-        F.col(query_id_col),
-        norm_col(qv).alias("qnorm"),
-        F.posexplode(_pq_subslices(qv, m, dsub)).alias("sub_idx", "qsv"),
-    )
-    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
-        query_id_col, "qnorm", "sub_idx", "code",
-        F.round(dot_col(F.col("qsv"), F.col("cv")), 6).alias("partial"),
-        F.round(dot_col(F.col("cv"), F.col("cv")), 6).alias("cnorm2"),
-    )
-    scored = (
-        coded.join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(lut), [query_id_col, "sub_idx", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            F.round(
-                F.sum("partial") / (F.max("qnorm") * F.sqrt(F.sum("cnorm2"))), 4
-            ).alias("cosine")
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "cosine", F.col("__rn").cast("int").alias("rank"))
+    return _adc_scan(
+        pruned, queries, codebooks, dim, m, k, id_col, vec_col, query_id_col
     )
 
 

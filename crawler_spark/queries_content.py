@@ -1378,9 +1378,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the oracle replays: sub-slicing, init codebooks (8 lowest-id vectors), one
 # L2-argmin Lloyd pass (argmin key = round(<cv,cv> - 2<sv,cv>, 6) — the
-# |sv|^2-free expansion), re-assignment, per-query LUT, and the ADC cosine
+# |sv|^2-free expansion), re-assignment, per-query LUT, and the ADC cosine.
+# _PQ_FIT_CTES is the single source of truth for the fit+encode replay —
+# O_ANN_PQ_TOPK and O_ANN_IVFPQ_TOPK must stay byte-equivalent there or
+# their parities diverge confusingly.
 _PQ_SUBS = "(VALUES (0,1,16),(1,17,32),(2,33,48),(3,49,64)) AS j(sub_idx, lo, hi)"
-O_ANN_PQ_TOPK = f"""
+_PQ_FIT_CTES = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sub AS (
   SELECT vec_id, j.sub_idx, v[j.lo:j.hi] AS sv
@@ -1418,8 +1421,9 @@ codes AS (
                             - 2 * list_inner_product(s.sv, c.cv), 6),
                       c.code) AS rn
     FROM sub s JOIN cb c USING (sub_idx)) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, v AS qv,
+)"""
+O_ANN_PQ_TOPK = _PQ_FIT_CTES + f"""
+, q AS (SELECT vec_id AS query_id, v AS qv,
              sqrt(list_inner_product(v, v)) AS qnorm
       FROM e WHERE vec_id < 5),
 qsub AS (
@@ -1465,46 +1469,8 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_ANN_IVFPQ_TOPK = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sub AS (
-  SELECT vec_id, j.sub_idx, v[j.lo:j.hi] AS sv
-  FROM e, {_PQ_SUBS}
-),
-init AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
-  FROM e ORDER BY vec_id LIMIT 8
-),
-icb AS (
-  SELECT s.sub_idx, i.code, s.sv AS cv
-  FROM init i JOIN sub s ON s.vec_id = i.vec_id
-),
-a1 AS (
-  SELECT vec_id, sub_idx, code, sv FROM (
-    SELECT s.vec_id, s.sub_idx, c.code, s.sv,
-           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
-             ORDER BY round(list_inner_product(c.cv, c.cv)
-                            - 2 * list_inner_product(s.sv, c.cv), 6),
-                      c.code) AS rn
-    FROM sub s JOIN icb c USING (sub_idx)) WHERE rn = 1
-),
-m1 AS (
-  SELECT sub_idx, code, i, round(avg(sv[i]), 6) AS val
-  FROM a1, LATERAL unnest(generate_series(1, 16)) AS g(i)
-  GROUP BY sub_idx, code, i
-),
-cb AS (SELECT sub_idx, code, list(val ORDER BY i) AS cv FROM m1
-       GROUP BY sub_idx, code),
-codes AS (
-  SELECT vec_id, sub_idx, code FROM (
-    SELECT s.vec_id, s.sub_idx, c.code,
-           row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
-             ORDER BY round(list_inner_product(c.cv, c.cv)
-                            - 2 * list_inner_product(s.sv, c.cv), 6),
-                      c.code) AS rn
-    FROM sub s JOIN cb c USING (sub_idx)) WHERE rn = 1
-),
-cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+O_ANN_IVFPQ_TOPK = _PQ_FIT_CTES + f"""
+, cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
 lists AS (
   SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, c.centroid_id,
