@@ -116,7 +116,14 @@ class SnapshotStore:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         paths = self.table_paths(table)
-        return spark.read.parquet(*paths) if paths else None
+        if not paths:
+            return None
+        # mergeSchema: a chain may mix schema versions (add-column evolution
+        # — e.g. pre-depth full base + post-upgrade deltas); without it the
+        # reader picks one file's schema and silently DROPS the new column
+        # from every other file. Chains are <= REBUILD_EVERY+1 dirs, so the
+        # footer merge is negligible.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_at(
         self, spark: SparkSession, table: str, round_no: int
@@ -151,7 +158,11 @@ class SnapshotStore:
             )
         paths = [info["path"] for _, info in chain]  # newest-first
         paths.extend(reversed(terminal.get("base_paths", [])))
-        return spark.read.parquet(*list(reversed(paths)))
+        # mergeSchema for the same reason as read(): historical chains may
+        # straddle an add-column schema upgrade
+        return spark.read.option("mergeSchema", "true").parquet(
+            *list(reversed(paths))
+        )
 
     def history(self) -> list[dict[str, Any]]:
         """Iceberg `table.history()` analogue over the whole store: one

@@ -67,6 +67,12 @@ FRONTIER_SCHEMA = (
     " priority int, scheduled_ms long, attempt int, not_before long, depth int"
 )
 
+# full row identity: scheduled_ms is the enqueue-round marker and attempt
+# increments per retry lineage, so no two live-or-ever-deleted frontier rows
+# can collide on all four — the equality-delete key for merge-on-read
+# frontier commits AND the selection anti-join key
+FRONTIER_ROW_KEY = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+
 
 class CrawlEngine:
     """Drives supersteps over a SnapshotStore; resumable at any round."""
@@ -164,10 +170,30 @@ class CrawlEngine:
         """Iceberg-style add-column schema evolution: frontier snapshots
         committed before the depth column existed read back with depth=0
         (seed depth), so a pre-upgrade store resumes instead of failing
-        column resolution."""
+        column resolution. Two shapes: a chain entirely pre-upgrade has no
+        depth column at all; a MIXED chain (old base + new deltas) reads it
+        via mergeSchema with nulls on the old files — coalesce those to the
+        default."""
         if "depth" not in df.columns:
-            df = df.withColumn("depth", F.lit(0).cast("int"))
-        return df
+            return df.withColumn("depth", F.lit(0).cast("int"))
+        return df.withColumn(
+            "depth", F.coalesce(F.col("depth"), F.lit(0)).cast("int")
+        )
+
+    def _read_frontier(self, spark: SparkSession) -> DataFrame:
+        """Resolved (merge-on-read) frontier: the `frontier` table holds ADDS
+        and `frontier_dels` holds equality-delete keys (Iceberg v2 delete
+        files), so per-round frontier commits are O(delta) instead of a full
+        rewrite — the last per-round O(|table|) write the engine had. The
+        read-side anti-join touches at most REBUILD_EVERY rounds of deletes
+        (compaction resolves both chains to a full snapshot + empty dels);
+        a pre-merge-on-read store simply has no dels table and reads
+        directly."""
+        adds = self._evolve_frontier(self.store.read(spark, "frontier"))
+        dels = self.store.read(spark, "frontier_dels")
+        if dels is None or self.store.table_rows("frontier_dels") == 0:
+            return adds
+        return adds.join(dels, FRONTIER_ROW_KEY, "left_anti")
 
     def init_frontier(self, seeds: list[str]) -> None:
         """Round -1 commit: seeds enter frontier AND seen (enqueue == seen)."""
@@ -195,13 +221,15 @@ class CrawlEngine:
         ).collect()  # tiny (shard, n_items) stat rows only
         self.store.commit_round(
             -1,
-            {"frontier": frontier, "seen": seen,
+            {"frontier": frontier, "frontier_dels": self._empty_frontier_dels(),
+             "seen": seen,
              "pages": self._empty_pages(), "dlq": self._empty_dlq(),
              "fetch_log": self._empty_fetch_log(),
              "retry_history": self._empty_retry_history()},
             metrics={"phase": "init", "n_seeds": len(rows)},
             blob_dir=out_dir,
-            row_hints={"frontier": len(rows), "seen": len(rows), "pages": 0,
+            row_hints={"frontier": len(rows), "frontier_dels": 0,
+                       "seen": len(rows), "pages": 0,
                        "dlq": 0, "fetch_log": 0, "retry_history": 0},
         )
 
@@ -318,21 +346,21 @@ class CrawlEngine:
         delta: dict[str, DataFrame] = {}
         if fresh_store:
             full = {
-                "frontier": fresh, "seen": seen_delta,
+                "frontier": fresh,
+                "frontier_dels": self._empty_frontier_dels(),
+                "seen": seen_delta,
                 "pages": self._empty_pages(), "dlq": self._empty_dlq(),
                 "fetch_log": self._empty_fetch_log(),
                 "retry_history": self._empty_retry_history(),
             }
-            hints = {"frontier": n_fresh, "seen": n_fresh, "pages": 0,
+            hints = {"frontier": n_fresh, "frontier_dels": 0,
+                     "seen": n_fresh, "pages": 0,
                      "dlq": 0, "fetch_log": 0, "retry_history": 0}
         else:
-            frontier = self._evolve_frontier(self.store.read(spark, "frontier"))
-            full = {"frontier": frontier.unionByName(fresh)}
-            delta = {"seen": seen_delta}
-            hints = {
-                "frontier": self.store.table_rows("frontier") + n_fresh,
-                "seen": n_fresh,
-            }
+            # merge-on-read: an enqueue is a pure ADD delta — no frontier
+            # rewrite, no delete keys; per-enqueue IO is O(batch)
+            delta = {"frontier": fresh, "seen": seen_delta}
+            hints = {"frontier": n_fresh, "seen": n_fresh}
         entry = self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
             delta_tables=delta, row_hints=hints,
@@ -357,6 +385,11 @@ class CrawlEngine:
             " content_sha256 string, simhash long, status_code int,"
             " fetched_round int, fetch_order int, raw_html string,"
             " extracted_json string",
+        )
+
+    def _empty_frontier_dels(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url_hash string, attempt int, scheduled_ms long, not_before long"
         )
 
     def _empty_dlq(self) -> DataFrame:
@@ -399,7 +432,7 @@ class CrawlEngine:
 
     def _run_round(self, round_no: int) -> dict[str, Any]:
         spark = self.spark
-        frontier = self._evolve_frontier(self.store.read(spark, "frontier"))
+        frontier = self._read_frontier(spark)
         seen = self.store.read(spark, "seen")
         pages = self.store.read(spark, "pages")
         dlq = self.store.read(spark, "dlq")
@@ -790,8 +823,29 @@ class CrawlEngine:
         # every table compacts to a full snapshot, bounding chain length to
         # REBUILD_EVERY files per table (rewrite_data_files analogue).
         compaction = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
-        full: dict[str, DataFrame] = {"frontier": next_frontier}
+        full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
+        if compaction:
+            # resolve the merge-on-read chains to one full snapshot + empty
+            # delete set (rewrite_data_files + delete-file compaction)
+            full["frontier"] = next_frontier
+            full["frontier_dels"] = self._empty_frontier_dels()
+        else:
+            # merge-on-read commit: adds = this round's retries + fresh URLs;
+            # equality-delete keys = the rows this round CONSUMED (selected
+            # for fetch, or robots-excluded for good). Per-round frontier IO
+            # is O(delta) — previously the one remaining full-table rewrite.
+            delta["frontier"] = retries.unionByName(new_frontier)
+            round_dels = flagged.filter(~F.col("robots_ok")).select(
+                *FRONTIER_ROW_KEY
+            ).unionByName(selected.select(*FRONTIER_ROW_KEY))
+            if self.store.table_path("frontier_dels") is None:
+                # first commit after upgrading a pre-merge-on-read store:
+                # give the dels chain a full terminal snapshot so chain
+                # reads and snapshot expiry have a base to resolve to
+                full["frontier_dels"] = round_dels
+            else:
+                delta["frontier_dels"] = round_dels
         # output-file sizing hints from the metrics already computed above +
         # manifest footer stats — a few-hundred-row delta writes ONE file,
         # not defaultParallelism near-empty ones (file-count growth is what
@@ -802,10 +856,18 @@ class CrawlEngine:
             ["seen", "pages", "dlq", "fetch_log", "retry_history"]
         )  # one manifest read for all five hints
         hints = {
-            "frontier": max(
-                1,
-                metrics["n_due"] - metrics["n_selected"]
-                + metrics["n_retry"] + metrics["n_new_urls"],
+            "frontier": (
+                max(
+                    1,
+                    metrics["n_due"] - metrics["n_selected"]
+                    + metrics["n_retry"] + metrics["n_new_urls"],
+                )
+                if compaction
+                else max(1, metrics["n_retry"] + metrics["n_new_urls"])
+            ),
+            "frontier_dels": (
+                1 if compaction
+                else max(1, metrics["n_selected"] + metrics["n_robots_excluded"])
             ),
             "seen": prev_rows["seen"] + metrics["n_new_urls"],
             "pages": prev_rows["pages"] + metrics["n_ok"],

@@ -30,24 +30,33 @@ def _rounds(engine):
 
 
 def test_append_only_tables_commit_deltas(engine):
-    """Active non-compaction rounds write mode='delta' for every append-only
-    table and mode='full' only for the frontier."""
+    """Active non-compaction rounds write mode='delta' for EVERY table —
+    including the frontier, which commits merge-on-read (adds delta +
+    equality-delete keys in frontier_dels) instead of a full rewrite. The
+    only full table writes happen on the compaction cadence."""
     active = [r for r in _rounds(engine)
               if r["round"] >= 0 and "n_fetched" in r["metrics"]]
     assert active, "fixture must have active rounds"
     non_compaction = [r for r in active
                       if r["round"] % engine.REBUILD_EVERY != engine.REBUILD_EVERY - 1]
     assert non_compaction
+    first_dels = min(
+        r["round"] for r in active if "frontier_dels" in r["tables"]
+    )
     for r in non_compaction:
-        assert r["tables"]["frontier"]["mode"] == "full"
+        assert r["tables"]["frontier"]["mode"] == "delta", r["round"]
+        # the very first dels commit on a store may be the chain's full base
+        if r["round"] > first_dels:
+            assert r["tables"]["frontier_dels"]["mode"] == "delta", r["round"]
         for t in APPEND_ONLY:
             assert r["tables"][t]["mode"] == "delta", (t, r["round"])
 
 
 def test_delta_rows_equal_round_increment(engine):
     """Per-round IO is O(delta): the seen delta carries exactly the round's
-    n_new_urls rows, the fetch_log delta exactly n_fetched rows — never the
-    accumulated table."""
+    n_new_urls rows, the fetch_log delta exactly n_fetched rows, the
+    frontier delta exactly the recirculated + fresh rows, the delete keys
+    exactly the consumed rows — never the accumulated table."""
     for r in _rounds(engine):
         m = r["metrics"]
         if "n_fetched" not in m:
@@ -58,6 +67,13 @@ def test_delta_rows_equal_round_increment(engine):
             assert r["tables"]["fetch_log"]["rows"] == m["n_fetched"]
         if r["tables"]["dlq"]["mode"] == "delta":
             assert r["tables"]["dlq"]["rows"] == m["n_dlq"]
+        if r["tables"]["frontier"]["mode"] == "delta":
+            assert r["tables"]["frontier"]["rows"] == (
+                m["n_retry"] + m["n_new_urls"]
+            )
+            assert r["tables"]["frontier_dels"]["rows"] == (
+                m["n_selected"] + m["n_robots_excluded"]
+            )
 
 
 def test_compaction_round_writes_full(engine):
@@ -66,8 +82,24 @@ def test_compaction_round_writes_full(engine):
             and r["round"] % engine.REBUILD_EVERY == engine.REBUILD_EVERY - 1]
     assert comp, "fixture must hit a compaction round"
     for r in comp:
-        for t in APPEND_ONLY:
+        for t in APPEND_ONLY + ("frontier", "frontier_dels"):
             assert r["tables"][t]["mode"] == "full", (t, r["round"])
+        # compaction resolves the merge-on-read chain: dels reset to empty
+        assert r["tables"]["frontier_dels"]["rows"] == 0
+
+
+def test_resolved_frontier_excludes_deleted_rows(engine, spark):
+    """The merge-on-read read path: resolved frontier == adds minus delete
+    keys, and every fetched URL's consumed row is invisible (a fetched URL
+    can re-enter only as a NEW row — retry or TTL re-discovery)."""
+    resolved = engine._read_frontier(spark)
+    adds = engine.store.read(spark, "frontier")
+    dels = engine.store.read(spark, "frontier_dels")
+    assert resolved.count() == adds.count() - dels.count()
+    joined = resolved.join(
+        dels, ["url_hash", "attempt", "scheduled_ms", "not_before"], "inner"
+    )
+    assert joined.count() == 0
 
 
 def test_drain_rounds_write_no_tables(engine):

