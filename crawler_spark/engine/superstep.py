@@ -816,12 +816,14 @@ class CrawlEngine:
                 deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
         # Iceberg-style commit: append-only tables write ONLY this round's
-        # delta (fast-append) — per-round IO is O(delta) regardless of crawl
-        # age. Exceptions that must write full: frontier (rewritten every
-        # round — selected rows leave it), and under TTL seen (row-level
-        # expiry) + pages (latest-wins MERGE). On the shard-rebuild cadence
-        # every table compacts to a full snapshot, bounding chain length to
-        # REBUILD_EVERY files per table (rewrite_data_files analogue).
+        # delta (fast-append) and the frontier commits merge-on-read (adds
+        # delta + equality-delete keys) — per-round IO is O(delta)
+        # regardless of crawl age for EVERY table. The remaining full-write
+        # exceptions are TTL mode only: seen (row-level expiry) + pages
+        # (latest-wins MERGE), both native row-level ops on real Iceberg.
+        # On the shard-rebuild cadence every table compacts to a full
+        # snapshot, bounding chain length to REBUILD_EVERY files per table
+        # (rewrite_data_files analogue).
         compaction = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
         full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
