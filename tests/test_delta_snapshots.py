@@ -102,6 +102,19 @@ def test_resolved_frontier_excludes_deleted_rows(engine, spark):
     assert joined.count() == 0
 
 
+def test_resolved_frontier_plans_broadcast_anti_join(engine, spark):
+    """The merge-on-read resolution must cost ZERO exchange on the adds
+    side: the delete-key set is budget-bounded (<= REBUILD_EVERY rounds of
+    selected+excluded rows), so the anti-join plans as a broadcast hash
+    join with the dels side built — at 10^10 frontier rows the resolution
+    stays a map-side filter over the adds scan."""
+    plan = engine._read_frontier(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
+        plan[:1500]
+    )
+
+
 def test_drain_rounds_write_no_tables(engine):
     drains = [r for r in _rounds(engine) if r["metrics"].get("n_due") == 0]
     assert drains, "fixture must end with drain rounds"
