@@ -35,10 +35,27 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The frontier's full row identity — the equality-delete key of the
+# merge-on-read commit model AND the engine's selection anti-join key (no
+# two frontier rows can share all four; see superstep.py's selection
+# comment). One source of truth: the engine imports it from here.
+FRONTIER_ROW_KEY = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+FRONTIER_DELS_SCHEMA = (
+    "url_hash string, attempt int, scheduled_ms long, not_before long"
+)
 
 
 class SnapshotStore:
     ROWS_PER_FILE = 4_000_000  # target rows per written parquet file
+
+    # Iceberg v2 merge-on-read: data table -> its equality-delete table.
+    # read()/read_at() resolve the pair (adds ANTI-JOIN delete keys), so
+    # EVERY reader — engine, tests, time travel, external consumers — sees
+    # live rows only, exactly as Iceberg applies delete files inside the
+    # table scan rather than leaving it to each caller.
+    MERGE_ON_READ = {"frontier": "frontier_dels"}
 
     def __init__(self, root: str):
         self.root = root
@@ -99,14 +116,35 @@ class SnapshotStore:
                 break
         return chain
 
-    def table_paths(self, table: str) -> list[str]:
-        """Oldest-first parquet paths whose union is the table's live state."""
-        chain = self._live_chain(self.manifest()["rounds"], table)
+    @staticmethod
+    def _chain_paths(chain: list[tuple[int, dict]]) -> list[str]:
+        """Oldest-first parquet paths for a live chain from _live_chain."""
         if not chain:
             return []
         paths = [info["path"] for _, info in chain]  # newest-first
         paths.extend(reversed(chain[-1][1].get("base_paths", [])))
         return list(reversed(paths))
+
+    @staticmethod
+    def _chain_rows(chain: list[tuple[int, dict]]) -> int:
+        return (
+            sum(info.get("rows", 0) for _, info in chain)
+            + chain[-1][1].get("base_rows", 0)
+            if chain
+            else 0
+        )
+
+    def table_paths(self, table: str) -> list[str]:
+        """Oldest-first parquet paths whose union is the table's RAW live
+        state (for merge-on-read tables: the adds chain, pre-resolution)."""
+        return self._chain_paths(
+            self._live_chain(self.manifest()["rounds"], table)
+        )
+
+    def chain_length(self, table: str) -> int:
+        """Number of manifest entries (1 terminal + N deltas) forming the
+        table's live chain — what compaction cadences must bound."""
+        return len(self._live_chain(self.manifest()["rounds"], table))
 
     def table_path(self, table: str) -> str | None:
         """Newest path of `table` (the full snapshot, or the newest delta —
@@ -114,8 +152,11 @@ class SnapshotStore:
         paths = self.table_paths(table)
         return paths[-1] if paths else None
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        paths = self.table_paths(table)
+    def read(
+        self, spark: SparkSession, table: str, resolve: bool = True
+    ) -> DataFrame | None:
+        rounds = self.manifest()["rounds"]  # ONE manifest read for the call
+        paths = self._chain_paths(self._live_chain(rounds, table))
         if not paths:
             return None
         # mergeSchema: a chain may mix schema versions (add-column evolution
@@ -123,10 +164,32 @@ class SnapshotStore:
         # reader picks one file's schema and silently DROPS the new column
         # from every other file. Chains are <= REBUILD_EVERY+1 dirs, so the
         # footer merge is negligible.
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        dels_name = self.MERGE_ON_READ.get(table)
+        if resolve and dels_name is not None:
+            dels_chain = self._live_chain(rounds, dels_name)
+            if self._chain_rows(dels_chain) > 0:
+                dels = spark.read.option("mergeSchema", "true").parquet(
+                    *self._chain_paths(dels_chain)
+                )
+                # EXPLICIT broadcast: the delete-key set is bounded by the
+                # compaction cadence (<= REBUILD_EVERY rounds of consumed
+                # rows), the adds side is the 10^10-row table — without the
+                # hint, dels outgrowing autoBroadcastJoinThreshold would
+                # shuffle the entire adds chain on every read.
+                df = df.join(
+                    F.broadcast(dels.select(*FRONTIER_ROW_KEY)),
+                    FRONTIER_ROW_KEY,
+                    "left_anti",
+                )
+        return df
 
     def read_at(
-        self, spark: SparkSession, table: str, round_no: int
+        self,
+        spark: SparkSession,
+        table: str,
+        round_no: int,
+        resolve: bool = True,
     ) -> DataFrame | None:
         """Time-travel read (Iceberg `VERSION AS OF`): the live state of
         `table` as of `round_no`, resolved from the manifest chain over only
@@ -160,9 +223,21 @@ class SnapshotStore:
         paths.extend(reversed(terminal.get("base_paths", [])))
         # mergeSchema for the same reason as read(): historical chains may
         # straddle an add-column schema upgrade
-        return spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *list(reversed(paths))
         )
+        dels_name = self.MERGE_ON_READ.get(table)
+        if resolve and dels_name is not None:
+            # the delete keys AS OF the same round — recursing through
+            # read_at keeps the expiry/fold contract in one place
+            dels = self.read_at(spark, dels_name, round_no, resolve=False)
+            if dels is not None:
+                df = df.join(
+                    F.broadcast(dels.select(*FRONTIER_ROW_KEY)),
+                    FRONTIER_ROW_KEY,
+                    "left_anti",
+                )
+        return df
 
     def history(self) -> list[dict[str, Any]]:
         """Iceberg `table.history()` analogue over the whole store: one
@@ -192,21 +267,15 @@ class SnapshotStore:
         O(tables x rounds) manifest JSON per count is driver IO that grows
         with crawl age."""
         rounds = self.manifest()["rounds"]
-        out: dict[str, int] = {}
-        for t in tables:
-            chain = self._live_chain(rounds, t)
-            out[t] = (
-                sum(info.get("rows", 0) for _, info in chain)
-                + chain[-1][1].get("base_rows", 0)
-                if chain
-                else 0
-            )
-        return out
+        return {
+            t: self._chain_rows(self._live_chain(rounds, t)) for t in tables
+        }
 
     def table_rows(self, table: str) -> int:
         """Live row count of `table` from manifest metadata alone (footer
         stats summed over the live chain — no data read). For latest-wins
-        tables this is an upper bound (pre-merge); exact for append-only."""
+        and merge-on-read tables this is an upper bound (pre-merge /
+        pre-delete-resolution); exact for append-only."""
         return self.table_rows_many([table])[table]
 
     def blob_dir_for(self, round_no: int) -> str:
@@ -231,13 +300,29 @@ class SnapshotStore:
         round); `delta_tables` hold ONLY the round's new rows for append-only
         tables — read() unions them with the chain back to the last full
         write, so per-round IO stays O(delta) as the crawl ages."""
+        # Iceberg invariant: a FULL snapshot of a merge-on-read table
+        # supersedes every outstanding delete key (rewrite_data_files drops
+        # applied delete files). A full commit that left the old dels chain
+        # live would delete arbitrary rows of the NEW snapshot — if the
+        # caller didn't reset the dels table, the store does.
+        for mor, dels_name in self.MERGE_ON_READ.items():
+            if (
+                mor in tables
+                and dels_name not in tables
+                and dels_name not in (delta_tables or {})
+            ):
+                tables = dict(tables)
+                tables[dels_name] = (
+                    tables[mor]
+                    .sparkSession.createDataFrame([], FRONTIER_DELS_SCHEMA)
+                    .coalesce(1)
+                )
         entry: dict[str, Any] = {
             "round": round_no,
             "committed_at": time.time(),
             "tables": {},
             "metrics": metrics or {},
         }
-        from pyspark.sql import functions as F
 
         def _write(name: str, df: DataFrame, mode: str) -> None:
             stem = "snap" if mode == "full" else "delta"

@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawler_spark.engine.snapshots import SnapshotStore
+from crawler_spark.engine.snapshots import FRONTIER_ROW_KEY, SnapshotStore
 from crawler_spark.functions.frontier_exprs import classify_http_col, is_retryable_col
 from crawler_spark.functions.robots_udfs import robots_eval_udfs
 from crawler_spark.functions.parse_udfs import parse_page_udf
@@ -67,11 +67,11 @@ FRONTIER_SCHEMA = (
     " priority int, scheduled_ms long, attempt int, not_before long, depth int"
 )
 
-# full row identity: scheduled_ms is the enqueue-round marker and attempt
-# increments per retry lineage, so no two live-or-ever-deleted frontier rows
-# can collide on all four — the equality-delete key for merge-on-read
-# frontier commits AND the selection anti-join key
-FRONTIER_ROW_KEY = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+# FRONTIER_ROW_KEY (full row identity: scheduled_ms is the enqueue-round
+# marker and attempt increments per retry lineage, so no two live-or-ever-
+# deleted frontier rows can collide on all four) lives in snapshots.py —
+# it is the store's equality-delete key AND the selection anti-join key,
+# re-exported here for the engine's callers.
 
 
 class CrawlEngine:
@@ -181,19 +181,12 @@ class CrawlEngine:
         )
 
     def _read_frontier(self, spark: SparkSession) -> DataFrame:
-        """Resolved (merge-on-read) frontier: the `frontier` table holds ADDS
-        and `frontier_dels` holds equality-delete keys (Iceberg v2 delete
-        files), so per-round frontier commits are O(delta) instead of a full
-        rewrite — the last per-round O(|table|) write the engine had. The
-        read-side anti-join touches at most REBUILD_EVERY rounds of deletes
-        (compaction resolves both chains to a full snapshot + empty dels);
-        a pre-merge-on-read store simply has no dels table and reads
-        directly."""
-        adds = self._evolve_frontier(self.store.read(spark, "frontier"))
-        dels = self.store.read(spark, "frontier_dels")
-        if dels is None or self.store.table_rows("frontier_dels") == 0:
-            return adds
-        return adds.join(dels, FRONTIER_ROW_KEY, "left_anti")
+        """Resolved (merge-on-read) frontier with the engine's schema
+        evolution applied. The resolution itself (adds ANTI-JOIN the
+        broadcast equality-delete keys, Iceberg v2 delete files) lives in
+        SnapshotStore.read — every reader gets live rows, not just the
+        engine; this wrapper only adds the depth-column default."""
+        return self._evolve_frontier(self.store.read(spark, "frontier"))
 
     def init_frontier(self, seeds: list[str]) -> None:
         """Round -1 commit: seeds enter frontier AND seen (enqueue == seen)."""
@@ -356,6 +349,28 @@ class CrawlEngine:
             hints = {"frontier": n_fresh, "frontier_dels": 0,
                      "seen": n_fresh, "pages": 0,
                      "dlq": 0, "fetch_log": 0, "retry_history": 0}
+        elif self.store.chain_length("frontier") >= self.REBUILD_EVERY:
+            # chain-length backstop: an enqueue-heavy workload (streaming
+            # foreachBatch between crawls) would otherwise grow the delta
+            # chain without bound — _run_round's compaction cadence never
+            # fires if no active round lands. Resolve and rewrite full
+            # (rewrite_data_files), exactly like a compaction round.
+            prev_rows = self.store.table_rows_many(["frontier", "seen"])
+            resolved = self._read_frontier(spark)
+            full = {
+                "frontier": resolved.unionByName(fresh),
+                # frontier_dels auto-reset by commit_round's full-snapshot
+                # invariant
+                "seen": (
+                    seen.unionByName(seen_delta)
+                    if seen is not None
+                    else seen_delta
+                ),
+            }
+            hints = {
+                "frontier": prev_rows["frontier"] + n_fresh,
+                "seen": prev_rows["seen"] + n_fresh,
+            }
         else:
             # merge-on-read: an enqueue is a pure ADD delta — no frontier
             # rewrite, no delete keys; per-enqueue IO is O(batch)
@@ -388,9 +403,9 @@ class CrawlEngine:
         )
 
     def _empty_frontier_dels(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "url_hash string, attempt int, scheduled_ms long, not_before long"
-        )
+        from crawler_spark.engine.snapshots import FRONTIER_DELS_SCHEMA
+
+        return self.spark.createDataFrame([], FRONTIER_DELS_SCHEMA)
 
     def _empty_dlq(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -525,10 +540,10 @@ class CrawlEngine:
         # :100); selecting one must not consume the other. (url_hash,
         # attempt, scheduled_ms, not_before) is a full row identity: no two
         # frontier rows can share all four. Same single shuffle as before —
-        # the join key still hashes on url_hash first.
-        row_key = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+        # the join key still hashes on url_hash first. FRONTIER_ROW_KEY is
+        # shared with the store's equality-delete key by construction.
         not_selected = scored.join(
-            selected.select(*row_key), row_key, "left_anti"
+            selected.select(*FRONTIER_ROW_KEY), FRONTIER_ROW_KEY, "left_anti"
         ).select(*[f.name for f in frontier.schema.fields])
 
         # paced fetch with stateful per-chain stop detection
@@ -823,8 +838,15 @@ class CrawlEngine:
         # (latest-wins MERGE), both native row-level ops on real Iceberg.
         # On the shard-rebuild cadence every table compacts to a full
         # snapshot, bounding chain length to REBUILD_EVERY files per table
-        # (rewrite_data_files analogue).
-        compaction = round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+        # (rewrite_data_files analogue). The chain-length trigger is the
+        # backstop: enqueue_seeds and drain rounds consume round numbers
+        # without compacting, so the modulo slot alone could be skipped
+        # for a full cadence — the bound must hold on the CHAIN, not the
+        # round number.
+        compaction = (
+            round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
+            or self.store.chain_length("frontier") >= self.REBUILD_EVERY
+        )
         full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
         if compaction:

@@ -37,14 +37,17 @@ def test_append_only_tables_commit_deltas(engine):
     active = [r for r in _rounds(engine)
               if r["round"] >= 0 and "n_fetched" in r["metrics"]]
     assert active, "fixture must have active rounds"
+    # compaction is triggered by the modulo cadence OR the chain-length
+    # backstop (drain/enqueue rounds consume round numbers without
+    # compacting) — classify by what the round actually committed
     non_compaction = [r for r in active
-                      if r["round"] % engine.REBUILD_EVERY != engine.REBUILD_EVERY - 1]
+                      if r["tables"]["frontier"]["mode"] == "delta"]
     assert non_compaction
     first_dels = min(
         r["round"] for r in active if "frontier_dels" in r["tables"]
     )
     for r in non_compaction:
-        assert r["tables"]["frontier"]["mode"] == "delta", r["round"]
+        # a delta round is all-delta: no table pays a full rewrite
         # the very first dels commit on a store may be the chain's full base
         if r["round"] > first_dels:
             assert r["tables"]["frontier_dels"]["mode"] == "delta", r["round"]
@@ -77,10 +80,14 @@ def test_delta_rows_equal_round_increment(engine):
 
 
 def test_compaction_round_writes_full(engine):
-    comp = [r for r in _rounds(engine)
-            if r["round"] >= 0 and "n_fetched" in r["metrics"]
-            and r["round"] % engine.REBUILD_EVERY == engine.REBUILD_EVERY - 1]
+    active = [r for r in _rounds(engine)
+              if r["round"] >= 0 and "n_fetched" in r["metrics"]]
+    comp = [r for r in active if r["tables"]["frontier"]["mode"] == "full"]
     assert comp, "fixture must hit a compaction round"
+    # every active round landing on the modulo slot compacts...
+    for r in active:
+        if r["round"] % engine.REBUILD_EVERY == engine.REBUILD_EVERY - 1:
+            assert r in comp, r["round"]
     for r in comp:
         for t in APPEND_ONLY + ("frontier", "frontier_dels"):
             assert r["tables"][t]["mode"] == "full", (t, r["round"])
@@ -88,12 +95,27 @@ def test_compaction_round_writes_full(engine):
         assert r["tables"]["frontier_dels"]["rows"] == 0
 
 
+def test_chain_length_bounded_every_round(engine):
+    """The load-bearing bound: at no point in history did ANY table's live
+    chain exceed REBUILD_EVERY entries — including across drain rounds that
+    consume the modulo slot without committing tables (the chain-length
+    backstop covers those)."""
+    rounds = _rounds(engine)
+    for upto in range(len(rounds)):
+        prefix = rounds[: upto + 1]
+        for t in APPEND_ONLY + ("frontier", "frontier_dels"):
+            chain = engine.store._live_chain(prefix, t)
+            assert len(chain) <= engine.REBUILD_EVERY + 1, (
+                t, prefix[-1]["round"], len(chain)
+            )
+
+
 def test_resolved_frontier_excludes_deleted_rows(engine, spark):
     """The merge-on-read read path: resolved frontier == adds minus delete
     keys, and every fetched URL's consumed row is invisible (a fetched URL
     can re-enter only as a NEW row — retry or TTL re-discovery)."""
     resolved = engine._read_frontier(spark)
-    adds = engine.store.read(spark, "frontier")
+    adds = engine.store.read(spark, "frontier", resolve=False)
     dels = engine.store.read(spark, "frontier_dels")
     assert resolved.count() == adds.count() - dels.count()
     joined = resolved.join(
@@ -102,13 +124,19 @@ def test_resolved_frontier_excludes_deleted_rows(engine, spark):
     assert joined.count() == 0
 
 
-def test_resolved_frontier_plans_broadcast_anti_join(engine, spark):
+def test_resolved_frontier_plans_broadcast_anti_join(small_engine, spark):
     """The merge-on-read resolution must cost ZERO exchange on the adds
     side: the delete-key set is budget-bounded (<= REBUILD_EVERY rounds of
     selected+excluded rows), so the anti-join plans as a broadcast hash
-    join with the dels side built — at 10^10 frontier rows the resolution
-    stays a map-side filter over the adds scan."""
-    plan = engine._read_frontier(spark)._jdf.queryExecution().executedPlan().toString()
+    join with the dels side built — EXPLICITLY hinted, because at 10^10
+    frontier rows dels stats can exceed autoBroadcastJoinThreshold and a
+    stats-driven planner would shuffle the entire adds chain. (Uses the
+    mid-chain fixture: a compacted store has no dels and skips the join.)"""
+    assert small_engine.store.read(spark, "frontier_dels").count() > 0
+    plan = (
+        small_engine._read_frontier(spark)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
         plan[:1500]
@@ -176,3 +204,86 @@ def test_reporting_guard_refuses_in_round(engine):
             engine.seen_set()
     finally:
         engine._in_round = False
+
+
+@pytest.fixture()
+def small_engine(spark, tmp_path):
+    """Function-scoped engine mid-chain (no compaction yet): dels non-empty."""
+    eng = CrawlEngine(
+        spark, str(tmp_path / "mor"), build_corpus(SPEC),
+        robots_map(SPEC), per_host_budget=3,
+    )
+    eng.REBUILD_EVERY = 16  # keep the whole run on the delta chain
+    eng.run(seeds=seed_urls(SPEC), max_rounds=3)
+    return eng
+
+
+def test_store_read_resolves_for_every_reader(small_engine, spark):
+    """Resolution lives in SnapshotStore.read, not the engine: a plain
+    store.read('frontier') — what tests, reporting, and external consumers
+    call — must already exclude consumed rows (Iceberg applies delete files
+    inside the table scan)."""
+    store = small_engine.store
+    dels = store.read(spark, "frontier_dels")
+    assert dels.count() > 0, "fixture must have outstanding delete keys"
+    resolved = store.read(spark, "frontier")
+    key = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+    assert resolved.join(dels, key, "inner").count() == 0
+    raw = store.read(spark, "frontier", resolve=False)
+    assert raw.count() == resolved.count() + dels.count()
+
+
+def test_read_at_resolves_historical_rounds(small_engine, spark):
+    """Time travel applies the delete keys AS OF the requested round."""
+    store = small_engine.store
+    key = ["url_hash", "attempt", "scheduled_ms", "not_before"]
+    for r in (1, 2):
+        dels = store.read_at(spark, "frontier_dels", r, resolve=False)
+        frontier = store.read_at(spark, "frontier", r)
+        if dels is None:
+            continue
+        assert frontier.join(dels, key, "inner").count() == 0
+
+
+def test_full_snapshot_commit_resets_delete_keys(small_engine, spark):
+    """Iceberg rewrite_data_files drops applied delete files: a FULL
+    frontier commit without an explicit dels table must reset the dels
+    chain in the same commit — otherwise stale delete keys would delete
+    rows of the NEW snapshot (or, worse, rewritten rows whose keys no
+    longer match their delete keys would be resurrected)."""
+    store = small_engine.store
+    assert store.read(spark, "frontier_dels").count() > 0
+    live = store.read(spark, "frontier")
+    live_rows = live.collect()
+    frontier = spark.createDataFrame(live_rows, live.schema)
+    r = store.latest_round() + 1
+    store.commit_round(r, {"frontier": frontier}, metrics={"phase": "rewrite"})
+    entry = store.manifest()["rounds"][-1]
+    assert entry["tables"]["frontier_dels"]["mode"] == "full"
+    assert entry["tables"]["frontier_dels"]["rows"] == 0
+    after = store.read(spark, "frontier")
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, live_rows))
+
+
+def test_enqueue_only_workload_bounds_chain(spark, tmp_path):
+    """N enqueue_seeds calls between crawls (the streaming entry point)
+    must not grow the frontier delta chain without bound: the chain-length
+    backstop compacts on the same cadence _run_round uses."""
+    eng = CrawlEngine(
+        spark, str(tmp_path / "enq"), build_corpus(SPEC),
+        robots_map(SPEC), per_host_budget=3,
+    )
+    eng.REBUILD_EVERY = 4
+    eng.run(seeds=seed_urls(SPEC), max_rounds=2)
+    n_urls = 0
+    for i in range(10):
+        eng.add_seeds([f"https://bulk-{i}.example.id/putusan/x{j}"
+                       for j in range(3)])
+        n_urls += 3
+        assert eng.store.chain_length("frontier") <= eng.REBUILD_EVERY, (
+            f"chain unbounded after enqueue {i}"
+        )
+    # compaction must not have lost any enqueued row
+    resolved = eng._read_frontier(spark)
+    got = resolved.filter(resolved.host.startswith("bulk-")).count()
+    assert got == n_urls

@@ -213,9 +213,19 @@ class TestSchemaEvolution:
 
         resumed = CrawlEngine(spark, root, corpus, robots, per_host_budget=BUDGET)
         resumed.run(max_rounds=3)  # must not raise column-resolution errors
-        # the raw adds chain mixes schemas (old files read depth as NULL via
-        # mergeSchema); the ENGINE read boundary coalesces them to the
-        # default — that resolved view is what every round consumes
+        # the engine read boundary coalesces mixed-schema chains to the
+        # default depth — that resolved view is what every round consumes
         final = resumed._read_frontier(spark)
         assert "depth" in final.columns
         assert final.filter(F.col("depth").isNull()).count() == 0
+        # and the gate must have TEETH against a mergeSchema regression:
+        # the RAW chain (old depth-less base + post-upgrade delta files)
+        # must still surface the persisted non-zero hop counts — if the
+        # reader dropped the column (picking one file's schema), every row
+        # would coalesce to depth 0 and the horizon logic would break while
+        # the resolved-view assertions above stayed green by construction
+        raw = resumed.store.read(spark, "frontier", resolve=False)
+        assert "depth" in raw.columns
+        assert raw.filter(F.col("depth") > 0).count() > 0, (
+            "post-upgrade delta files must carry real persisted hop counts"
+        )
