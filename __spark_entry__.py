@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # red in r02 (oracle typing, fixed) — must re-prove
     "scrape_batch",
+    # new in r03 (no driver signal yet)
+    "metrics_export",
     # r02 driver budget never reached these (new oracles with no hard signal)
     "content_normalize",
     "multimodal_resize",

@@ -297,7 +297,133 @@ FROM versioned GROUP BY website_id
 """
 
 
+def q_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus scrape re-expressed set-oriented (the last §2.9 scope cut
+    made Spark-native, like live log tailing did for WebSocket streaming):
+    the reference registers counter/gauge families over crawl tasks, queues,
+    and the DLQ (crawler/core/metrics.py:15-29,99-117) and a background task
+    refreshes the DLQ gauges from the database
+    (crawler/services/dlq_metrics_updater.py:19-60) — here every family is
+    derived from the snapshot tables in ONE query whose output is scrape-
+    shaped: (metric, labels, value).
+
+    Scale shape: one fine-grained pre-aggregation (a single map-side-
+    combinable shuffle over the fact scan) produces a label-cardinality cube
+    (<= |task_type| x |status| x |category| x |queue| x 2 rows); each cube
+    row then EXPLODES into its per-family (metric, labels) contributions and
+    a second, label-cardinality-sized aggregation folds them — the fact
+    table is scanned exactly once. (A union-of-rollups formulation re-scans
+    per family: Catalyst pushes the per-family grouping-key filters through
+    the shared aggregate, so the subplans stop being identical and
+    ReuseExchange can't dedup them.)"""
+    ev = _events(spark, sf_dir)
+    ref_now = F.lit("2024-02-01 00:00:00").cast("timestamp").cast("long")
+    facts = ev.select(
+        _pick(["crawl", "scrape", "api", "http", "browser"],
+              F.col("event_id") % 5 + 1).alias("task_type"),
+        F.when(F.col("event_id") % 10 < 7, F.lit("completed"))
+        .otherwise(F.lit("failed")).alias("status"),
+        _pick(_CATEGORIES, F.col("event_id") % 6 + 1).alias("error_category"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("crawl_jobs"))
+        .otherwise(F.lit("scrape_jobs")).alias("queue_name"),
+        (F.col("event_id") % 7 == 0).alias("resolved"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    cube = facts.groupBy(
+        "task_type", "status", "error_category", "queue_name", "resolved"
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.col("ts").cast("long")).alias("min_ts"),
+    )
+
+    def lab(*parts) -> F.Column:
+        return F.concat_ws(",", *[
+            F.concat(F.lit(f"{c}="), F.col(c)) for c in parts
+        ]) if parts else F.lit("")
+
+    def fam(metric: str, labels: F.Column, when=None) -> F.Column:
+        s = F.struct(F.lit(metric).alias("metric"), labels.alias("labels"))
+        return s if when is None else F.when(when, s)
+
+    # DLQ base: a failed task lands in the DLQ; resolved entries are
+    # excluded, matching dlq_metrics_updater's unresolved-only refresh
+    failed = F.col("status") == "failed"
+    in_dlq = failed & ~F.col("resolved")
+    exploded = cube.select(
+        "n", "min_ts",
+        F.explode(F.array_compact(F.array(
+            fam("crawl_tasks_total", lab("task_type")),
+            fam("crawl_tasks_completed_total", lab("task_type", "status")),
+            fam("crawl_tasks_failed_total",
+                lab("task_type", "error_category"), failed),
+            fam("queue_messages_processed_total", lab("queue_name")),
+            fam("dlq_entries_unresolved", lab(), in_dlq),
+            fam("dlq_entries_by_category", lab("error_category"), in_dlq),
+            fam("dlq_oldest_unresolved_age_seconds", lab(), in_dlq),
+        ))).alias("f"),
+    )
+    return (
+        exploded.groupBy("f.metric", "f.labels")
+        .agg(F.sum("n").alias("sum_n"), F.min("min_ts").alias("m"))
+        .select(
+            "metric", "labels",
+            F.when(
+                F.col("metric") == "dlq_oldest_unresolved_age_seconds",
+                ref_now - F.col("m"),
+            ).otherwise(F.col("sum_n")).cast("long").alias("value"),
+        )
+    )
+
+
+O_METRICS_EXPORT = """
+WITH facts AS (
+  SELECT (['crawl','scrape','api','http','browser'])
+           [CAST(event_id % 5 AS INT) + 1] AS task_type,
+         CASE WHEN event_id % 10 < 7 THEN 'completed' ELSE 'failed' END
+           AS status,
+         (['network_error','timeout','server_error','rate_limit',
+           'parse_error','auth_error'])
+           [CAST(event_id % 6 AS INT) + 1] AS error_category,
+         CASE WHEN event_id % 2 = 0 THEN 'crawl_jobs' ELSE 'scrape_jobs' END
+           AS queue_name,
+         event_id % 7 = 0 AS resolved,
+         ts
+  FROM events
+)
+SELECT 'crawl_tasks_total' AS metric, 'task_type=' || task_type AS labels,
+       CAST(count(*) AS BIGINT) AS value
+FROM facts GROUP BY 2
+UNION ALL
+SELECT 'crawl_tasks_completed_total',
+       'task_type=' || task_type || ',status=' || status,
+       CAST(count(*) AS BIGINT)
+FROM facts GROUP BY 2
+UNION ALL
+SELECT 'crawl_tasks_failed_total',
+       'task_type=' || task_type || ',error_category=' || error_category,
+       CAST(count(*) AS BIGINT)
+FROM facts WHERE status = 'failed' GROUP BY 2
+UNION ALL
+SELECT 'queue_messages_processed_total', 'queue_name=' || queue_name,
+       CAST(count(*) AS BIGINT)
+FROM facts GROUP BY 2
+UNION ALL
+SELECT 'dlq_entries_unresolved', '', CAST(count(*) AS BIGINT)
+FROM facts WHERE status = 'failed' AND NOT resolved
+UNION ALL
+SELECT 'dlq_entries_by_category', 'error_category=' || error_category,
+       CAST(count(*) AS BIGINT)
+FROM facts WHERE status = 'failed' AND NOT resolved GROUP BY 2
+UNION ALL
+SELECT 'dlq_oldest_unresolved_age_seconds', '',
+       CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT)
+FROM facts WHERE status = 'failed' AND NOT resolved
+"""
+
+
 QUERIES = {
+    "metrics_export": q_metrics_export,
     "website_statistics": q_website_statistics,
     "log_level_stats": q_log_level_stats,
     "dlq_stats_category": q_dlq_stats_category,
@@ -305,6 +431,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "metrics_export": O_METRICS_EXPORT,
     "website_statistics": O_WEBSITE_STATISTICS,
     "log_level_stats": O_LOG_LEVEL_STATS,
     "dlq_stats_category": O_DLQ_STATS_CATEGORY,

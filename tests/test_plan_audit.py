@@ -237,3 +237,18 @@ def test_admin_stats_plan_shapes(spark):
     hist = qa.q_config_history_versions(spark, SF)
     s = hist._jdf.queryExecution().executedPlan().toString()
     assert s.lower().count("hashpartitioning(website_id") <= 1, s
+
+
+def test_metrics_export_single_fact_scan(spark):
+    """The Prometheus-scrape query derives SEVEN metric families but must
+    scan the fact table exactly once (pre-aggregate -> explode -> fold);
+    a union-of-rollups regression re-scans per family, which at 100 TB is
+    seven full passes over fetch_log instead of one."""
+    from crawler_spark import queries_admin as qa
+
+    df = qa.q_metrics_export(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Scan parquet") == 1, s[:1500]
+    # one spread + cube shuffle + label-cardinality fold
+    assert count_shuffles(df) <= 3
+    assert "CartesianProduct" not in s
