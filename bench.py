@@ -65,6 +65,7 @@ HEADLINE = [
     "depth_priority_frontier",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "metrics_export",
 ]
 
 
