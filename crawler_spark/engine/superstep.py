@@ -67,6 +67,14 @@ FRONTIER_SCHEMA = (
     " priority int, scheduled_ms long, attempt int, not_before long, depth int"
 )
 
+# fetch_log column contract — shared with the streaming tail
+# (streaming/crawl_stream.py reads _logfeed files with THIS schema; a
+# drifted copy there would read renamed columns as silent nulls)
+FETCH_LOG_SCHEMA = (
+    "url_hash string, url_norm string, host string, status_code int,"
+    " fetched_round int, fetch_order int"
+)
+
 # FRONTIER_ROW_KEY (full row identity: scheduled_ms is the enqueue-round
 # marker and attempt increments per retry lineage, so no two live-or-ever-
 # deleted frontier rows can collide on all four) lives in snapshots.py —
@@ -418,10 +426,7 @@ class CrawlEngine:
         # EVERY fetch attempt, success or not. The pages table is latest-wins
         # merged (Q1), so re-crawls replace rows there — the order invariant
         # lives here.
-        return self.spark.createDataFrame(
-            [], "url_hash string, url_norm string, host string,"
-            " status_code int, fetched_round int, fetch_order int"
-        )
+        return self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
 
     def _empty_retry_history(self) -> DataFrame:
         # R5 per-attempt audit (retry_history, current_schema.sql:523-534 +

@@ -102,21 +102,38 @@ _EXACT_CACHE: dict[str, object] = {}
 _EXACT_CACHE_MAX_BYTES = 512 * 1024 * 1024
 
 
+def _file_sig(path: str):
+    """(mtime_ns, size) identity of a blob file, None if absent. Cache
+    entries carry this so a REUSED path (store root wiped and re-crawled at
+    the same location within one executor lifetime — blob paths are only
+    unique per store lifetime) reloads instead of serving the old store's
+    membership. One os.stat per lookup, amortized over the task batch."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def _load_exact(path: str):
-    if path not in _EXACT_CACHE:
-        total = sum(
-            v[0].nbytes + v[1].nbytes
-            for v in _EXACT_CACHE.values()
-            if v is not None
-        )
-        if total > _EXACT_CACHE_MAX_BYTES:
-            _EXACT_CACHE.clear()
-        if not os.path.exists(path):
-            _EXACT_CACHE[path] = None
-        else:
-            with open(path, "rb") as fh:
-                _EXACT_CACHE[path] = _exact_from_bytes(fh.read())
-    return _EXACT_CACHE[path]
+    sig = _file_sig(path)
+    hit = _EXACT_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    total = sum(
+        v[1][0].nbytes + v[1][1].nbytes
+        for v in _EXACT_CACHE.values()
+        if v[1] is not None
+    )
+    if total > _EXACT_CACHE_MAX_BYTES:
+        _EXACT_CACHE.clear()
+    if sig is None:
+        val = None
+    else:
+        with open(path, "rb") as fh:
+            val = _exact_from_bytes(fh.read())
+    _EXACT_CACHE[path] = (sig, val)
+    return val
 
 
 def _pairs_contains(k1_sorted, k2_sorted, q1, q2):
@@ -169,7 +186,17 @@ def build_seen_shards(
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf["filter_key"].to_numpy(dtype="int64").astype("uint64")
+        import numpy as np
+
+        # membership is a SET: dedup before insert. The input is legally a
+        # multiset (e.g. a TTL-mode seen table straddling cohorts), but
+        # duplicate fingerprints all hash to the same two cuckoo buckets —
+        # >= 2*slots+stash copies of one key can never fully insert at ANY
+        # capacity, so without the dedup the doubling loop below would
+        # never terminate.
+        keys = np.unique(
+            pdf["filter_key"].to_numpy(dtype="int64").astype("uint64")
+        )
         bloom = BloomFilter.for_capacity(max(len(keys), 1024), bits_per_key)
         bloom.add_many(keys)
         cuckoo_blob = None
@@ -249,26 +276,32 @@ def probe_seen(
 # variants above remain for small dims / tests.)
 # ------------------------------------------------------------------------
 
-# executor-process blob cache: {path: filter}; blob paths are per-snapshot
-# (a new round writes a new dir) so staleness is impossible by construction
+# executor-process blob cache: {path: (file_sig, filter)}; blob paths are
+# per-snapshot (a new round writes a new dir), and the file signature in
+# the key guards the one case where a path DOES recur — a store root wiped
+# and re-crawled at the same location inside one executor lifetime
 _FILTER_CACHE: dict[str, object] = {}
 
 
 def _load_filter(path: str):
-    if path not in _FILTER_CACHE:
-        if len(_FILTER_CACHE) > 64:  # bound executor memory across rounds
-            _FILTER_CACHE.clear()
-        if not os.path.exists(path):
-            _FILTER_CACHE[path] = None
-        else:
-            with open(path, "rb") as fh:
-                blob = fh.read()
-            _FILTER_CACHE[path] = (
-                BloomFilter.from_bytes(blob)
-                if blob[:4] == BloomFilter.MAGIC
-                else CuckooFilter.from_bytes(blob)
-            )
-    return _FILTER_CACHE[path]
+    sig = _file_sig(path)
+    hit = _FILTER_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    if len(_FILTER_CACHE) > 64:  # bound executor memory across rounds
+        _FILTER_CACHE.clear()
+    if sig is None:
+        val = None
+    else:
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        val = (
+            BloomFilter.from_bytes(blob)
+            if blob[:4] == BloomFilter.MAGIC
+            else CuckooFilter.from_bytes(blob)
+        )
+    _FILTER_CACHE[path] = (sig, val)
+    return val
 
 
 def probe_seen_files(
@@ -470,6 +503,19 @@ def update_seen_shards(
             if with_cuckoo and os.path.exists(c):
                 with open(c, "rb") as fh:
                     cuckoo = CuckooFilter.from_bytes(fh.read())
+            elif with_cuckoo and os.path.exists(b):
+                # bloom blobs exist but the cuckoo layer doesn't: the store
+                # was maintained with with_cuckoo=False. Starting from an
+                # EMPTY cuckoo here would commit a delta-only filter as
+                # authoritative — the next TTL-mode probe (layer='cuckoo')
+                # would see every historical URL as definitely-unseen and
+                # re-crawl the corpus. Same contract as the missing-exact
+                # guard above: fail loudly, demand a full rebuild.
+                raise RuntimeError(
+                    f"cuckoo-{shard} missing in {blob_dir} while bloom "
+                    "blobs exist — store was built without the cuckoo "
+                    "layer; run a full rebuild (blob_dir=None) first"
+                )
         if bloom is None:
             bloom = BloomFilter.for_capacity(
                 max(4 * len(add_keys), 4096), bits_per_key
@@ -551,11 +597,27 @@ def seen_filter_pipeline_files(
     if blob_dir is None:  # no filters built yet -> plain exact anti-join
         return candidates.join(build, hash_col, "left_anti")
     probed = probe_seen_files(candidates, blob_dir, host_col, hash_col, n_shards, layer)
-    definitely_new = probed.filter(~F.col("maybe_seen"))
-    survivors = probed.filter(F.col("maybe_seen"))
-    verified_new = survivors.join(build, hash_col, "left_anti")
-    return definitely_new.unionByName(verified_new).drop(
+    return _split_free_antijoin(probed, build, hash_col).drop(
         "maybe_seen", "shard", "filter_key"
+    )
+
+
+def _split_free_antijoin(
+    probed: DataFrame, build: DataFrame, hash_col: str
+) -> DataFrame:
+    """Anti-join whose condition includes maybe_seen: definitely-new rows
+    (which CANNOT be in seen — the filter has no false negatives) survive
+    the join vacuously instead of via a separate union branch. The naive
+    filter-split-union re-executes the whole probe stage once per branch
+    (two filters over one mapInPandas subtree: Spark reuses the exchange
+    but runs the UDF twice); this shape probes exactly once. The trade is
+    explicit: definitely-new rows now ride the join's candidate-side
+    shuffle, which is second-order next to the corpus-side shuffle this
+    non-exact path pays anyway (the exact_files path avoids both)."""
+    return probed.join(
+        build.withColumnRenamed(hash_col, "__seen_hash"),
+        (F.col(hash_col) == F.col("__seen_hash")) & F.col("maybe_seen"),
+        "left_anti",
     )
 
 
@@ -567,15 +629,10 @@ def seen_filter_pipeline(
     hash_col: str = "url_hash",
     n_shards: int = 64,
 ) -> DataFrame:
-    """The full two-layer path: bloom prefilter -> exact anti-join for
-    survivors only -> union of definite-unseen + verified-unseen. At 100 TB
-    the anti-join's build side shrinks from |candidates| to |true dups + FPs|."""
+    """The full two-layer path: bloom prefilter -> exact anti-join gated on
+    maybe_seen (single probe pass). At 100 TB the join's effective probe-key
+    population shrinks from |candidates| to |true dups + FPs|."""
     probed = probe_seen(candidates, blobs, host_col, hash_col, n_shards)
-    definitely_new = probed.filter(~F.col("maybe_seen"))
-    survivors = probed.filter(F.col("maybe_seen"))
-    verified_new = survivors.join(
-        seen.select(hash_col).distinct(), hash_col, "left_anti"
-    )
-    return definitely_new.unionByName(verified_new).drop(
-        "maybe_seen", "shard", "filter_key"
-    )
+    return _split_free_antijoin(
+        probed, seen.select(hash_col).distinct(), hash_col
+    ).drop("maybe_seen", "shard", "filter_key")

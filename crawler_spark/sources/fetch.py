@@ -26,9 +26,15 @@ _TYPE = {"int": T.IntegerType(), "long": T.LongType(), "string": T.StringType(),
 
 
 def _extend_schema(df: DataFrame, fields: list[tuple[str, str]]) -> T.StructType:
-    """Copy (not mutate!) the DataFrame schema and append fields."""
+    """Copy (not mutate!) the DataFrame schema and append fields. Fields the
+    input already carries are skipped — fetch_against_corpus composes over
+    paced_fetch_schedule output (which already has fetch_at_ms), and a
+    duplicate field in the result StructType would fail the Arrow batch
+    conversion at runtime; the UDF overwrites such columns in place."""
+    have = {f.name for f in df.schema.fields}
     return T.StructType(
-        list(df.schema.fields) + [T.StructField(n, _TYPE[t]) for n, t in fields]
+        list(df.schema.fields)
+        + [T.StructField(n, _TYPE[t]) for n, t in fields if n not in have]
     )
 
 
@@ -57,6 +63,13 @@ def paced_fetch_schedule(df: DataFrame, group_cols: list[str] | None = None) -> 
 
     def _pace(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("fetch_order").reset_index(drop=True)
+        if len(pdf) > 0:
+            raw = pdf["rps"].iloc[0]
+            if pd.isna(raw) or float(raw) <= 0.0:
+                # paused/blocked host (null or non-positive budget): schedule
+                # NOTHING this round — the bucket simulation would otherwise
+                # divide by zero the moment demand exceeds burst
+                pdf = pdf.iloc[0:0]
         if len(pdf) == 0:
             pdf["fetch_at_ms"] = pd.Series([], dtype="int64")
             return pdf
@@ -98,6 +111,11 @@ def fetch_against_corpus(
 
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("fetch_order").reset_index(drop=True)
+        if len(pdf) > 0:
+            raw = pdf["rps"].iloc[0]
+            if pd.isna(raw) or float(raw) <= 0.0:
+                # paused host: fetch nothing (same contract as _pace)
+                pdf = pdf.iloc[0:0]
         n = len(pdf)
         if n == 0:
             for col in ("status_code", "fetch_at_ms"):

@@ -30,14 +30,9 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from crawler_spark.engine.superstep import CrawlEngine
+from crawler_spark.engine.superstep import FETCH_LOG_SCHEMA, CrawlEngine
 
 SEED_SCHEMA = "url string"
-
-FETCH_LOG_SCHEMA = (
-    "url_hash string, url_norm string, host string, status_code int,"
-    " fetched_round int, fetch_order int"
-)
 
 
 def tail_fetch_log(spark: SparkSession, store_root: str):

@@ -358,3 +358,159 @@ def test_pairs_contains_unit():
     empty = np.empty(0, dtype="uint64")
     assert _pairs_contains(empty, empty, q1, q2).tolist() == [False] * 7
     assert _pairs_contains(k1, k2, empty, empty).tolist() == []
+
+
+class TestReviewRegressions:
+    """Round-3 review pass over the seen-set/fetch surface."""
+
+    def test_build_terminates_on_duplicate_multiset_input(self, spark):
+        """>= 2*slots+stash copies of one key saturate the same two cuckoo
+        buckets at ANY capacity — without the set-dedup before insert the
+        capacity-doubling loop never terminates. The public contract is
+        multiset input (a TTL-mode seen table straddles cohorts)."""
+        from crawler_spark.operators.seenset import (
+            build_seen_shards,
+            collect_shard_blobs,
+            probe_seen,
+        )
+
+        rows = [("dup.go.id", "ab" * 32)] * 12 + [
+            ("h.go.id", f"{i:064x}") for i in range(50)
+        ]
+        seen = spark.createDataFrame(rows, "host string, url_hash string")
+        shards = build_seen_shards(seen, n_shards=4, with_cuckoo=True)
+        blobs = collect_shard_blobs(shards, "cuckoo")
+        probed = probe_seen(seen.distinct(), blobs, n_shards=4)
+        assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    def test_incremental_refuses_missing_cuckoo_layer(self, spark, tmp_path):
+        """A store maintained with_cuckoo=False must not silently bootstrap
+        a delta-only cuckoo filter when later updated with_cuckoo=True —
+        that would mark the whole historical corpus definitely-unseen on
+        the next TTL-mode probe. Mirror of the missing-exact guard."""
+        from crawler_spark.operators.seenset import update_seen_shards
+
+        base = spark.createDataFrame(
+            [(f"h{i % 3}.go.id", f"{i:064x}") for i in range(200)],
+            "host string, url_hash string",
+        )
+        d0 = str(tmp_path / "r0")
+        update_seen_shards(
+            base, blob_dir=None, n_shards=4, out_dir=d0, with_cuckoo=False
+        ).collect()
+        delta = spark.createDataFrame(
+            [("h9.go.id", "ff" * 32)], "host string, url_hash string"
+        )
+        with pytest.raises(Exception, match="cuckoo-.*missing"):
+            update_seen_shards(
+                delta, blob_dir=d0, n_shards=4,
+                out_dir=str(tmp_path / "r1"), with_cuckoo=True,
+            ).collect()
+
+    def test_blob_cache_detects_rewritten_store(self, spark, tmp_path):
+        """Blob paths are only unique per store LIFETIME: wiping the store
+        root and re-crawling at the same path within one Spark application
+        must not serve the old crawl's membership from the executor cache
+        (the cache key carries the file signature)."""
+        import shutil
+
+        from crawler_spark.operators.seenset import (
+            probe_seen_files,
+            update_seen_shards,
+        )
+
+        root = tmp_path / "store"
+        blob_dir = str(root / "snap-0")
+        old = spark.createDataFrame(
+            [(f"old{i}.go.id", f"{i:064x}") for i in range(100)],
+            "host string, url_hash string",
+        )
+        update_seen_shards(
+            old, blob_dir=None, n_shards=2, out_dir=blob_dir,
+            with_cuckoo=False, with_exact=True,
+        ).collect()
+        cands = old.limit(20)
+        first = probe_seen_files(
+            cands, blob_dir, n_shards=2, exact=True
+        ).filter(F.col("maybe_seen")).count()
+        assert first == 20
+        # wipe and rebuild the SAME path from a disjoint crawl
+        shutil.rmtree(root)
+        new = spark.createDataFrame(
+            [(f"new{i}.go.id", f"{7000 + i:064x}") for i in range(100)],
+            "host string, url_hash string",
+        )
+        update_seen_shards(
+            new, blob_dir=None, n_shards=2, out_dir=blob_dir,
+            with_cuckoo=False, with_exact=True,
+        ).collect()
+        again = probe_seen_files(
+            cands, blob_dir, n_shards=2, exact=True
+        ).filter(F.col("maybe_seen")).count()
+        assert again == 0, "stale executor cache served the old store"
+
+    def test_nonexact_pipeline_probes_once(self, spark, tmp_path, frontier):
+        """The non-exact pipeline must embed exactly ONE probe stage in the
+        plan: the old filter-split-union shape ran the probe UDF once per
+        union branch (only the exchange was reused)."""
+        from crawler_spark.operators.seenset import (
+            seen_filter_pipeline_files,
+            update_seen_shards,
+        )
+
+        seen = frontier.filter(F.col("ord") % 3 == 0).select("host", "url_hash")
+        d = str(tmp_path / "blobs")
+        update_seen_shards(
+            seen, blob_dir=None, n_shards=8, out_dir=d, with_cuckoo=False
+        ).collect()
+        out = seen_filter_pipeline_files(
+            frontier, seen, d, n_shards=8, seen_unique=True
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_probe = plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+        assert n_probe == 1, plan[:2000]
+        expect = frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
+        assert sorted(r.url_hash for r in out.collect()) == sorted(
+            r.url_hash for r in expect.collect()
+        )
+
+    def test_zero_rps_host_schedules_nothing(self, spark):
+        """rps<=0 / null encodes a paused host: the scheduler emits no rows
+        for it (previously ZeroDivisionError inside the task once demand
+        exceeded burst) and other hosts are unaffected."""
+        from crawler_spark.sources.fetch import paced_fetch_schedule
+
+        rows = [("paused.go.id", i + 1, 0.0, 1.0) for i in range(5)] + [
+            ("live.go.id", i + 1, 2.0, 3.0) for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "host string, fetch_order int, rps double, burst double"
+        )
+        out = paced_fetch_schedule(df).collect()
+        hosts = {r.host for r in out}
+        assert hosts == {"live.go.id"}
+        assert len(out) == 5
+
+    def test_fetch_composes_over_schedule_output(self, spark):
+        """fetch_against_corpus(paced_fetch_schedule(df)) — the documented
+        composition — must not produce a duplicate fetch_at_ms field in the
+        output schema."""
+        from crawler_spark.sources.fetch import (
+            fetch_against_corpus,
+            paced_fetch_schedule,
+        )
+
+        rows = [
+            ("https://a.go.id/p1", "a.go.id", "s1", 1, 2.0, 3.0),
+            ("https://a.go.id/p2", "a.go.id", "s1", 2, 2.0, 3.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url_norm string, host string, seed_id string, fetch_order int,"
+            " rps double, burst double",
+        )
+        paced = paced_fetch_schedule(df)
+        out = fetch_against_corpus(paced, {"https://a.go.id/p1": (200, "<html/>", None)})
+        assert out.columns.count("fetch_at_ms") == 1
+        got = out.collect()
+        assert len(got) == 2
