@@ -290,6 +290,7 @@ class SnapshotStore:
         metrics: dict[str, Any] | None = None,
         blobs: dict[str, bytes] | None = None,
         blob_dir: str | None = None,
+        blob_chain: list[str] | None = None,
         delta_tables: dict[str, DataFrame] | None = None,
         row_hints: dict[str, int] | None = None,
     ) -> dict[str, Any]:
@@ -370,6 +371,12 @@ class SnapshotStore:
         elif blob_dir is not None:
             # blobs already written task-side (update_seen_shards out_dir)
             entry["blob_dir"] = blob_dir
+        if blob_chain is not None:
+            # merge-on-read filter store: this round's live chain (full base
+            # first, then per-round delta dirs, newest last). blob_dir above
+            # still records the dir THIS round wrote; readers resolve the
+            # chain, not the single dir.
+            entry["blob_chain"] = list(blob_chain)
         man = self.manifest()
         man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
         man["rounds"].append(entry)
@@ -463,15 +470,29 @@ class SnapshotStore:
             oldest_kept["base_paths"] = folded
             oldest_kept["base_rows"] = folded_rows
 
-        live_blob_dirs = {r["blob_dir"] for r in kept if r.get("blob_dir")}
-        # keep the newest blob dir even if it predates the kept window, AND
-        # fold its manifest reference into the oldest kept entry (mirror of
-        # the table fold above) — keeping only the files while dropping the
-        # reference would make latest_blob_dir() return None, and the next
-        # round's incremental shard update would then commit filters built
-        # from that round's fresh keys alone (seen-set invariant broken)
+        # a chain-committed round keeps its WHOLE chain alive: delta dirs
+        # were written by earlier (possibly dropped) rounds, but the kept
+        # round's membership reads through all of them
+        live_blob_dirs: set[str] = set()
+        for r in kept:
+            live_blob_dirs.update(r.get("blob_chain") or [])
+            if r.get("blob_dir"):
+                live_blob_dirs.add(r["blob_dir"])
+        # keep the newest blob dir/chain even if it predates the kept
+        # window, AND fold its manifest reference into the oldest kept entry
+        # (mirror of the table fold above) — keeping only the files while
+        # dropping the reference would make latest_blob_dir()/
+        # latest_blob_chain() return None, and the next round's incremental
+        # shard update would then commit filters built from that round's
+        # fresh keys alone (seen-set invariant broken)
         if not live_blob_dirs:
             for r in reversed(rounds):
+                chain = r.get("blob_chain")
+                if chain:
+                    live_blob_dirs.update(chain)
+                    kept[0]["blob_chain"] = list(chain)
+                    kept[0]["blob_dir"] = r.get("blob_dir", chain[-1])
+                    break
                 if r.get("blob_dir"):
                     live_blob_dirs.add(r["blob_dir"])
                     kept[0]["blob_dir"] = r["blob_dir"]
@@ -503,14 +524,42 @@ class SnapshotStore:
             {"round": r["round"], **r["metrics"]} for r in self.manifest()["rounds"]
         ]
 
+    def _latest_blob_entry(self) -> list[str] | None:
+        """The NEWEST round's blob refs as a chain, or None. Never walks
+        past the newest blob-bearing round to an older one: older blob
+        state is missing every round since — serving it silently as
+        current membership would re-admit those rounds' URLs. A missing/
+        broken newest state returns None, which every engine consumer
+        treats as 'authoritative full rebuild required' — the safe
+        recovery, not the stale one."""
+        for r in reversed(self.manifest()["rounds"]):
+            chain = r.get("blob_chain")
+            if chain is None:
+                bdir = r.get("blob_dir")
+                if bdir is None:
+                    continue  # metrics-only round: no blob state committed
+                chain = [bdir]
+            if chain and all(os.path.isdir(d) for d in chain):
+                return list(chain)
+            return None
+        return None
+
     def latest_blob_dir(self) -> str | None:
         """Most recent committed round's blob directory (the file-backed
-        shard-probe path reads blobs per task from here, never the driver)."""
-        for r in reversed(self.manifest()["rounds"]):
-            bdir = r.get("blob_dir")
-            if bdir and os.path.isdir(bdir):
-                return bdir
-        return None
+        shard-probe path reads blobs per task from here, never the driver).
+        Only meaningful when that round's state is a SINGLE dir (TTL-mode
+        rewrites, compaction bases): a multi-element chain has no single
+        authoritative dir, so this returns None and the caller must either
+        use latest_blob_chain() or rebuild."""
+        chain = self._latest_blob_entry()
+        return chain[0] if chain is not None and len(chain) == 1 else None
+
+    def latest_blob_chain(self) -> list[str] | None:
+        """Most recent committed round's filter-blob CHAIN, oldest first
+        (full base, then per-round delta dirs — merge-on-read for the
+        filter store). Rounds committed before chain mode carry a single
+        authoritative blob_dir, returned as a 1-chain."""
+        return self._latest_blob_entry()
 
     def latest_blobs(self, prefix: str = "") -> dict[str, bytes]:
         for r in reversed(self.manifest()["rounds"]):

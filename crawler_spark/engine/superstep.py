@@ -228,7 +228,7 @@ class CrawlEngine:
              "fetch_log": self._empty_fetch_log(),
              "retry_history": self._empty_retry_history()},
             metrics={"phase": "init", "n_seeds": len(rows)},
-            blob_dir=out_dir,
+            blob_dir=out_dir, blob_chain=[out_dir],
             row_hints={"frontier": len(rows), "frontier_dels": 0,
                        "seen": len(rows), "pages": 0,
                        "dlq": 0, "fetch_log": 0, "retry_history": 0},
@@ -271,15 +271,15 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("depth"),
         )
         seen = self.store.read(spark, "seen") if not fresh_store else None
-        enq_blob_dir = None if fresh_store else self.store.latest_blob_dir()
+        enq_chain = None if fresh_store else self.store.latest_blob_chain()
         if seen is None:
             deduped = batch
-        elif self.ttl_rounds is None and enq_blob_dir is not None:
+        elif self.ttl_rounds is None and enq_chain is not None:
             # permanent membership: the shard exact files ARE the full seen
             # set (no deletes ever), so the batch dedups shard-locally —
             # no per-enqueue shuffle of the seen table
             deduped = seen_filter_pipeline_files(
-                batch, seen, enq_blob_dir, n_shards=N_SHARDS,
+                batch, seen, enq_chain, n_shards=N_SHARDS,
                 seen_unique=True, exact_files=True,
             )
         else:
@@ -315,8 +315,15 @@ class CrawlEngine:
             "host", "url_hash", F.lit(round_no).cast("int").alias("seen_round")
         )
         out_dir = self.store.blob_dir_for(round_no)
-        prev_blob_dir = enq_blob_dir
-        if prev_blob_dir is None:
+        # same compaction contract as _run_round: fresh store / expired
+        # blobs / over-long chain / TTL-over-chain all force a full rebuild;
+        # permanent mode otherwise appends an O(batch) delta dir
+        rebuild = (
+            enq_chain is None
+            or len(enq_chain) >= self.REBUILD_EVERY
+            or (self.ttl_rounds is not None and len(enq_chain) != 1)
+        )
+        if rebuild:
             # fresh store OR expired blobs: authoritative rebuild from the
             # full post-enqueue membership (same guard as _run_round; under
             # TTL, from the window the NEXT round's probe will use)
@@ -329,16 +336,30 @@ class CrawlEngine:
                 base.select("host", "url_hash"), blob_dir=None,
                 n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
             ).collect()
+            blob_chain = [out_dir]
+        elif self.ttl_rounds is not None:
+            # TTL in-place rewrite (cuckoo retirement mutates history)
+            update_seen_shards(
+                fresh.select("host", "url_hash"), blob_dir=enq_chain[-1],
+                deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir,
+                with_exact=True,
+            ).collect()
+            blob_chain = [out_dir]
+        elif n_fresh == 0:
+            blob_chain = enq_chain  # nothing fresh: no empty delta element
+            out_dir = None
         else:
             update_seen_shards(
-                fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
-                deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                fresh.select("host", "url_hash"), blob_dir=None,
+                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                delta_build=True,
             ).collect()
+            blob_chain = enq_chain + [out_dir]
         if not fresh_store and n_fresh == 0:
             # TTL retirement only: blob-dir commit with no table writes
             entry = self.store.commit_round(
                 round_no, {}, metrics={"phase": "enqueue", "n_enqueued": 0},
-                blob_dir=out_dir,
+                blob_dir=out_dir, blob_chain=blob_chain,
             )
             fresh.unpersist()
             return entry["metrics"]
@@ -386,7 +407,7 @@ class CrawlEngine:
             hints = {"frontier": n_fresh, "seen": n_fresh}
         entry = self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
-            delta_tables=delta, row_hints=hints,
+            blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
         )
         fresh.unpersist()
         return entry["metrics"]
@@ -642,14 +663,14 @@ class CrawlEngine:
         # against the full seen table (the last O(|corpus|) exchange in the
         # round plan) is gone; `seen_active` only feeds the no-filters
         # bootstrap path.
-        prev_blob_dir = self.store.latest_blob_dir()
+        prev_chain = self.store.latest_blob_chain()
         seen_active = (
             seen.filter(F.col("seen_round") >= round_no - self.ttl_rounds)
             if self.ttl_rounds is not None
             else seen
         )
         fresh = seen_filter_pipeline_files(
-            cands, seen_active, prev_blob_dir, n_shards=N_SHARDS,
+            cands, seen_active, prev_chain, n_shards=N_SHARDS,
             layer="cuckoo" if self.ttl_rounds is not None else "bloom",
             seen_unique=True,  # one row per hash by construction
             exact_files=True,
@@ -795,46 +816,6 @@ class CrawlEngine:
             "n_retry": int(stats["n_retry"]),
             "n_dlq": int(stats["n_dlq"]),
         }
-        # driver action 3: shard maintenance — INCREMENTAL add of this
-        # round's fresh keys (+ cuckoo delete of the keys expiring from the
-        # TTL window), each task writing its own blob file into the store;
-        # only (shard, n_items) stats return. Every REBUILD_EVERY rounds a
-        # full rebuild from the exact table re-sizes and compacts the
-        # insert-only bloom layer (Iceberg-compaction analogue).
-        out_dir = self.store.blob_dir_for(round_no)
-        # prev_blob_dir None with a non-empty seen table (e.g. an external
-        # actor expired every blob dir) must NOT take the incremental branch:
-        # it would build shards from this round's fresh keys only and commit
-        # them as authoritative. Fall back to a full rebuild — correct for
-        # empty seen too (round 0 writes its own base via start()).
-        full_rebuild = (
-            prev_blob_dir is None
-            or round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
-        )
-        if full_rebuild:
-            base = (
-                next_seen.filter(
-                    F.col("seen_round") >= round_no + 1 - self.ttl_rounds
-                )
-                if self.ttl_rounds is not None
-                else next_seen
-            )
-            update_seen_shards(
-                base.select("host", "url_hash"), blob_dir=None,
-                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
-            ).collect()
-        else:
-            deletes = (
-                seen.filter(
-                    F.col("seen_round") == round_no - self.ttl_rounds
-                ).select("host", "url_hash")
-                if self.ttl_rounds is not None
-                else None
-            )
-            update_seen_shards(
-                fresh.select("host", "url_hash"), blob_dir=prev_blob_dir,
-                deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
-            ).collect()
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) and the frontier commits merge-on-read (adds
         # delta + equality-delete keys) — per-round IO is O(delta)
@@ -847,11 +828,68 @@ class CrawlEngine:
         # backstop: enqueue_seeds and drain rounds consume round numbers
         # without compacting, so the modulo slot alone could be skipped
         # for a full cadence — the bound must hold on the CHAIN, not the
-        # round number.
+        # round number. The FILTER store compacts on the same flag: a
+        # missing/over-long blob chain forces it exactly like the frontier's.
         compaction = (
             round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
             or self.store.chain_length("frontier") >= self.REBUILD_EVERY
+            or prev_chain is None
+            or len(prev_chain) >= self.REBUILD_EVERY
+            # TTL's in-place rewrite needs a single authoritative dir; a
+            # longer chain (left by a permanent-mode run of this store)
+            # would silently drop the base membership
+            or (self.ttl_rounds is not None and len(prev_chain) != 1)
         )
+        # driver action 3: shard maintenance. Permanent mode appends a
+        # DELTA blob dir holding only this round's fresh keys (merge-on-read
+        # chain, probe ORs across elements) — per-round blob IO is O(delta),
+        # not O(|filter store|). TTL mode rewrites in place (cuckoo deletes
+        # mutate historical state, which immutable chain elements cannot
+        # express). On compaction rounds a full rebuild from the exact seen
+        # table re-sizes the blooms and resets the chain to one base.
+        # prev_chain None with a non-empty seen table (e.g. an external
+        # actor expired every blob dir) lands in compaction: building from
+        # this round's fresh keys alone and committing them as
+        # authoritative would break the seen-set invariant.
+        out_dir = self.store.blob_dir_for(round_no)
+        if compaction or self.ttl_rounds is not None:
+            if compaction:
+                base = (
+                    next_seen.filter(
+                        F.col("seen_round") >= round_no + 1 - self.ttl_rounds
+                    )
+                    if self.ttl_rounds is not None
+                    else next_seen
+                )
+                update_seen_shards(
+                    base.select("host", "url_hash"), blob_dir=None,
+                    n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                ).collect()
+            else:
+                # TTL incremental rewrite: needs a SINGLE authoritative
+                # previous dir (len-1 chain; compaction above catches longer
+                # chains left by a permanent-mode run of the same store)
+                deletes = seen.filter(
+                    F.col("seen_round") == round_no - self.ttl_rounds
+                ).select("host", "url_hash")
+                update_seen_shards(
+                    fresh.select("host", "url_hash"), blob_dir=prev_chain[-1],
+                    deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir,
+                    with_exact=True,
+                ).collect()
+            blob_chain = [out_dir]
+        elif metrics["n_new_urls"] == 0:
+            # nothing fresh: appending an empty delta would grow the chain
+            # (and the probe fan-in) without adding any membership
+            blob_chain = prev_chain
+            out_dir = None
+        else:
+            update_seen_shards(
+                fresh.select("host", "url_hash"), blob_dir=None,
+                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                delta_build=True,
+            ).collect()
+            blob_chain = prev_chain + [out_dir]
         full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
         if compaction:
@@ -937,7 +975,7 @@ class CrawlEngine:
             )
         self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
-            delta_tables=delta, row_hints=hints,
+            blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
         )
         flagged.unpersist()
         selected.unpersist()

@@ -306,7 +306,7 @@ def _load_filter(path: str):
 
 def probe_seen_files(
     candidates: DataFrame,
-    blob_dir: str,
+    blob_dir: str | list[str] | tuple[str, ...],
     host_col: str = "host",
     hash_col: str = "url_hash",
     n_shards: int = 64,
@@ -319,10 +319,20 @@ def probe_seen_files(
     blob_dir is shared storage (HDFS/S3) — per-task reads are a few MB and
     amortized across the partition; total driver traffic is zero.
 
+    ``blob_dir`` may be a CHAIN (list of dirs, oldest first): a full base
+    plus per-round delta blobs, the LSM/Iceberg merge-on-read shape applied
+    to the filter store. Membership = OR across elements — chain elements
+    partition the key population by first-seen round, so a key is present
+    in exactly one element and false negatives remain impossible. Chains
+    let the engine write O(delta) blob bytes per round instead of
+    rewriting every shard's full filter; the REBUILD_EVERY full rebuild is
+    the compaction that bounds chain length (and probe fan-in).
+
     ``exact=True``: rows the filter flags are then verified IN-TASK against
-    the shard's `exact-<s>` pair file (loaded only when the batch has filter
-    hits, executor-cached), so `maybe_seen` becomes an EXACT seen verdict —
-    the caller needs no anti-join against the seen table at all."""
+    the same element's `exact-<s>` pair file (loaded only when the batch has
+    filter hits, executor-cached), so `maybe_seen` becomes an EXACT seen
+    verdict — the caller needs no anti-join against the seen table at all."""
+    chain = [blob_dir] if isinstance(blob_dir, str) else list(blob_dir)
     routed = with_shard_and_key(candidates, host_col, hash_col, n_shards)
     if exact:
         routed = routed.withColumn("verify_key", verify_key_col(hash_col))
@@ -337,27 +347,49 @@ def probe_seen_files(
             out = pd.Series(False, index=pdf.index)
             keys = pdf["filter_key"].to_numpy(dtype="int64").astype("uint64")
             for s in pdf["shard"].unique():
-                flt = _load_filter(os.path.join(blob_dir, f"{layer}-{int(s)}"))
-                if flt is None:
-                    continue  # shard never built -> nothing seen there
                 m = (pdf["shard"] == s).to_numpy()
-                hits = flt.contains_many(keys[m])
-                if exact and hits.any():
-                    pairs = _load_exact(os.path.join(blob_dir, f"exact-{int(s)}"))
-                    if pairs is None:
-                        raise RuntimeError(
-                            f"exact-{int(s)} missing in {blob_dir} — store "
-                            "built without with_exact; rebuild shards first"
+                skeys = keys[m]
+                vks = (
+                    pdf.loc[m, "verify_key"]
+                    .to_numpy(dtype="int64").astype("uint64")
+                    if exact
+                    else None
+                )
+                hits = np.zeros(len(skeys), dtype=bool)
+                for d in chain:
+                    # probe only still-unresolved rows: within a chain a key
+                    # lives in exactly one element, so a row resolved by an
+                    # earlier element never needs the later ones
+                    todo = ~hits
+                    if not todo.any():
+                        break
+                    flt = _load_filter(os.path.join(d, f"{layer}-{int(s)}"))
+                    if flt is None:
+                        if os.path.exists(os.path.join(d, f"bloom-{int(s)}")):
+                            # the element exists but lacks THIS layer: a
+                            # silent skip here would be a false negative
+                            # (e.g. cuckoo probe over a bloom-only delta)
+                            raise RuntimeError(
+                                f"{layer}-{int(s)} missing in {d} while the "
+                                "bloom layer exists — chain element lacks "
+                                f"the {layer} layer; rebuild shards first"
+                            )
+                        continue  # shard never built in this element
+                    sub = flt.contains_many(skeys[todo])
+                    if exact and sub.any():
+                        pairs = _load_exact(os.path.join(d, f"exact-{int(s)}"))
+                        if pairs is None:
+                            raise RuntimeError(
+                                f"exact-{int(s)} missing in {d} — store "
+                                "built without with_exact; rebuild shards first"
+                            )
+                        verified = np.zeros(len(sub), dtype=bool)
+                        verified[sub] = _pairs_contains(
+                            pairs[0], pairs[1],
+                            skeys[todo][sub], vks[todo][sub],
                         )
-                    vks = (
-                        pdf.loc[m, "verify_key"]
-                        .to_numpy(dtype="int64").astype("uint64")
-                    )
-                    verified = np.zeros(len(hits), dtype=bool)
-                    verified[hits] = _pairs_contains(
-                        pairs[0], pairs[1], keys[m][hits], vks[hits]
-                    )
-                    hits = verified
+                        sub = verified
+                    hits[todo] = sub
                 out[m] = hits
             pdf = pdf.copy()
             pdf["maybe_seen"] = out
@@ -377,6 +409,7 @@ def update_seen_shards(
     with_cuckoo: bool = True,
     out_dir: str | None = None,
     with_exact: bool = False,
+    delta_build: bool = False,
 ) -> DataFrame:
     """INCREMENTAL shard maintenance: per shard, load the previous round's
     blobs from ``blob_dir`` (None == build fresh), add the new keys, delete
@@ -517,11 +550,24 @@ def update_seen_shards(
                     "layer; run a full rebuild (blob_dir=None) first"
                 )
         if bloom is None:
-            bloom = BloomFilter.for_capacity(
-                max(4 * len(add_keys), 4096), bits_per_key
+            # fresh filters for a store that keeps growing IN PLACE get 4x
+            # headroom + a 4096-key floor (later incremental rounds add_many
+            # into the same bitmap; undersizing would inflate the FP rate).
+            # A delta_build element is IMMUTABLE once written — the next
+            # round appends a NEW chain dir — so it is sized to its actual
+            # keys: per-round blob bytes stay O(delta), no fixed floor.
+            cap = (
+                max(len(add_keys), 64)
+                if delta_build
+                else max(4 * len(add_keys), 4096)
             )
+            bloom = BloomFilter.for_capacity(cap, bits_per_key)
         if with_cuckoo and cuckoo is None:
-            cuckoo = CuckooFilter.for_capacity(max(4 * len(add_keys), 4096))
+            cuckoo = CuckooFilter.for_capacity(
+                max(len(add_keys), 64)
+                if delta_build
+                else max(4 * len(add_keys), 4096)
+            )
         bloom.add_many(add_keys)
         cuckoo_blob = None
         if with_cuckoo:
@@ -562,7 +608,7 @@ def update_seen_shards(
 def seen_filter_pipeline_files(
     candidates: DataFrame,
     seen: DataFrame,
-    blob_dir: str,
+    blob_dir: str | list[str] | None,
     host_col: str = "host",
     hash_col: str = "url_hash",
     n_shards: int = 64,
@@ -585,7 +631,12 @@ def seen_filter_pipeline_files(
     the candidates' repartition on shard. This removes the last per-round
     exchange whose volume scales with |corpus| rather than |delta| (the
     anti-join shuffled the full seen hash column every round). `seen` is
-    then only used for the no-filters bootstrap path."""
+    then only used for the no-filters bootstrap path.
+
+    ``blob_dir`` accepts a chain (list of dirs, oldest first) — see
+    probe_seen_files; an empty list means no filters (bootstrap path)."""
+    if not blob_dir:
+        blob_dir = None
     if blob_dir is not None and exact_files:
         probed = probe_seen_files(
             candidates, blob_dir, host_col, hash_col, n_shards, layer, exact=True

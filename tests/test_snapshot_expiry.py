@@ -18,6 +18,11 @@ def _table_rows(spark, store, table):
 def test_expire_keeps_live_state_and_resume(spark, tmp_path):
     corpus, robots, seeds = build_corpus(SPEC), robots_map(SPEC), seed_urls(SPEC)
     eng = CrawlEngine(spark, str(tmp_path / "x"), corpus, robots, per_host_budget=3)
+    # merge-on-read property: dirs referenced by a kept round's live chain
+    # (tables AND filter blobs) cannot be reclaimed — only dirs superseded
+    # by a compaction can. A fast compaction cadence guarantees the 4-round
+    # crawl crosses one, so expiry has something physical to remove.
+    eng.REBUILD_EVERY = 2
     eng.run(seeds=seeds, max_rounds=4)
 
     before = {t: _table_rows(spark, eng.store, t)
@@ -60,22 +65,24 @@ def test_expire_to_drain_only_window_keeps_blob_dir_reference(spark, tmp_path):
     n_drain = sum(1 for r in reversed(rounds) if "blob_dir" not in r)
     assert n_drain >= 1, "fixture must end with at least one drain-only round"
 
-    blob_before = eng.store.latest_blob_dir()
+    blob_before = eng.store.latest_blob_chain()
     assert blob_before is not None
     eng.store.expire_snapshots(keep_last=max(1, n_drain))
-    # the reference survives the expiry, pointing at the same still-on-disk dir
-    assert eng.store.latest_blob_dir() == blob_before
-    assert os.path.isdir(blob_before)
+    # the reference survives the expiry, pointing at the same still-on-disk
+    # chain (fold into the kept manifest)
+    assert eng.store.latest_blob_chain() == blob_before
+    for d in blob_before:
+        assert os.path.isdir(d)
 
     # and the seen invariant holds end-to-end: every URL in the seen table
     # still probes maybe_seen=true through the surviving shard filters (a
-    # lost blob_dir reference is exactly what would break this)
+    # lost blob_chain reference is exactly what would break this)
     from crawler_spark.engine.superstep import N_SHARDS
     from crawler_spark.operators.seenset import probe_seen_files
 
     seen = eng.store.read(spark, "seen")
     probed = probe_seen_files(
-        seen, eng.store.latest_blob_dir(), n_shards=N_SHARDS, layer="bloom"
+        seen, eng.store.latest_blob_chain(), n_shards=N_SHARDS, layer="bloom"
     )
     n_seen = seen.count()
     assert n_seen > 0
