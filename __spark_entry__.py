@@ -38,6 +38,8 @@ _CHECK_FIRST = [
     "scrape_batch",
     # new in r03 (no driver signal yet)
     "metrics_export",
+    "retry_failure_rates",
+    "log_trace_scan",
     # r02 driver budget never reached these (new oracles with no hard signal)
     "content_normalize",
     "multimodal_resize",

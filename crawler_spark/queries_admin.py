@@ -422,8 +422,116 @@ FROM facts WHERE status = 'failed' AND NOT resolved
 """
 
 
+def q_retry_failure_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFailureRateByCategory + CountRetryAttemptsByCategory
+    (sql/queries/retry_history.sql:60-80): per-category failure count,
+    distinct-job breadth, and mean backoff over a TIME WINDOW — the window
+    bounds derive from the data (middle 80% of the observed span) so both
+    sides compute them identically. The window predicate is the part that
+    matters at scale: on a time-partitioned retry_history table it prunes
+    partitions before the single map-side-combinable aggregate; the
+    distinct-job count is the only shuffle-expanding term (count_distinct
+    -> partial sets per mapper)."""
+    ev = _events(spark, sf_dir)
+    hist = ev.select(
+        (F.col("event_id") % 500).alias("job_id"),
+        _pick(_CATEGORIES, F.col("event_id") % 6 + 1).alias("error_category"),
+        ((F.col("event_id") % 9 + 1) * (F.col("event_id") % 4 + 1))
+        .cast("long")
+        .alias("retry_delay_seconds"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("attempted_ms"),
+    )
+    span = hist.agg(
+        F.min("attempted_ms").alias("lo"), F.max("attempted_ms").alias("hi")
+    ).first()
+    start = span["lo"] + (span["hi"] - span["lo"]) // 10
+    end = span["lo"] + 9 * (span["hi"] - span["lo"]) // 10
+    return (
+        hist.filter(
+            (F.col("attempted_ms") >= F.lit(start))
+            & (F.col("attempted_ms") < F.lit(end))
+        )
+        .groupBy("error_category")
+        .agg(
+            F.count("*").alias("failure_count"),
+            F.count_distinct("job_id").alias("unique_jobs"),
+            F.round(F.avg("retry_delay_seconds"), 6).alias("avg_delay_seconds"),
+        )
+    )
+
+
+O_RETRY_FAILURE_RATES = """
+WITH hist AS (
+  SELECT event_id % 500 AS job_id,
+         (['network_error','timeout','server_error','rate_limit','parse_error','auth_error'])
+           [CAST(event_id % 6 AS INT) + 1] AS error_category,
+         CAST((event_id % 9 + 1) * (event_id % 4 + 1) AS BIGINT)
+           AS retry_delay_seconds,
+         epoch_ms(ts) AS attempted_ms
+  FROM events
+),
+win AS (
+  SELECT min(attempted_ms) + (max(attempted_ms) - min(attempted_ms)) // 10
+           AS start_ms,
+         min(attempted_ms) + 9 * ((max(attempted_ms) - min(attempted_ms)) // 10)
+           AS end_ms
+  FROM hist
+)
+SELECT error_category,
+       count(*) AS failure_count,
+       CAST(count(DISTINCT job_id) AS BIGINT) AS unique_jobs,
+       round(avg(retry_delay_seconds), 6) AS avg_delay_seconds
+FROM hist, win
+WHERE attempted_ms >= start_ms AND attempted_ms < end_ms
+GROUP BY error_category
+"""
+
+
+def q_log_trace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListLogsByTraceID (sql/queries/crawl_log.sql): all log rows sharing
+    one trace id, ordered by creation — distributed-tracing lookup over the
+    append-only log table. Scale shape: trace_id equality is a pushed-down
+    parquet predicate (PushedFilters on a dictionary-encoded column); no
+    shuffle at all — the ORDER BY is a driver-side concern at trace
+    cardinality (tens of rows)."""
+    ev = _events(spark, sf_dir)
+    logs = ev.select(
+        F.col("event_id").alias("log_id"),
+        (F.col("event_id") % 500).alias("job_id"),
+        (F.col("user_id") % 25).cast("int").alias("website_id"),
+        F.concat(F.lit("step_"), (F.col("event_id") % 8).cast("string")).alias(
+            "step_name"
+        ),
+        _pick(_LEVELS, F.col("event_id") % 10 + 1).alias("log_level"),
+        F.concat(F.lit("trace-"), (F.col("event_id") % 311).cast("string")).alias(
+            "trace_id"
+        ),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("created_ms"),
+    )
+    return logs.filter(F.col("trace_id") == "trace-7").orderBy(
+        "created_ms", "log_id"
+    )
+
+
+O_LOG_TRACE_SCAN = """
+SELECT event_id AS log_id,
+       event_id % 500 AS job_id,
+       CAST(user_id % 25 AS INT) AS website_id,
+       'step_' || (event_id % 8) AS step_name,
+       (['DEBUG','DEBUG','INFO','INFO','INFO','INFO','WARNING','ERROR','ERROR','CRITICAL'])
+         [CAST(event_id % 10 AS INT) + 1] AS log_level,
+       'trace-' || (event_id % 311) AS trace_id,
+       epoch_ms(ts) AS created_ms
+FROM events
+WHERE event_id % 311 = 7
+ORDER BY created_ms, log_id
+"""
+
+
 QUERIES = {
     "metrics_export": q_metrics_export,
+    "retry_failure_rates": q_retry_failure_rates,
+    "log_trace_scan": q_log_trace_scan,
     "website_statistics": q_website_statistics,
     "log_level_stats": q_log_level_stats,
     "dlq_stats_category": q_dlq_stats_category,
@@ -432,6 +540,8 @@ QUERIES = {
 
 ORACLES = {
     "metrics_export": O_METRICS_EXPORT,
+    "retry_failure_rates": O_RETRY_FAILURE_RATES,
+    "log_trace_scan": O_LOG_TRACE_SCAN,
     "website_statistics": O_WEBSITE_STATISTICS,
     "log_level_stats": O_LOG_LEVEL_STATS,
     "dlq_stats_category": O_DLQ_STATS_CATEGORY,
