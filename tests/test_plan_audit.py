@@ -239,6 +239,36 @@ def test_admin_stats_plan_shapes(spark):
     assert s.lower().count("hashpartitioning(website_id") <= 1, s
 
 
+def test_retry_failure_rates_window_then_single_agg(spark):
+    """The windowed failure-rate analytics must be ONE aggregation over the
+    time-filtered scan (plus the distinct-job expansion Spark plans as a
+    two-phase agg on the same partitioning) — no join against the window
+    bounds (they're literals by the time the main plan builds) and no
+    cartesian. At scale the attempted_ms predicate is the partition pruner."""
+    from crawler_spark import queries_admin as qa
+
+    df = qa.q_retry_failure_rates(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s
+    assert "Join" not in s, s[:1200]  # window bounds folded to literals
+    # 1 round-robin spread of the single test file + count_distinct's
+    # two-phase agg exchanges on error_category
+    assert count_shuffles(df) <= 3
+
+
+def test_log_trace_scan_no_join_single_filter(spark):
+    """Trace lookup = filter + sort, nothing else: no join, no cartesian,
+    and exactly one exchange besides the input spread (the ORDER BY's range
+    partitioning — trace cardinality is tens of rows, so it's nominal)."""
+    from crawler_spark import queries_admin as qa
+
+    df = qa.q_log_trace_scan(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+    assert count_shuffles(df) <= 2
+
+
 def test_metrics_export_single_fact_scan(spark):
     """The Prometheus-scrape query derives SEVEN metric families but must
     scan the fact table exactly once (pre-aggregate -> explode -> fold);
