@@ -507,10 +507,19 @@ class SnapshotStore:
                     if p not in live_paths and os.path.isdir(p):
                         shutil.rmtree(p)
                         removed += 1
-            bd = r.get("blob_dir")
-            if bd and bd not in live_blob_dirs and os.path.isdir(bd):
-                shutil.rmtree(bd)
-                removed += 1
+            # a dropped round releases its own blob dir AND every chain
+            # element it referenced (the base + deltas older rounds wrote:
+            # once no kept round's chain reads through them, they have no
+            # manifest entry left anywhere — skipping them here would leak
+            # the previous full base each time an expiry crosses a
+            # compaction boundary, unbounded disk growth)
+            blob_refs = set(r.get("blob_chain") or [])
+            if r.get("blob_dir"):
+                blob_refs.add(r["blob_dir"])
+            for bd in blob_refs:
+                if bd not in live_blob_dirs and os.path.isdir(bd):
+                    shutil.rmtree(bd)
+                    removed += 1
 
         man["rounds"] = kept
         tmp = self._manifest_path + ".tmp"

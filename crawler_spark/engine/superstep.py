@@ -345,10 +345,9 @@ class CrawlEngine:
                 with_exact=True,
             ).collect()
             blob_chain = [out_dir]
-        elif n_fresh == 0:
-            blob_chain = enq_chain  # nothing fresh: no empty delta element
-            out_dir = None
         else:
+            # n_fresh > 0 here: permanent-mode n_fresh == 0 with no TTL
+            # deletes already took the metrics-only early return above
             update_seen_shards(
                 fresh.select("host", "url_hash"), blob_dir=None,
                 n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,

@@ -444,8 +444,13 @@ def q_retry_failure_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = hist.agg(
         F.min("attempted_ms").alias("lo"), F.max("attempted_ms").alias("hi")
     ).first()
-    start = span["lo"] + (span["hi"] - span["lo"]) // 10
-    end = span["lo"] + 9 * (span["hi"] - span["lo"]) // 10
+    if span["lo"] is None:  # empty input: empty window, empty result
+        start = end = 0
+    else:
+        # parenthesize the floor-div exactly like the oracle: 9*((hi-lo)//10),
+        # NOT (9*(hi-lo))//10 — the two differ by up to 8 ms on the end bound
+        start = span["lo"] + (span["hi"] - span["lo"]) // 10
+        end = span["lo"] + 9 * ((span["hi"] - span["lo"]) // 10)
     return (
         hist.filter(
             (F.col("attempted_ms") >= F.lit(start))

@@ -21,7 +21,7 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crawler_spark.engine.corpus import (
     CorpusSpec,

@@ -51,6 +51,53 @@ def test_expire_keeps_live_state_and_resume(spark, tmp_path):
     assert out, "resume after expiry must run"
 
 
+def test_expire_reclaims_chain_dirs_after_compaction(spark, tmp_path):
+    """Blob dirs referenced only via a dropped round's blob_chain must be
+    rmtree'd once no kept round reads through them. The leak shape: expiry
+    keeps round R whose chain is [b0, d1, d2] (so those dirs survive with
+    their writer rounds already dropped); after a compaction resets the
+    chain to [b7], a second expiry drops R — b0/d1/d2 then have no manifest
+    entry anywhere, and only the chain-aware removal loop reclaims them.
+    Leaking the previous full base each compaction cycle = unbounded disk."""
+    # corpus big enough to discover fresh URLs EVERY round through round 8
+    # (an early drain stops blob-state evolution and the second chain never
+    # supersedes the first): rounds 0-4 give chain [b2, d3, d4] after the
+    # round-2 compaction
+    spec = CorpusSpec(n_hosts=8, listing_pages=10, details_per_page=4,
+                      hosts_with_robots=0)
+    corpus, robots, seeds = build_corpus(spec), robots_map(spec), seed_urls(spec)
+    eng = CrawlEngine(spark, str(tmp_path / "z"), corpus, robots, per_host_budget=3)
+    eng.REBUILD_EVERY = 3  # compactions at rounds 2, 5, ...; deltas between
+    eng.run(seeds=seeds, max_rounds=5)
+
+    # first expiry: keep a small window; chains referenced by kept rounds
+    # must survive on disk even when their writer rounds dropped
+    eng.store.expire_snapshots(keep_last=2)
+    chain1 = eng.store.latest_blob_chain()
+    assert chain1 is not None
+    for d in chain1:
+        assert os.path.isdir(d)
+
+    # crawl on: round 5's compaction supersedes chain1 with a fresh base
+    eng.run(max_rounds=3)
+    chain2 = eng.store.latest_blob_chain()
+    assert chain2 is not None and chain2 != chain1
+
+    # second expiry: every dir of chain1 that chain2 doesn't reuse must be
+    # physically reclaimed (no manifest entry references it anymore)
+    eng.store.expire_snapshots(keep_last=1)
+    leaked = [d for d in chain1 if d not in set(chain2) and os.path.isdir(d)]
+    assert leaked == [], f"blob chain dirs leaked after expiry: {leaked}"
+    # and the surviving chain still serves the full seen set
+    from crawler_spark.engine.superstep import N_SHARDS
+    from crawler_spark.operators.seenset import probe_seen_files
+
+    seen = eng.store.read(spark, "seen")
+    chain_live = eng.store.latest_blob_chain()
+    probed = probe_seen_files(seen, chain_live, n_shards=N_SHARDS, layer="bloom")
+    assert probed.filter("maybe_seen").count() == seen.count()
+
+
 def test_expire_to_drain_only_window_keeps_blob_dir_reference(spark, tmp_path):
     """Drain-only rounds commit no blob_dir. Expiring so the kept window is
     all drain rounds must fold the newest blob_dir into the kept manifest —
