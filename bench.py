@@ -314,14 +314,21 @@ def main() -> None:
         # are reported raw and normalized against it.
         import multiprocessing as mp
 
+        # the N-vs-4N pair is configurable (SPARK_GRAFT_SCALE_N, default 8 ->
+        # 8 vs 32): the north rule fixes the RATIO at 4x, not the absolute
+        # size, and on this shared box the smaller pair (4 vs 16) saturates
+        # the single memory bus less, separating plan scalability from
+        # host-contention effects
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+        n_hi = 4 * n_lo
         calib = {}
-        for procs in (8, 32):
+        for procs in (n_lo, n_hi):
             per = 60000
             t0 = time.time()
             with mp.get_context("fork").Pool(procs) as pool:
                 pool.map(_kernel_work, [per] * procs)
             calib[procs] = round(procs * per / (time.time() - t0), 1)
-        cpu_ceiling = round((calib[32] / calib[8]) / 4.0, 3)
+        cpu_ceiling = round((calib[n_hi] / calib[n_lo]) / 4.0, 3)
         if "--calibrate" in sys.argv and "--scaling" not in sys.argv:
             print(json.dumps({"raw_urls_per_sec": calib, "cpu_scaling_ceiling": cpu_ceiling}))
             return
@@ -345,18 +352,18 @@ def main() -> None:
         ):
             best: dict[int, dict] = {}
             for _ in range(trials):
-                for cpus in (8, 32):
+                for cpus in (n_lo, n_hi):
                     r = run_scaling_workload(
                         cpus, n_pages if mode == "span" else n_urls, mode
                     )
                     if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                         best[cpus] = r
-            speedup = best[8]["wall_sec"] / best[32]["wall_sec"]
-            eff = speedup / (32 / 8)
+            speedup = best[n_lo]["wall_sec"] / best[n_hi]["wall_sec"]
+            eff = speedup / 4.0
             report[label] = {
-                "local8": best[8],
-                "local32": best[32],
-                "speedup_8_to_32": round(speedup, 3),
+                f"local{n_lo}": best[n_lo],
+                f"local{n_hi}": best[n_hi],
+                "speedup_n_to_4n": round(speedup, 3),
                 "scaling_efficiency": round(eff, 3),
                 "efficiency_vs_cpu_ceiling": round(eff / cpu_ceiling, 3),
             }
