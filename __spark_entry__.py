@@ -73,6 +73,10 @@ _CHECK_FIRST = [
     "depth_priority_frontier",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-3 late additions: training-data curation ops
+    "decontaminate",
+    "gopher_quality",
+    "stratified_split",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

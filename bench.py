@@ -66,6 +66,10 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "metrics_export",
+    # r03 curation ops
+    "decontaminate",
+    "gopher_quality",
+    "stratified_split",
 ]
 
 

@@ -90,3 +90,37 @@ def word_shingles_col(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams_col(text: Column, k: int) -> Column:
+    """ALL k-word ngrams in order (NOT distinct — repetition statistics need
+    the multiset). Same construction as word_shingles_col minus the
+    array_distinct, same descending-sequence guard."""
+    toks = ws_tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    ngrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(n >= k, ngrams).otherwise(F.array().cast("array<string>"))
+
+
+def mean_word_len_col(text: Column) -> Column:
+    """Mean token length (0.0 for empty text) — a Gopher-rule signal."""
+    toks = ws_tokens_col(text)
+    total = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio_col(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (0.0 for
+    empty text) — a Gopher-rule signal."""
+    toks = ws_tokens_col(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(
+        F.size(toks) > 0, n_alpha.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))

@@ -13,12 +13,16 @@ from pyspark.sql import types as T
 from crawler_spark.functions.parse_udfs import parse_page_udf
 from crawler_spark.functions.simhash_udfs import simhash64_udf
 from crawler_spark.functions.text import (
+    alpha_word_ratio_col,
     doc_fingerprint_col,
     lang_id_col,
+    mean_word_len_col,
     punct_ratio_col,
     quality_score_col,
     token_count_bpe_col,
     token_count_ws_col,
+    word_ngrams_col,
+    word_shingles_col,
     ws_tokens_col,
 )
 from crawler_spark.operators.dedup import (
@@ -1778,6 +1782,272 @@ FROM s GROUP BY doc_id
 """
 
 
+# ----------------------------------------------- training-data curation ops
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM method, public):
+    flag training documents that share any k-word shingle with an eval/
+    benchmark set. Benchmark stand-in = every 97th doc (deterministic).
+
+    Plan shape for 100 TB: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are ~10^6 shingles), so it is BROADCAST to the
+    corpus-side explode; the per-doc overlap count is one map-side-combinable
+    aggregation. No corpus self-join, no window, one shuffle total.
+
+    hit_ratio is a raw double from a single (double)/int division — both
+    engines produce bit-identical IEEE results, so no round() tie risk.
+    """
+    K = 4
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_shingles_col(F.col("text"), K).alias("sh")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        F.explode_outer("sh").alias("shingle"),
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_hits").cast("double") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_ratio"),
+            (F.col("n_hits") >= 1).alias("contaminated"),
+        )
+    )
+
+
+O_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4
+              THEN list_distinct(list_transform(generate_series(1, len(toks)-3),
+                                                i -> array_to_string(toks[i:i+3], ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles,
+         unnest(CASE WHEN len(sh) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE sh END) AS shingle
+  FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(c.n_shingles AS INT) AS n_shingles,
+       CAST(count(b.shingle) AS INT) AS n_hits,
+       CASE WHEN c.n_shingles > 0
+            THEN CAST(CAST(count(b.shingle) AS INT) AS DOUBLE) / c.n_shingles
+            ELSE 0.0 END AS hit_ratio,
+       count(b.shingle) >= 1 AS contaminated
+FROM corpus c LEFT JOIN bench b USING (shingle)
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter signals (Rae et al. 2021,
+    public; thresholds adapted to the fixture corpus): word count, mean word
+    length, alpha-word fraction, symbol-to-word ratio, and the fraction of
+    characters covered by the most repeated word bigram. Docs with
+    doc_id % 5 == 0 get ' ## #' appended so the symbol/alpha paths are
+    exercised (same trick as text_profile's '!!!').
+
+    Plan shape for 100 TB: per-doc scalar signals are pure column
+    expressions; the top-bigram signal is explode -> two map-side-combinable
+    aggregations on (doc_id[, bigram]) -> join back on doc_id. All shuffles
+    hash on doc_id (no skew: one output row per doc). Ratios are raw doubles
+    from single (double)/int divisions — bit-identical across engines.
+    """
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" ## #"))
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n_words = token_count_ws_col(F.col("t"))
+    stats = base.select(
+        "doc_id",
+        F.length("t").alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_word_len_col(F.col("t")).alias("mean_word_len"),
+        alpha_word_ratio_col(F.col("t")).alias("alpha_word_ratio"),
+        F.when(
+            n_words > 0,
+            F.regexp_count(F.col("t"), F.lit("#")).cast("double") / n_words,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+    )
+    bigrams = base.select(
+        "doc_id", F.explode(word_ngrams_col(F.col("t"), 2)).alias("bg")
+    )
+    bg_top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("bg")).otherwise(0)
+            ).alias("dup_chars")
+        )
+    )
+    out = stats.join(bg_top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "symbol_word_ratio",
+        F.when(
+            F.col("n_chars") > 0,
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+            / F.col("n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_char_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 10000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("alpha_word_ratio") >= 0.7)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("dup_bigram_char_frac") <= 0.2)
+    )
+    return out.withColumn("keep", keep)
+
+
+O_GOPHER_QUALITY = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' ## #' ELSE text END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t, list_filter(string_split_regex(t,'\s+'), x -> x <> '') AS toks
+  FROM d
+),
+stats AS (
+  SELECT doc_id, length(t) AS n_chars, len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                    (a, b) -> a + b) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS alpha_word_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(regexp_extract_all(t, '#')) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS symbol_word_ratio
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+                                       i -> array_to_string(toks[i:i+1], ' '))) AS bg
+  FROM tok WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bgt AS (
+  SELECT doc_id,
+         max(CASE WHEN c >= 2 THEN c * length(bg) ELSE 0 END) AS dup_chars
+  FROM bgc GROUP BY doc_id
+),
+m AS (
+  SELECT s.doc_id, CAST(s.n_words AS INT) AS n_words,
+         s.mean_word_len, s.alpha_word_ratio, s.symbol_word_ratio,
+         CASE WHEN s.n_chars > 0
+              THEN CAST(COALESCE(b.dup_chars, 0) AS DOUBLE) / s.n_chars
+              ELSE 0.0 END AS dup_bigram_char_frac
+  FROM stats s LEFT JOIN bgt b USING (doc_id)
+)
+SELECT *,
+       (n_words >= 5 AND n_words <= 10000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND alpha_word_ratio >= 0.7
+        AND symbol_word_ratio <= 0.1
+        AND dup_bigram_char_frac <= 0.2) AS keep
+FROM m
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + rate-based sampling flag, the
+    shapes large-scale curation actually uses (DataComp/Dolma style): both
+    are pure hash functions of the row key — MAP-ONLY, zero shuffle, and
+    any engine (Spark, DuckDB, a backfill script) assigns the same row to
+    the same split. Exact-quota per-stratum sampling is deliberately NOT the
+    headline: it needs a total order per stratum (one reducer per stratum —
+    5 langs would serialize 100 TB); rate-based hashing gives binomial
+    quotas with no coordination. Two INDEPENDENT hashes (domain-separated by
+    a prefix) decide split membership and sampling so the 5% sample is
+    unbiased within every split."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    ).cast("int")
+    smp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10000
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        (smp < 500).alias("sampled_5pct"),
+    )
+
+
+O_STRATIFIED_SPLIT = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100 AS INT) AS bucket,
+         CAST(CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 AS INT) AS smp
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       smp < 500 AS sampled_5pct
+FROM h
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -1810,6 +2080,9 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
+    "decontaminate": q_decontaminate,
+    "gopher_quality": q_gopher_quality,
+    "stratified_split": q_stratified_split,
 }
 
 ORACLES = {
@@ -1844,4 +2117,7 @@ ORACLES = {
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
+    "decontaminate": O_DECONTAMINATE,
+    "gopher_quality": O_GOPHER_QUALITY,
+    "stratified_split": O_STRATIFIED_SPLIT,
 }

@@ -282,3 +282,45 @@ def test_metrics_export_single_fact_scan(spark):
     # one spread + cube shuffle + label-cardinality fold
     assert count_shuffles(df) <= 3
     assert "CartesianProduct" not in s
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set (an eval suite — tiny vs the corpus) must
+    reach the corpus explode as a BROADCAST; a shuffled join here would move
+    the full exploded corpus (shingles x docs) through an exchange at 100 TB.
+    Shuffle budget: 2 fixture spreads + the bench distinct + the per-doc
+    overlap agg."""
+    from crawler_spark.queries_content import q_decontaminate
+
+    df = q_decontaminate(spark, SF)
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert has_broadcast_join(df)
+    assert count_occurrences(df, "CartesianProduct") == 0
+    assert count_shuffles(df) <= 4
+
+
+def test_gopher_quality_shuffles_on_doc_id_only(spark):
+    """Repetition stats: explode -> (doc_id, bigram) agg -> (doc_id) agg ->
+    join back on doc_id. Every exchange hashes on doc_id(+bigram) — one
+    output row per doc, so no skew — and there is no cartesian."""
+    from crawler_spark.queries_content import q_gopher_quality
+
+    df = q_gopher_quality(spark, SF)
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert count_occurrences(df, "CartesianProduct") == 0
+    assert count_shuffles(df) <= 5
+
+
+def test_stratified_split_is_map_only(spark):
+    """Split + sample assignment are pure hash functions of the row key:
+    the plan must stay MAP-ONLY — the only allowed exchange is the fixture
+    loader's explicit single-file spread (at production the multi-file scan
+    provides parallelism and even that disappears)."""
+    from crawler_spark.queries_content import q_stratified_split
+
+    df = q_stratified_split(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s
+    assert count_shuffles(df) <= 1
