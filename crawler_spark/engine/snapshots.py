@@ -152,10 +152,16 @@ class SnapshotStore:
         paths = self.table_paths(table)
         return paths[-1] if paths else None
 
-    def read(
-        self, spark: SparkSession, table: str, resolve: bool = True
+    def _resolve_read(
+        self,
+        spark: SparkSession,
+        rounds: list[dict],
+        table: str,
+        resolve: bool,
     ) -> DataFrame | None:
-        rounds = self.manifest()["rounds"]  # ONE manifest read for the call
+        """Chain-union + merge-on-read resolution over an explicit rounds
+        list — shared by read() (committed state) and read_staged() (state
+        as-if a staging-branch commit were published)."""
         paths = self._chain_paths(self._live_chain(rounds, table))
         if not paths:
             return None
@@ -183,6 +189,14 @@ class SnapshotStore:
                     "left_anti",
                 )
         return df
+
+    def read(
+        self, spark: SparkSession, table: str, resolve: bool = True
+    ) -> DataFrame | None:
+        # ONE manifest read for the call
+        return self._resolve_read(
+            spark, self.manifest()["rounds"], table, resolve
+        )
 
     def read_at(
         self,
@@ -293,6 +307,7 @@ class SnapshotStore:
         blob_chain: list[str] | None = None,
         delta_tables: dict[str, DataFrame] | None = None,
         row_hints: dict[str, int] | None = None,
+        branch: str | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
         Lineage = per-spark-partition row counts captured at write time.
@@ -300,7 +315,13 @@ class SnapshotStore:
         `tables` are full snapshots (the table's complete state as of this
         round); `delta_tables` hold ONLY the round's new rows for append-only
         tables — read() unions them with the chain back to the last full
-        write, so per-round IO stays O(delta) as the crawl ages."""
+        write, so per-round IO stays O(delta) as the crawl ages.
+
+        `branch`: write-audit-publish staging (Iceberg's `spark.wap.branch`).
+        The data files are written exactly as for a normal commit, but the
+        manifest entry lands under `staged[branch]` — invisible to read()/
+        read_at()/latest_round() until publish_branch() moves it into the
+        committed history, or drop_branch() reclaims it."""
         # Iceberg invariant: a FULL snapshot of a merge-on-read table
         # supersedes every outstanding delete key (rewrite_data_files drops
         # applied delete files). A full commit that left the old dels chain
@@ -378,13 +399,127 @@ class SnapshotStore:
             # chain, not the single dir.
             entry["blob_chain"] = list(blob_chain)
         man = self.manifest()
-        man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
-        man["rounds"].append(entry)
+        if branch is not None:
+            staged = man.setdefault("staged", {})
+            old = staged.get(branch)
+            staged[branch] = entry
+            if old is not None:
+                # replacing a staged entry releases the OLD entry's dirs —
+                # except any the new entry re-wrote in place (same round
+                # number ⇒ same snap/delta paths, already overwritten)
+                self._release_entry_dirs(man, old)
+        else:
+            man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
+            man["rounds"].append(entry)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(man, fh, indent=1)
         os.replace(tmp, self._manifest_path)  # the atomic commit point
         return entry
+
+    # ------------------------------------------------- write-audit-publish
+
+    @staticmethod
+    def _entry_own_paths(entry: dict[str, Any]) -> list[str]:
+        """Dirs a staged entry itself wrote: its table snap/delta dirs and
+        its own blob dir. Earlier blob-CHAIN elements and base_paths belong
+        to the committed rounds that wrote them — never released here."""
+        paths = [info["path"] for info in entry["tables"].values()]
+        if entry.get("blob_dir"):
+            paths.append(entry["blob_dir"])
+        return paths
+
+    def _release_entry_dirs(self, man: dict[str, Any], entry: dict[str, Any]) -> int:
+        """Delete `entry`'s own dirs unless a committed round or another
+        staged entry still references them. `man` is the POST-removal
+        manifest (the entry no longer appears in it)."""
+        import shutil
+
+        live: set[str] = set()
+        for r in man["rounds"] + list(man.get("staged", {}).values()):
+            for info in r["tables"].values():
+                live.add(info["path"])
+                live.update(info.get("base_paths", []))
+            live.update(r.get("blob_chain") or [])
+            if r.get("blob_dir"):
+                live.add(r["blob_dir"])
+        removed = 0
+        for p in self._entry_own_paths(entry):
+            if p not in live and os.path.isdir(p):
+                shutil.rmtree(p)
+                removed += 1
+        return removed
+
+    def staged_entry(self, branch: str = "audit") -> dict[str, Any] | None:
+        """The manifest entry staged on `branch`, or None."""
+        return self.manifest().get("staged", {}).get(branch)
+
+    def _rounds_with_staged(
+        self, man: dict[str, Any], branch: str
+    ) -> list[dict[str, Any]]:
+        e = man.get("staged", {}).get(branch)
+        if e is None:
+            raise KeyError(f"no staged commit on branch {branch!r}")
+        return [r for r in man["rounds"] if r["round"] < e["round"]] + [e]
+
+    def read_staged(
+        self,
+        spark: SparkSession,
+        table: str,
+        branch: str = "audit",
+        resolve: bool = True,
+    ) -> DataFrame | None:
+        """The AUDIT read of write-audit-publish: `table`'s live state as if
+        the staged branch commit were published — committed readers stay on
+        the pre-round state. Raises KeyError when nothing is staged."""
+        man = self.manifest()
+        return self._resolve_read(
+            spark, self._rounds_with_staged(man, branch), table, resolve
+        )
+
+    def publish_branch(self, branch: str = "audit") -> dict[str, Any]:
+        """Atomically move the staged commit into the committed history
+        (Iceberg's WAP cherry-pick): one manifest flip, no data IO — the
+        files were already in place when the branch commit wrote them."""
+        man = self.manifest()
+        staged = man.get("staged", {})
+        if branch not in staged:
+            raise KeyError(f"no staged commit on branch {branch!r}")
+        entry = staged.pop(branch)
+        if not staged:
+            man.pop("staged", None)  # keep published manifests byte-stable
+        man["rounds"] = [
+            r for r in man["rounds"] if r["round"] < entry["round"]
+        ]
+        man["rounds"].append(entry)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path)
+        return entry
+
+    def drop_branch(
+        self, branch: str = "audit", missing_ok: bool = False
+    ) -> dict[str, Any]:
+        """Discard a staged commit: reclaim the dirs it wrote (never dirs a
+        committed round still references) and flip the manifest. The store
+        is then indistinguishable from one where the round never ran — the
+        failed-audit half of write-audit-publish."""
+        man = self.manifest()
+        staged = man.get("staged", {})
+        if branch not in staged:
+            if missing_ok:
+                return {"removed_dirs": 0}
+            raise KeyError(f"no staged commit on branch {branch!r}")
+        entry = staged.pop(branch)
+        if not staged:
+            man.pop("staged", None)  # a dropped audit leaves no trace
+        removed = self._release_entry_dirs(man, entry)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path)
+        return {"removed_dirs": removed, "round": entry["round"]}
 
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, Any]:
         """Iceberg `expire_snapshots` / the reference's partition-maintenance
@@ -497,6 +632,18 @@ class SnapshotStore:
                     live_blob_dirs.add(r["blob_dir"])
                     kept[0]["blob_dir"] = r["blob_dir"]
                     break
+
+        # a staged (write-audit-publish) entry's dirs are live until it is
+        # published or dropped — expiry must not reclaim them from under an
+        # in-flight audit (its blob_chain may reference committed rounds'
+        # delta dirs that would otherwise leave the kept window)
+        for e in man.get("staged", {}).values():
+            for info in e["tables"].values():
+                live_paths.add(info["path"])
+                live_paths.update(info.get("base_paths", []))
+            live_blob_dirs.update(e.get("blob_chain") or [])
+            if e.get("blob_dir"):
+                live_blob_dirs.add(e["blob_dir"])
 
         removed = 0
         for r in dropped:

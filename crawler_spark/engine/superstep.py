@@ -463,12 +463,37 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- one round
 
+    _staging_branch: str | None = None  # set only by run_round_audited
+
     def run_round(self, round_no: int) -> dict[str, Any]:
         self._in_round = True
         try:
             return self._run_round(round_no)
         finally:
             self._in_round = False
+
+    def run_round_audited(self, round_no: int, gate) -> dict[str, Any]:
+        """Write-audit-publish (Iceberg WAP / `spark.wap.branch`): the round
+        runs normally but commits to the 'audit' STAGING branch — invisible
+        to every reader. `gate(engine, round_no) -> bool` then inspects the
+        staged state via store.read_staged (e.g. duplicate-rate threshold,
+        span-parse sampling, row-count sanity): pass => publish_branch (one
+        atomic manifest flip, the data files are already in place); fail =>
+        drop_branch (dirs reclaimed, the store byte-identical to the
+        pre-round state, so the round re-runs after the fix). The validation
+        pattern the reference runs as per-batch persistence checks
+        (result_persistence.py) expressed as an Iceberg commit workflow."""
+        self._staging_branch = "audit"
+        try:
+            metrics = self.run_round(round_no)
+        finally:
+            self._staging_branch = None
+        published = bool(gate(self, round_no))
+        if published:
+            self.store.publish_branch("audit")
+        else:
+            self.store.drop_branch("audit")
+        return {**metrics, "published": published}
 
     def _run_round(self, round_no: int) -> dict[str, Any]:
         spark = self.spark
@@ -505,6 +530,7 @@ class CrawlEngine:
             entry = self.store.commit_round(
                 round_no, {},
                 metrics={"n_due": 0, "done": frontier.isEmpty()},
+                branch=self._staging_branch,
                 **blob_kw,
             )
             return entry["metrics"]
@@ -975,6 +1001,7 @@ class CrawlEngine:
         self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
             blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
+            branch=self._staging_branch,
         )
         flagged.unpersist()
         selected.unpersist()

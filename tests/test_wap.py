@@ -1,0 +1,198 @@
+"""Write-audit-publish (WAP) gates: a staged commit is invisible to every
+committed reader until published; a dropped audit leaves the store
+indistinguishable from one where the round never ran (dirs reclaimed, the
+round re-runs cleanly); an audited crawl whose gates all pass is identical
+to an unaudited one. The Iceberg `spark.wap.branch` + cherry-pick workflow
+over the SnapshotStore's manifest machinery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from crawler_spark.engine.corpus import (
+    CorpusSpec,
+    build_corpus,
+    robots_map,
+    seed_urls,
+)
+from crawler_spark.engine.snapshots import SnapshotStore
+from crawler_spark.engine.superstep import CrawlEngine
+
+SPEC = CorpusSpec(n_hosts=2, listing_pages=2, details_per_page=3, hosts_with_robots=1)
+BUDGET = 4
+MAX_ROUNDS = 10
+
+TABLES = ["frontier", "seen", "pages", "dlq", "fetch_log", "retry_history"]
+
+
+def rows(df):
+    if df is None:
+        return []
+    return sorted(map(tuple, df.collect()), key=repr)
+
+
+def final_state(spark, eng):
+    return {t: rows(eng.store.read(spark, t)) for t in TABLES}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return build_corpus(SPEC)
+
+
+@pytest.fixture(scope="module")
+def robots():
+    return robots_map(SPEC)
+
+
+class TestStoreWAP:
+    def test_staged_invisible_then_published(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "s"))
+        df0 = spark.createDataFrame([(1, "a")], "id int, v string")
+        store.commit_round(0, {"t": df0})
+        df1 = spark.createDataFrame([(2, "b")], "id int, v string")
+        entry = store.commit_round(
+            1, {"t": df0.unionByName(df1)}, branch="audit"
+        )
+        # committed readers: unchanged
+        assert store.latest_round() == 0
+        assert rows(store.read(spark, "t")) == [(1, "a")]
+        # audit reader: sees the staged state
+        assert rows(store.read_staged(spark, "t")) == [(1, "a"), (2, "b")]
+        assert store.staged_entry()["round"] == 1
+        published = store.publish_branch()
+        assert published["round"] == entry["round"] == 1
+        assert store.latest_round() == 1
+        assert rows(store.read(spark, "t")) == [(1, "a"), (2, "b")]
+        assert store.staged_entry() is None
+        # publish is one manifest flip: history carries the staged entry
+        assert [r["round"] for r in store.manifest()["rounds"]] == [0, 1]
+
+    def test_drop_branch_reclaims_dirs_and_restores_manifest(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "s"))
+        df0 = spark.createDataFrame([(1, "a")], "id int, v string")
+        store.commit_round(0, {"t": df0})
+        man_before = store.manifest()
+        store.commit_round(1, {"t": df0}, branch="audit")
+        own = [
+            info["path"] for info in store.staged_entry()["tables"].values()
+        ]
+        assert all(os.path.isdir(p) for p in own)
+        out = store.drop_branch()
+        assert out["removed_dirs"] == len(own)
+        assert not any(os.path.isdir(p) for p in own)
+        # manifest back to the pre-stage state; committed data untouched
+        assert store.manifest() == man_before
+        assert rows(store.read(spark, "t")) == [(1, "a")]
+
+    def test_restaging_releases_the_superseded_entry(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "s"))
+        df0 = spark.createDataFrame([(1, "a")], "id int, v string")
+        store.commit_round(0, {"t": df0})
+        store.commit_round(1, {"t": df0}, branch="audit")
+        p_old = store.staged_entry()["tables"]["t"]["path"]
+        # a different round number stages into a different dir — the old
+        # staged dir must not leak
+        store.commit_round(2, {"t": df0}, branch="audit")
+        assert not os.path.isdir(p_old)
+        assert store.staged_entry()["round"] == 2
+        # same-round restage overwrites the dir in place and must NOT
+        # delete what it just wrote
+        p_new = store.staged_entry()["tables"]["t"]["path"]
+        store.commit_round(2, {"t": df0}, branch="audit")
+        assert os.path.isdir(p_new)
+        assert rows(store.read_staged(spark, "t")) == [(1, "a")]
+        store.drop_branch()
+
+    def test_missing_branch_contract(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "s"))
+        with pytest.raises(KeyError):
+            store.publish_branch("audit")
+        with pytest.raises(KeyError):
+            store.drop_branch("audit")
+        assert store.drop_branch("audit", missing_ok=True)["removed_dirs"] == 0
+        with pytest.raises(KeyError):
+            store.read_staged(spark, "t")
+
+    def test_expiry_keeps_staged_dirs_alive(self, spark, tmp_path):
+        store = SnapshotStore(str(tmp_path / "s"))
+        df = spark.createDataFrame([(1, "a")], "id int, v string")
+        for rnd in range(4):
+            store.commit_round(rnd, {"t": df})
+        store.commit_round(4, {"t": df}, branch="audit")
+        own = [
+            info["path"] for info in store.staged_entry()["tables"].values()
+        ]
+        store.expire_snapshots(keep_last=2)
+        assert all(os.path.isdir(p) for p in own)
+        assert rows(store.read_staged(spark, "t")) == [(1, "a")]
+        store.publish_branch()
+        assert store.latest_round() == 4
+
+
+class TestEngineWAP:
+    def test_audited_crawl_equals_unaudited(self, spark, corpus, robots, tmp_path):
+        ctrl = CrawlEngine(
+            spark, str(tmp_path / "ctrl"), corpus, robots, per_host_budget=BUDGET
+        )
+        ctrl.run(seeds=seed_urls(SPEC), max_rounds=MAX_ROUNDS)
+
+        aud = CrawlEngine(
+            spark, str(tmp_path / "aud"), corpus, robots, per_host_budget=BUDGET
+        )
+        aud.init_frontier(seed_urls(SPEC))
+        audits = 0
+
+        def gate(engine, rnd):
+            nonlocal audits
+            audits += 1
+            # the audit half must see the STAGED state: the append-only
+            # fetch_log as-if-published is a superset of the committed one
+            staged = engine.store.read_staged(engine.spark, "fetch_log")
+            committed = engine.store.read(engine.spark, "fetch_log")
+            n_staged = staged.count() if staged is not None else 0
+            n_committed = committed.count() if committed is not None else 0
+            assert n_staged >= n_committed
+            return True
+
+        for rnd in range(MAX_ROUNDS):
+            m = aud.run_round_audited(rnd, gate)
+            assert m["published"] is True
+            if m.get("done"):
+                break
+        assert audits > 0
+        assert final_state(spark, ctrl) == final_state(spark, aud)
+        assert ctrl.crawl_order() == aud.crawl_order()
+        assert ctrl.seen_set() == aud.seen_set()
+
+    def test_failed_gate_leaves_store_unchanged_and_round_reruns(
+        self, spark, corpus, robots, tmp_path
+    ):
+        eng = CrawlEngine(
+            spark, str(tmp_path / "wapfail"), corpus, robots,
+            per_host_budget=BUDGET,
+        )
+        eng.init_frontier(seed_urls(SPEC))
+        eng.run_round(0)
+        before = final_state(spark, eng)
+        latest = eng.store.latest_round()
+        blob_before = eng.store.latest_blob_chain()
+
+        m = eng.run_round_audited(1, lambda e, r: False)
+        assert m["published"] is False
+        # the store is byte-identical to the pre-round state
+        assert eng.store.latest_round() == latest
+        assert eng.store.staged_entry() is None
+        assert final_state(spark, eng) == before
+        assert eng.store.latest_blob_chain() == blob_before
+
+        # after the (hypothetical) fix, the SAME round re-runs and publishes
+        m2 = eng.run_round_audited(1, lambda e, r: True)
+        assert m2["published"] is True
+        assert eng.store.latest_round() == 1
+        # and the crawl continues to drain normally afterwards
+        out = eng.run(max_rounds=MAX_ROUNDS)
+        assert out[-1].get("done") or out[-1].get("cancelled") is None
