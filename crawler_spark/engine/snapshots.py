@@ -399,15 +399,11 @@ class SnapshotStore:
             # chain, not the single dir.
             entry["blob_chain"] = list(blob_chain)
         man = self.manifest()
+        superseded: dict[str, Any] | None = None
         if branch is not None:
             staged = man.setdefault("staged", {})
-            old = staged.get(branch)
+            superseded = staged.get(branch)
             staged[branch] = entry
-            if old is not None:
-                # replacing a staged entry releases the OLD entry's dirs —
-                # except any the new entry re-wrote in place (same round
-                # number ⇒ same snap/delta paths, already overwritten)
-                self._release_entry_dirs(man, old)
         else:
             man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
             man["rounds"].append(entry)
@@ -415,6 +411,13 @@ class SnapshotStore:
         with open(tmp, "w") as fh:
             json.dump(man, fh, indent=1)
         os.replace(tmp, self._manifest_path)  # the atomic commit point
+        if superseded is not None:
+            # replacing a staged entry releases the OLD entry's dirs — except
+            # any the new entry re-wrote in place (same round number ⇒ same
+            # snap/delta paths, already overwritten). AFTER the flip, like
+            # Iceberg: a crash between commit and cleanup leaves orphan dirs
+            # (harmless), never a manifest referencing deleted files.
+            self._release_entry_dirs(man, superseded)
         return entry
 
     # ------------------------------------------------- write-audit-publish
@@ -514,11 +517,13 @@ class SnapshotStore:
         entry = staged.pop(branch)
         if not staged:
             man.pop("staged", None)  # a dropped audit leaves no trace
-        removed = self._release_entry_dirs(man, entry)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(man, fh, indent=1)
         os.replace(tmp, self._manifest_path)
+        # delete AFTER the flip (Iceberg's order): a crash in between leaves
+        # orphan dirs, never a staged manifest pointing at deleted files
+        removed = self._release_entry_dirs(man, entry)
         return {"removed_dirs": removed, "round": entry["round"]}
 
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, Any]:
