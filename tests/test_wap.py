@@ -133,6 +133,108 @@ class TestStoreWAP:
         assert store.latest_round() == 4
 
 
+class _FakeEngine:
+    """Gates only touch engine.spark and engine.store."""
+
+    def __init__(self, spark, store):
+        self.spark = spark
+        self.store = store
+
+
+class TestAuditGates:
+    def test_duplicate_rate_gate_thresholds(self, spark, tmp_path):
+        from crawler_spark.engine.audits import duplicate_rate_gate
+
+        store = SnapshotStore(str(tmp_path / "s"))
+        store.commit_round(0, {"pages": spark.createDataFrame(
+            [], "url_hash string, content_sha256 string, fetched_round int")})
+        # round 1: 4 pages, 2 distinct hashes -> dup ratio 0.5
+        staged = spark.createDataFrame(
+            [("u1", "h1", 1), ("u2", "h1", 1), ("u3", "h2", 1), ("u4", "h2", 1)],
+            "url_hash string, content_sha256 string, fetched_round int",
+        )
+        store.commit_round(1, {"pages": staged}, branch="audit")
+        eng = _FakeEngine(spark, store)
+        assert duplicate_rate_gate(0.5)(eng, 1) is True
+        assert duplicate_rate_gate(0.49)(eng, 1) is False
+        # other rounds' rows never count against this round
+        assert duplicate_rate_gate(0.0)(eng, 2) is True
+        store.drop_branch()
+
+    def test_monotonic_tables_gate(self, spark, tmp_path):
+        from crawler_spark.engine.audits import monotonic_tables_gate
+
+        store = SnapshotStore(str(tmp_path / "s"))
+        df3 = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "url_hash string")
+        store.commit_round(0, {"seen": df3})
+        eng = _FakeEngine(spark, store)
+        # a full staged snapshot that LOST rows is vetoed
+        store.commit_round(
+            1, {"seen": df3.limit(1)}, branch="audit")
+        assert monotonic_tables_gate()(eng, 1) is False
+        # a growing full snapshot passes; a delta always passes
+        store.commit_round(
+            1, {"seen": df3.unionByName(
+                spark.createDataFrame([("d",)], "url_hash string"))},
+            branch="audit")
+        assert monotonic_tables_gate()(eng, 1) is True
+        store.commit_round(
+            1, {}, delta_tables={"seen": df3.limit(1)}, branch="audit")
+        assert monotonic_tables_gate()(eng, 1) is True
+        store.drop_branch()
+
+    def test_span_sample_gate(self, spark, tmp_path):
+        from crawler_spark.engine.audits import span_sample_gate
+        from crawler_spark.kernels.htmlparse import extract_page
+
+        html = "<html><title>t</title><body><p>hello world</p>" \
+               "<img src='x.png'><p>bye</p></body></html>"
+        good = extract_page(html)["spans"]
+        bad = [(k, t + "!corrupt" if k == "text" and t else t, m, o)
+               for (k, t, m, o) in good]
+        schema = (
+            "url_hash string, raw_html string,"
+            " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+            " fetched_round int"
+        )
+        store = SnapshotStore(str(tmp_path / "s"))
+        store.commit_round(0, {"pages": spark.createDataFrame([], schema)})
+        eng = _FakeEngine(spark, store)
+        store.commit_round(
+            1, {"pages": spark.createDataFrame([("u1", html, good, 1)], schema)},
+            branch="audit")
+        assert span_sample_gate()(eng, 1) is True
+        store.commit_round(
+            1, {"pages": spark.createDataFrame([("u1", html, bad, 1)], schema)},
+            branch="audit")
+        assert span_sample_gate()(eng, 1) is False
+        store.drop_branch()
+
+    def test_standard_gates_pass_on_a_real_round(
+        self, spark, corpus, robots, tmp_path
+    ):
+        from crawler_spark.engine.audits import (
+            all_of,
+            duplicate_rate_gate,
+            monotonic_tables_gate,
+            span_sample_gate,
+        )
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "gated"), corpus, robots,
+            per_host_budget=BUDGET,
+        )
+        eng.init_frontier(seed_urls(SPEC))
+        gate = all_of(
+            monotonic_tables_gate(), duplicate_rate_gate(1.0), span_sample_gate()
+        )
+        m0 = eng.run_round_audited(0, gate)
+        m1 = eng.run_round_audited(1, gate)
+        assert m0["published"] and m1["published"]
+        assert eng.store.latest_round() == 1
+
+
 class TestEngineWAP:
     def test_audited_crawl_equals_unaudited(self, spark, corpus, robots, tmp_path):
         ctrl = CrawlEngine(
