@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "decontaminate",
     "gopher_quality",
     "stratified_split",
+    "curation_pipeline",
     # round-3 admin/reporting surface (sqlc stats + audit parity)
     "request_retry",
     "website_statistics",

@@ -70,6 +70,7 @@ HEADLINE = [
     "decontaminate",
     "gopher_quality",
     "stratified_split",
+    "curation_pipeline",
 ]
 
 

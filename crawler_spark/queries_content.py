@@ -2048,6 +2048,62 @@ FROM h
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set materialization — the composition the other
+    curation queries define in isolation: exact dedup (canonical doc per
+    full-text sha256) -> Gopher quality filter (keep) -> benchmark
+    decontamination (docs sharing eval shingles drop; the benchmark docs
+    themselves never enter the training set) -> deterministic split
+    assignment. One output row per SURVIVING training document.
+
+    Plan shape for 100 TB: the canonical election is one content-hash
+    aggregation; every later stage is one row per doc_id, so the joins all
+    hash-partition on doc_id with no skew and no fan-out. The decontaminate
+    stage still broadcasts the eval shingles (plan-gated there)."""
+    docs = _docs(spark, sf_dir)
+    canon = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality = (
+        q_gopher_quality(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words", "mean_word_len")
+    )
+    clean = (
+        q_decontaminate(spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    split = q_stratified_split(spark, sf_dir).select("doc_id", "lang", "split")
+    return (
+        split.join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .join(clean, "doc_id")
+    )
+
+
+O_CURATION_PIPELINE = rf"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+quality AS (
+  SELECT doc_id, n_words, mean_word_len
+  FROM ({O_GOPHER_QUALITY}) WHERE keep
+),
+clean AS (
+  SELECT doc_id FROM ({O_DECONTAMINATE}) WHERE NOT contaminated
+),
+split AS ({O_STRATIFIED_SPLIT})
+SELECT s.doc_id, s.lang, s.split, q.n_words, q.mean_word_len
+FROM split s
+JOIN canon USING (doc_id)
+JOIN quality q USING (doc_id)
+JOIN clean USING (doc_id)
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -2083,6 +2139,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -2120,4 +2177,5 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,
+    "curation_pipeline": O_CURATION_PIPELINE,
 }

@@ -324,3 +324,16 @@ def test_stratified_split_is_map_only(spark):
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in s
     assert count_shuffles(df) <= 1
+
+
+def test_curation_pipeline_no_cartesian_bounded_shuffles(spark):
+    """The materialization composes four curation stages; every join keys on
+    doc_id (one row per doc on each side — no fan-out, no skew) and the only
+    corpus-wide aggregation is the canonical election on content hash."""
+    from crawler_spark.queries_content import q_curation_pipeline
+
+    df = q_curation_pipeline(spark, SF)
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert count_occurrences(df, "CartesianProduct") == 0
+    assert count_shuffles(df) <= 12
