@@ -1013,12 +1013,23 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- the loop
 
-    def run(self, seeds: list[str] | None = None, max_rounds: int = 20) -> list[dict]:
+    def run(
+        self,
+        seeds: list[str] | None = None,
+        max_rounds: int = 20,
+        audit_gate=None,
+    ) -> list[dict]:
         """Run (or RESUME — the checkpoint gate) until the frontier drains.
 
         Cancellation (S8, worker.py:269-283 semantics): the flag is polled
         BETWEEN rounds — the in-flight round commits atomically, nothing is
-        half-written, and a later run() resumes from the cancelled point."""
+        half-written, and a later run() resumes from the cancelled point.
+
+        audit_gate: when set, every round commits write-audit-publish
+        (run_round_audited). A VETOED round stops the loop — its snapshot
+        was rolled back, so continuing would re-crawl the same frontier
+        under the next round number; the operator fixes the cause and a
+        later run() resumes at the vetoed round."""
         if not self.store.manifest()["rounds"]:
             if seeds is None:
                 raise ValueError("fresh store needs seeds")
@@ -1029,9 +1040,12 @@ class CrawlEngine:
             if self.is_cancelled():
                 out.append({"round": rnd, "cancelled": True})
                 break
-            m = self.run_round(rnd)
+            if audit_gate is not None:
+                m = self.run_round_audited(rnd, audit_gate)
+            else:
+                m = self.run_round(rnd)
             out.append({"round": rnd, **m})
-            if m.get("done"):
+            if m.get("published") is False or m.get("done"):
                 break
         return out
 

@@ -298,3 +298,28 @@ class TestEngineWAP:
         # and the crawl continues to drain normally afterwards
         out = eng.run(max_rounds=MAX_ROUNDS)
         assert out[-1].get("done") or out[-1].get("cancelled") is None
+
+    def test_run_loop_stops_on_veto_and_resumes(
+        self, spark, corpus, robots, tmp_path
+    ):
+        eng = CrawlEngine(
+            spark, str(tmp_path / "waploop"), corpus, robots,
+            per_host_budget=BUDGET,
+        )
+        veto_round = 1
+
+        def gate(engine, rnd):
+            return rnd != veto_round
+
+        out = eng.run(
+            seeds=seed_urls(SPEC), max_rounds=MAX_ROUNDS, audit_gate=gate
+        )
+        # the loop stopped AT the vetoed round, which was rolled back
+        assert out[-1]["published"] is False
+        assert out[-1]["round"] == veto_round
+        assert eng.store.latest_round() == veto_round - 1
+        # a later gated run resumes at the vetoed round and drains
+        out2 = eng.run(max_rounds=MAX_ROUNDS, audit_gate=lambda e, r: True)
+        assert out2[0]["round"] == veto_round
+        assert all(m["published"] for m in out2)
+        assert out2[-1].get("done")
