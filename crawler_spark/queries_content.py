@@ -1792,28 +1792,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for 100 TB: the benchmark shingle set is tiny relative to the
     corpus (eval suites are ~10^6 shingles), so it is BROADCAST to the
     corpus-side explode; the per-doc overlap count is one map-side-combinable
-    aggregation. No corpus self-join, no window, one shuffle total.
+    aggregation. No corpus self-join, no window, one shuffle total. The join
+    key is a 60-bit hash of the shingle, not the string — the broadcast
+    table is 8 B/entry instead of ~50 B (a 10^7-shingle eval suite fits in
+    tens of MB per executor), and the probe compares fixed-width ints. A
+    hash collision only OVER-flags a doc (~1e-9 per pair at 60 bits) —
+    decontamination is deliberately recall-biased.
 
     hit_ratio is a raw double from a single (double)/int division — both
     engines produce bit-identical IEEE results, so no round() tie risk.
     """
     K = 4
+
+    def _h(col):  # 60-bit md5-prefix hash, identical on the DuckDB side
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
     docs = _docs(spark, sf_dir).select(
         "doc_id", word_shingles_col(F.col("text"), K).alias("sh")
     )
     bench = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("sh").alias("shingle"))
+        .select(_h(F.col("shingle")).alias("sh_h"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id",
-        F.size("sh").alias("n_shingles"),
-        F.explode_outer("sh").alias("shingle"),
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        .select("doc_id", "n_shingles", _h(F.col("shingle")).alias("sh_h"))
     )
     return (
-        corpus.join(F.broadcast(bench), "shingle", "left")
+        corpus.join(F.broadcast(bench), "sh_h", "left")
         .groupBy("doc_id", "n_shingles")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
         .select(
@@ -1844,20 +1858,28 @@ sh AS (
               ELSE CAST([] AS VARCHAR[]) END AS sh
   FROM tok
 ),
-bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+bench AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+  FROM (SELECT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0)
+),
 corpus AS (
-  SELECT doc_id, len(sh) AS n_shingles,
-         unnest(CASE WHEN len(sh) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE sh END) AS shingle
-  FROM sh WHERE doc_id % 97 <> 0
+  SELECT doc_id, n_shingles,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+  FROM (
+    SELECT doc_id, len(sh) AS n_shingles,
+           unnest(CASE WHEN len(sh) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE sh END) AS shingle
+    FROM sh WHERE doc_id % 97 <> 0
+  )
 )
 SELECT c.doc_id,
        CAST(c.n_shingles AS INT) AS n_shingles,
-       CAST(count(b.shingle) AS INT) AS n_hits,
+       CAST(count(b.sh_h) AS INT) AS n_hits,
        CASE WHEN c.n_shingles > 0
-            THEN CAST(CAST(count(b.shingle) AS INT) AS DOUBLE) / c.n_shingles
+            THEN CAST(CAST(count(b.sh_h) AS INT) AS DOUBLE) / c.n_shingles
             ELSE 0.0 END AS hit_ratio,
-       count(b.shingle) >= 1 AS contaminated
-FROM corpus c LEFT JOIN bench b USING (shingle)
+       count(b.sh_h) >= 1 AS contaminated
+FROM corpus c LEFT JOIN bench b USING (sh_h)
 GROUP BY c.doc_id, c.n_shingles
 """
 
