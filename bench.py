@@ -213,6 +213,66 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
             "urls_per_sec": round(n_urls / wall, 1),
         }
 
+    if mode == "curation":
+        # training-data curation stage (the decontaminate shape): shingle ->
+        # 60-bit hash -> broadcast eval-set overlap -> per-doc combinable
+        # agg. All-JVM codegen (split / transform / md5 / array lambdas) —
+        # a third stage class next to the pandas-UDF-bound parse and the
+        # exchange-bound probe.
+        from crawler_spark.functions.text import word_shingles_col
+
+        vocab = F.array(*[F.lit(f"kata{i}") for i in range(30)])
+        docs = spark.range(0, n_urls, 1, n_parts).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.element_at(
+                        vocab, ((F.col("id") * 7 + i * i) % 30 + 1).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+        sh = docs.select(
+            "doc_id", word_shingles_col(F.col("text"), 4).alias("sh")
+        )
+
+        def _h(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        bench = (
+            sh.filter(F.col("doc_id") % 97 == 0)
+            .select(F.explode("sh").alias("s"))
+            .select(_h(F.col("s")).alias("sh_h"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        corpus = (
+            sh.filter(F.col("doc_id") % 97 != 0)
+            .select(
+                "doc_id",
+                F.size("sh").alias("n_shingles"),
+                F.explode_outer("sh").alias("s"),
+            )
+            .select("doc_id", "n_shingles", _h(F.col("s")).alias("sh_h"))
+        )
+        overlap = (
+            corpus.join(F.broadcast(bench), "sh_h", "left")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        )
+        # warm-up (codegen compile + broadcast build), not timed
+        overlap.limit(2000).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        overlap.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spark.stop()
+        return {
+            "cpus": cpus, "n_urls": n_urls, "wall_sec": round(wall, 2),
+            "urls_per_sec": round(n_urls / wall, 1),
+        }
+
     if mode == "probe":
         # the r03-final dedup arbiter at two parallelism levels: candidates
         # repartition on shard, each task probes its shard's bloom + exact
@@ -349,18 +409,19 @@ def main() -> None:
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
         report: dict = {}
         n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "240000"))
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "600000"))
         for mode, label in (
             ("parse", "parse_throughput"),
             ("round", "frontier_round"),
             ("span", "span_parse_throughput"),
             ("probe", "seen_probe_dedup"),
+            ("curation", "curation_decontaminate"),
         ):
             best: dict[int, dict] = {}
             for _ in range(trials):
                 for cpus in (n_lo, n_hi):
-                    r = run_scaling_workload(
-                        cpus, n_pages if mode == "span" else n_urls, mode
-                    )
+                    n_in = {"span": n_pages, "curation": n_docs}.get(mode, n_urls)
+                    r = run_scaling_workload(cpus, n_in, mode)
                     if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                         best[cpus] = r
             speedup = best[n_lo]["wall_sec"] / best[n_hi]["wall_sec"]

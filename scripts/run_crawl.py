@@ -24,6 +24,16 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=8, help="per-host budget/round")
     ap.add_argument("--rounds", type=int, default=12)
     ap.add_argument("--hosts", type=int, default=4, help="fixture corpus size")
+    ap.add_argument(
+        "--audited", action="store_true",
+        help="commit every round write-audit-publish behind the standard "
+        "gates (duplicate-rate circuit breaker, append-only monotonicity, "
+        "span-sample parse equality); a vetoed round rolls back and stops",
+    )
+    ap.add_argument(
+        "--max-dup-rate", type=float, default=0.9,
+        help="duplicate-rate veto threshold for --audited",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,8 +56,22 @@ def main() -> None:
         per_host_budget=args.budget,
         selector_configs=website_configs(spec),
     )
+    gate = None
+    if args.audited:
+        from crawler_spark.engine.audits import (
+            all_of,
+            duplicate_rate_gate,
+            monotonic_tables_gate,
+            span_sample_gate,
+        )
+
+        gate = all_of(
+            monotonic_tables_gate(),
+            duplicate_rate_gate(args.max_dup_rate),
+            span_sample_gate(),
+        )
     seeds = None if eng.store.manifest()["rounds"] else seed_urls(spec)
-    rounds = eng.run(seeds=seeds, max_rounds=args.rounds)
+    rounds = eng.run(seeds=seeds, max_rounds=args.rounds, audit_gate=gate)
     print(json.dumps({"rounds": rounds}, default=int))
     spark.stop()
 

@@ -63,6 +63,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--py-files", zip_path,
             os.path.join(repo, "scripts", "run_crawl.py"),
             "--store", store, "--rounds", "2", "--hosts", "2", "--budget", "4",
+            # audited mode rides the same submission: every round commits
+            # write-audit-publish behind the standard gates, so the zip must
+            # also ship engine/audits.py and the WAP store methods
+            "--audited",
         ],
         cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
         env=env,
@@ -73,6 +77,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert len(out["rounds"]) >= 1  # one metrics dict per executed round
+    assert all(m.get("published") for m in out["rounds"])  # gates all passed
     from crawler_spark.engine.snapshots import SnapshotStore
 
     st = SnapshotStore(store)
