@@ -170,8 +170,12 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
         F.concat(F.lit("portal"), (F.col("id") % 2000).cast("string"), F.lit(".go.id")).alias("host"),
         (F.col("id") % 11).cast("int").alias("priority"),
     )
-    # warm-up (codegen + python worker pool), not timed
-    base.withColumn("n", normalize_url_udf(F.col("url"))).limit(50000).count()
+    if mode not in ("span", "curation"):
+        # warm-up (codegen + python worker pool), not timed. span has its own
+        # parse warm-up below; curation is all-JVM codegen with a noop
+        # warm-up of its own plan — running the pandas-UDF pool spin-up for
+        # those modes is pure wasted wall-clock.
+        base.withColumn("n", normalize_url_udf(F.col("url"))).limit(50000).count()
 
     if mode == "span":
         # interleaved-payload parse stage (the north rule's span-sequence
@@ -219,7 +223,10 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
         # agg. All-JVM codegen (split / transform / md5 / array lambdas) —
         # a third stage class next to the pandas-UDF-bound parse and the
         # exchange-bound probe.
-        from crawler_spark.functions.text import word_shingles_col
+        from crawler_spark.functions.text import (
+            md5_60bit_col as _h,
+            word_shingles_col,
+        )
 
         vocab = F.array(*[F.lit(f"kata{i}") for i in range(30)])
         docs = spark.range(0, n_urls, 1, n_parts).select(
@@ -237,9 +244,6 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
         sh = docs.select(
             "doc_id", word_shingles_col(F.col("text"), 4).alias("sh")
         )
-
-        def _h(c):
-            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
         bench = (
             sh.filter(F.col("doc_id") % 97 == 0)

@@ -62,7 +62,14 @@ def monotonic_tables_gate() -> Gate:
         if staged is None:
             return True
         man_rounds = engine.store.manifest()["rounds"]
-        for t in ("seen", "fetch_log", "dlq", "retry_history"):
+        tables = ["seen", "fetch_log", "dlq", "retry_history"]
+        if getattr(engine, "ttl_rounds", None) is not None:
+            # windowed membership: 'seen' retires cohorts every round, so it
+            # shrinks BY DESIGN whenever retirements outnumber new URLs —
+            # enforcing monotonicity there would veto every legitimate TTL
+            # round (and re-running reproduces the shrink: a deadlock).
+            tables.remove("seen")
+        for t in tables:
             info = staged["tables"].get(t)
             if info is None:  # metrics-only or delta-untouched table
                 continue

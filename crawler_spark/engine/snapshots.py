@@ -100,6 +100,15 @@ class SnapshotStore:
         rounds = self.manifest()["rounds"]
         return rounds[-1]["round"] if rounds else -1
 
+    def _flip_manifest(self, man: dict[str, Any]) -> None:
+        """THE atomic commit point, shared by every mutation path
+        (commit/publish/drop/expire): tmp write + os.replace so readers see
+        either the old manifest or the new one, never a partial file."""
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, self._manifest_path)
+
     @staticmethod
     def _live_chain(rounds: list[dict], table: str) -> list[tuple[int, dict]]:
         """Newest-first [(round_list_index, table_info)] entries forming the
@@ -322,6 +331,19 @@ class SnapshotStore:
         manifest entry lands under `staged[branch]` — invisible to read()/
         read_at()/latest_round() until publish_branch() moves it into the
         committed history, or drop_branch() reclaims it."""
+        if branch is not None and round_no <= self.latest_round():
+            # Data paths are keyed by round number only; staging a round that
+            # is already committed would overwrite the committed round's
+            # snap/delta dirs IN PLACE before any gate runs — and a vetoed
+            # drop_branch could not restore them (the dirs stay "live" via
+            # the committed entry, but hold the rolled-back data). A normal
+            # commit of an existing round supersedes its manifest entry, so
+            # only the branch path needs the guard.
+            raise ValueError(
+                f"cannot stage round {round_no} on branch {branch!r}: round"
+                f" {self.latest_round()} is already committed and staging"
+                " would overwrite its data dirs"
+            )
         # Iceberg invariant: a FULL snapshot of a merge-on-read table
         # supersedes every outstanding delete key (rewrite_data_files drops
         # applied delete files). A full commit that left the old dels chain
@@ -407,10 +429,7 @@ class SnapshotStore:
         else:
             man["rounds"] = [r for r in man["rounds"] if r["round"] < round_no]
             man["rounds"].append(entry)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path)  # the atomic commit point
+        self._flip_manifest(man)  # the atomic commit point
         if superseded is not None:
             # replacing a staged entry releases the OLD entry's dirs — except
             # any the new entry re-wrote in place (same round number ⇒ same
@@ -495,10 +514,7 @@ class SnapshotStore:
             r for r in man["rounds"] if r["round"] < entry["round"]
         ]
         man["rounds"].append(entry)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._flip_manifest(man)
         return entry
 
     def drop_branch(
@@ -517,10 +533,7 @@ class SnapshotStore:
         entry = staged.pop(branch)
         if not staged:
             man.pop("staged", None)  # a dropped audit leaves no trace
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._flip_manifest(man)
         # delete AFTER the flip (Iceberg's order): a crash in between leaves
         # orphan dirs, never a staged manifest pointing at deleted files
         removed = self._release_entry_dirs(man, entry)
@@ -674,10 +687,7 @@ class SnapshotStore:
                     removed += 1
 
         man["rounds"] = kept
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._flip_manifest(man)
         return {"removed_dirs": removed, "kept_rounds": len(kept)}
 
     def round_metrics(self) -> list[dict[str, Any]]:

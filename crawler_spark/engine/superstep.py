@@ -483,16 +483,32 @@ class CrawlEngine:
         pre-round state, so the round re-runs after the fix). The validation
         pattern the reference runs as per-batch persistence checks
         (result_persistence.py) expressed as an Iceberg commit workflow."""
+        import os
+        import shutil
+
         self._staging_branch = "audit"
         try:
             metrics = self.run_round(round_no)
         finally:
             self._staging_branch = None
         published = bool(gate(self, round_no))
+        staged_feed = os.path.join(
+            self.store.root, "_logfeed_staging", f"feed-{round_no:05d}"
+        )
         if published:
             self.store.publish_branch("audit")
+            if os.path.isdir(staged_feed):
+                final_feed = os.path.join(
+                    self.store.root, "_logfeed", f"feed-{round_no:05d}"
+                )
+                os.makedirs(os.path.dirname(final_feed), exist_ok=True)
+                if os.path.isdir(final_feed):
+                    shutil.rmtree(final_feed)
+                os.replace(staged_feed, final_feed)
         else:
             self.store.drop_branch("audit")
+            if os.path.isdir(staged_feed):
+                shutil.rmtree(staged_feed)
         return {**metrics, "published": published}
 
     def _run_round(self, round_no: int) -> dict[str, Any]:
@@ -993,10 +1009,19 @@ class CrawlEngine:
         if self.log_feed and metrics["n_fetched"] > 0:
             import os
 
+            # Under an audited (WAP) round the feed is part of the staged
+            # state: write it OUTSIDE the consumer's `_logfeed/feed-*` glob
+            # and let run_round_audited move it in on publish / delete it on
+            # veto — otherwise a rolled-back round's fetch events would reach
+            # the streaming reader, violating the "indistinguishable from a
+            # round that never ran" contract.
+            feed_parent = (
+                "_logfeed_staging" if self._staging_branch else "_logfeed"
+            )
             log_delta.coalesce(
                 max(1, min(metrics["n_fetched"] // SnapshotStore.ROWS_PER_FILE + 1, 64))
             ).write.mode("overwrite").parquet(
-                os.path.join(self.store.root, "_logfeed", f"feed-{round_no:05d}")
+                os.path.join(self.store.root, feed_parent, f"feed-{round_no:05d}")
             )
         self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,

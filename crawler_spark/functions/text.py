@@ -79,28 +79,34 @@ def doc_fingerprint_col(text: Column, max_tokens: int = 64) -> Column:
     )
 
 
-def word_shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined). array_distinct preserves
-    first-occurrence order, matching the kernel."""
-    toks = ws_tokens_col(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    # guard: sequence(1, m) with m < 1 generates a DESCENDING sequence in Spark
-    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def word_ngrams_col(text: Column, k: int) -> Column:
     """ALL k-word ngrams in order (NOT distinct — repetition statistics need
-    the multiset). Same construction as word_shingles_col minus the
-    array_distinct, same descending-sequence guard."""
+    the multiset)."""
     toks = ws_tokens_col(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     ngrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # guard: sequence(1, m) with m < 1 generates a DESCENDING sequence in Spark
     return F.when(n >= k, ngrams).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined): the distinct form of
+    word_ngrams_col — ONE construction for both so the tokenize/slice/guard
+    logic the DuckDB oracles mirror lives in a single place. array_distinct
+    preserves first-occurrence order, matching the kernel."""
+    return F.array_distinct(word_ngrams_col(text, k))
+
+
+def md5_60bit_col(col: Column) -> Column:
+    """60-bit md5-PREFIX hash as a non-negative int64 (< 2^60): the shared
+    join/bucket key for decontamination, stratified splits, and the curation
+    bench. 15 hex chars exactly — 16 would overflow BIGINT — and the width
+    is load-bearing for DuckDB oracle parity (the oracles compute the same
+    prefix), so every consumer must use THIS helper. Distinct from
+    token_hash60_col, which takes the md5 SUFFIX (fingerprint domain
+    separation)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def mean_word_len_col(text: Column) -> Column:

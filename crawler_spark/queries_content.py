@@ -16,6 +16,7 @@ from crawler_spark.functions.text import (
     alpha_word_ratio_col,
     doc_fingerprint_col,
     lang_id_col,
+    md5_60bit_col,
     mean_word_len_col,
     punct_ratio_col,
     quality_score_col,
@@ -1804,8 +1805,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     K = 4
 
-    def _h(col):  # 60-bit md5-prefix hash, identical on the DuckDB side
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    _h = md5_60bit_col  # 60-bit md5-prefix hash, identical on the DuckDB side
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", word_shingles_col(F.col("text"), K).alias("sh")
@@ -2025,20 +2025,9 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a prefix) decide split membership and sampling so the 5% sample is
     unbiased within every split."""
     d = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    ).cast("int")
+    bucket = (md5_60bit_col(F.col("doc_id").cast("string")) % 100).cast("int")
     smp = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
+        md5_60bit_col(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
         % 10000
     ).cast("int")
     return d.select(
