@@ -2115,6 +2115,197 @@ JOIN clean USING (doc_id)
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-line removal (CCNet-style boilerplate dedup):
+    hash every line, count the DISTINCT documents it appears in, and strip
+    lines above the threshold from every document — the standard pass that
+    removes nav bars / cookie banners / copyright footers before training.
+    The fixture corpus has no newlines, so "lines" are deterministic
+    10-token chunks (the chunker stands in for the line splitter; the
+    dataflow is identical), and boilerplate is planted in-query: a shared
+    10-token header on even doc_ids and a footer on doc_id % 3 == 0 (the
+    footer only chunk-aligns when the preceding token count is a multiple
+    of 10 — exercising the partial-line path).
+
+    100 TB plan: ONE aggregation (line -> distinct-doc count) feeds a
+    collect_list of just the ABOVE-THRESHOLD lines (the boilerplate set —
+    bounded by threshold selectivity at ~1e5-1e6 lines, CCNet-scale) which
+    broadcasts to a per-row array filter: the corpus is never exploded a
+    second time and never re-shuffled for reconstruction — removal is a
+    map-side lambda that preserves line order and multiplicity. For an
+    unbounded boilerplate set, swap the lambda for explode -> broadcast
+    anti-join -> regroup (one more shuffle). Zero UDF."""
+    L, T = 10, 3
+    hdr = (
+        "putusan ini dilindungi hak cipta pengadilan negeri republik"
+        " indonesia portal"
+    )
+    ftr = (
+        "salinan resmi diterbitkan oleh kepaniteraan mahkamah agung republik"
+        " indonesia jakarta"
+    )
+    text2 = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit(hdr + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(text2, F.lit(" " + ftr))
+    ).otherwise(text2)
+    toks = ws_tokens_col(text2)
+    nch = F.ceil(F.size(toks) / F.lit(L)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(toks, i * L + 1, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = _docs(spark, sf_dir).select("doc_id", chunks.alias("lines"))
+    boiler = (
+        chunked.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= T)
+        .agg(F.collect_list("line").alias("bl"))
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        chunked.crossJoin(F.broadcast(boiler))
+        .select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            F.filter(
+                "lines",
+                lambda c: ~F.array_contains(F.coalesce(F.col("bl"), empty), c),
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.size("kept")).alias("n_removed"),
+            F.array_join("kept", " ").alias("cleaned"),
+        )
+    )
+
+
+O_LINE_DEDUP = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           CASE WHEN doc_id % 3 = 0 THEN base || ' salinan resmi diterbitkan oleh kepaniteraan mahkamah agung republik indonesia jakarta'
+                ELSE base END, '\s+'), x -> x <> '') AS toks
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'putusan ini dilindungi hak cipta pengadilan negeri republik indonesia portal ' || text
+                ELSE text END AS base
+    FROM documents
+  )
+),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN list_transform(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1),
+                                  i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM tok
+),
+boiler AS (
+  SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl
+  FROM (
+    SELECT line FROM (SELECT doc_id, unnest(lines) AS line FROM chunked)
+    GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+  )
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(lines) - len(kept) AS INT) AS n_removed,
+       array_to_string(kept, ' ') AS cleaned
+FROM (
+  SELECT doc_id, lines,
+         list_filter(lines, c -> NOT list_contains(b.bl, c)) AS kept
+  FROM chunked, boiler b
+)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training data: count and replace emails, Indonesian
+    phone numbers (+62...), and 16-digit national identity numbers (NIK —
+    routinely present in the court decisions the reference crawls) with
+    typed placeholders. The fixture text carries no PII, so deterministic
+    specimens are planted in-query (email on doc_id % 3 == 0, phone on % 5,
+    NIK on % 7) — redaction counts then vary 0-3 per doc and a regex that
+    over- or under-matches fails the value hash.
+
+    100 TB plan: MAP-ONLY — three regexp counts + a chained
+    regexp_replace, all JVM codegen, no shuffle, no UDF; replacement order
+    (email, then 16-digit ID, then phone) is fixed so the engines transform
+    identical strings. Patterns avoid lookarounds/backrefs so Java regex
+    (Spark) and RE2 (DuckDB) agree."""
+    re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    re_nik = "[0-9]{16}"
+    re_phone = "\\+62[0-9]{6,13}"
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            t,
+            F.lit(" hubungi petugas"),
+            F.col("doc_id").cast("string"),
+            F.lit("@pengadilan.go.id"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" telp +628123"), F.col("doc_id").cast("string")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            t, F.lit(" nik "), F.lpad(F.col("doc_id").cast("string"), 16, "3")
+        ),
+    ).otherwise(t)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, re_email, "<EMAIL>"), re_nik, "<ID>"
+        ),
+        re_phone,
+        "<PHONE>",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(re_email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(re_nik), 0)).alias("n_ids"),
+        F.size(F.regexp_extract_all(t, F.lit(re_phone), 0)).alias("n_phones"),
+        scrub.alias("scrubbed"),
+    )
+
+
+O_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN t2 || ' nik ' || lpad(CAST(doc_id AS VARCHAR), 16, '3') ELSE t2 END AS t
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN t1 || ' telp +628123' || CAST(doc_id AS VARCHAR) ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' hubungi petugas' || CAST(doc_id AS VARCHAR) || '@pengadilan.go.id' ELSE text END AS t1
+      FROM documents
+    )
+  )
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{16}')) AS INT) AS n_ids,
+       CAST(len(regexp_extract_all(t, '\+62[0-9]{6,13}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{16}', '<ID>', 'g'),
+         '\+62[0-9]{6,13}', '<PHONE>', 'g') AS scrubbed
+FROM inj
+"""
+
+
 QUERIES = {
     "exact_dup_marking": q_exact_dup_marking,
     "content_hash_stats": q_content_hash_stats,
@@ -2151,6 +2342,8 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
     "curation_pipeline": q_curation_pipeline,
+    "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -2188,5 +2381,7 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,
+    "line_dedup": O_LINE_DEDUP,
+    "pii_scrub": O_PII_SCRUB,
     "curation_pipeline": O_CURATION_PIPELINE,
 }

@@ -337,3 +337,33 @@ def test_curation_pipeline_no_cartesian_bounded_shuffles(spark):
 
     assert count_occurrences(df, "CartesianProduct") == 0
     assert count_shuffles(df) <= 12
+
+
+def test_line_dedup_broadcasts_boilerplate_no_second_explode_shuffle(spark):
+    """Repeated-line removal: the line -> distinct-doc-count aggregation is
+    the only corpus-wide exchange family; the boilerplate set reaches the
+    reconstruction as a one-row BROADCAST feeding a map-side array filter —
+    the corpus is never re-exploded or re-shuffled to rebuild documents.
+    Budget: 2 fixture spreads (two branches of the same scan) + 2 for the
+    distinct-count + 1 single-partition collect of the tiny boilerplate
+    list."""
+    from crawler_spark.queries_content import q_line_dedup
+
+    df = q_line_dedup(spark, SF)
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert has_broadcast_join(df)
+    assert count_occurrences(df, "CartesianProduct") == 0
+    assert count_shuffles(df) <= 5
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII counting + redaction are pure per-row regex transforms: the plan
+    must stay MAP-ONLY (the single allowed exchange is the fixture loader's
+    explicit spread, which disappears under a real multi-file scan)."""
+    from crawler_spark.queries_content import q_pii_scrub
+
+    df = q_pii_scrub(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s
+    assert count_shuffles(df) <= 1
