@@ -71,6 +71,8 @@ HEADLINE = [
     "gopher_quality",
     "stratified_split",
     "curation_pipeline",
+    "line_dedup",
+    "pii_scrub",
 ]
 
 
