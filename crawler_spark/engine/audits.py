@@ -52,7 +52,10 @@ def duplicate_rate_gate(max_ratio: float) -> Gate:
 
 def monotonic_tables_gate() -> Gate:
     """Append-only tables must never shrink across a round: staged row
-    counts >= committed row counts for seen/fetch_log/dlq/retry_history.
+    counts >= committed row counts for fetch_log/dlq/retry_history, plus
+    'seen' on permanent-membership engines. Under TTL (engine.ttl_rounds
+    set) 'seen' is windowed and shrinks by design, so it is exempt there —
+    a partial 'seen' snapshot on a TTL crawl is NOT caught by this gate.
     Catches a commit that accidentally wrote a FULL snapshot from a partial
     DataFrame (the silent-data-loss failure mode of snapshot stores).
     Manifest metadata only — zero data IO."""

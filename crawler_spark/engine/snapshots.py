@@ -340,9 +340,10 @@ class SnapshotStore:
             # commit of an existing round supersedes its manifest entry, so
             # only the branch path needs the guard.
             raise ValueError(
-                f"cannot stage round {round_no} on branch {branch!r}: round"
-                f" {self.latest_round()} is already committed and staging"
-                " would overwrite its data dirs"
+                f"cannot stage round {round_no} on branch {branch!r}: rounds"
+                f" up to {self.latest_round()} are already committed, and"
+                f" staging would overwrite round {round_no}'s committed data"
+                " dirs in place"
             )
         # Iceberg invariant: a FULL snapshot of a merge-on-read table
         # supersedes every outstanding delete key (rewrite_data_files drops

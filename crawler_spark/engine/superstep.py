@@ -484,8 +484,20 @@ class CrawlEngine:
         pattern the reference runs as per-batch persistence checks
         (result_persistence.py) expressed as an Iceberg commit workflow."""
         import os
-        import shutil
 
+        # The commit_round(branch=...) guard fires too late for the blob
+        # shards: _run_round writes update_seen_shards output to
+        # blob_dir_for(round_no) — keyed by round number only — BEFORE the
+        # staged commit, so an audited re-run of a committed round would
+        # clobber the committed round's filter state in place even though
+        # the commit itself is refused. Refuse before any IO happens.
+        if round_no <= self.store.latest_round():
+            raise ValueError(
+                f"cannot run round {round_no} audited: it is already"
+                " committed — an audited re-run would overwrite its blob"
+                " shard dirs in place before any gate could veto it"
+            )
+        self._reconcile_staged_feeds()
         self._staging_branch = "audit"
         try:
             metrics = self.run_round(round_no)
@@ -497,19 +509,61 @@ class CrawlEngine:
         )
         if published:
             self.store.publish_branch("audit")
-            if os.path.isdir(staged_feed):
-                final_feed = os.path.join(
-                    self.store.root, "_logfeed", f"feed-{round_no:05d}"
-                )
-                os.makedirs(os.path.dirname(final_feed), exist_ok=True)
-                if os.path.isdir(final_feed):
-                    shutil.rmtree(final_feed)
-                os.replace(staged_feed, final_feed)
+            self._promote_staged_feed(staged_feed, round_no)
         else:
             self.store.drop_branch("audit")
             if os.path.isdir(staged_feed):
+                import shutil
+
                 shutil.rmtree(staged_feed)
         return {**metrics, "published": published}
+
+    def _promote_staged_feed(self, staged_feed: str, round_no: int) -> None:
+        """Move a published round's staged log feed into the consumer's
+        `_logfeed/feed-*` glob. Idempotent: no staged dir, no work."""
+        import os
+
+        if not os.path.isdir(staged_feed):
+            return
+        final_feed = os.path.join(
+            self.store.root, "_logfeed", f"feed-{round_no:05d}"
+        )
+        os.makedirs(os.path.dirname(final_feed), exist_ok=True)
+        if not os.path.isdir(final_feed):
+            os.replace(staged_feed, final_feed)
+        else:  # a normal (non-audited) run already fed this round
+            import shutil
+
+            shutil.rmtree(staged_feed)
+
+    def _reconcile_staged_feeds(self) -> None:
+        """Crash recovery for the staged log feed (run at audited-round
+        start): publish_branch and the feed promotion are two steps, so a
+        crash in between leaves `_logfeed_staging/feed-K` orphaned for a
+        COMMITTED round K — finish the promotion (K <= latest_round, the
+        manifest flip already happened). A staged feed for an UNCOMMITTED
+        round is the residue of a vetoed/aborted attempt (drop_branch flips
+        the manifest before any cleanup) — delete it so a later drained
+        re-run of the same round can never publish stale fetch events."""
+        import os
+        import shutil
+
+        staging = os.path.join(self.store.root, "_logfeed_staging")
+        if not os.path.isdir(staging):
+            return
+        latest = self.store.latest_round()
+        for name in sorted(os.listdir(staging)):
+            path = os.path.join(staging, name)
+            if not (name.startswith("feed-") and os.path.isdir(path)):
+                continue
+            try:
+                k = int(name[5:])
+            except ValueError:
+                continue
+            if k <= latest:
+                self._promote_staged_feed(path, k)
+            else:
+                shutil.rmtree(path)
 
     def _run_round(self, round_no: int) -> dict[str, Any]:
         spark = self.spark
@@ -1059,6 +1113,10 @@ class CrawlEngine:
             if seeds is None:
                 raise ValueError("fresh store needs seeds")
             self.init_frontier(seeds)
+        if self.log_feed:
+            # finish/clean any staged feed a crashed audited run left behind,
+            # even when THIS run is unaudited
+            self._reconcile_staged_feeds()
         start = self.store.latest_round() + 1
         out = []
         for rnd in range(start, start + max_rounds):

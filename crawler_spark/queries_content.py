@@ -2239,8 +2239,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: MAP-ONLY — three regexp counts + a chained
     regexp_replace, all JVM codegen, no shuffle, no UDF; replacement order
     (email, then 16-digit ID, then phone) is fixed so the engines transform
-    identical strings. Patterns avoid lookarounds/backrefs so Java regex
-    (Spark) and RE2 (DuckDB) agree."""
+    identical strings. Each count is taken on ITS stage's input (emails on
+    the raw text, IDs on the email-scrubbed text, phones on the ID-scrubbed
+    text), so counts always equal the placeholders that stage inserted even
+    when patterns overlap (a 16-digit run inside a phone/email is consumed
+    by the earlier stage, not double-counted). Patterns avoid
+    lookarounds/backrefs so Java regex (Spark) and RE2 (DuckDB) agree."""
     re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     re_nik = "[0-9]{16}"
     re_phone = "\\+62[0-9]{6,13}"
@@ -2264,18 +2268,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             t, F.lit(" nik "), F.lpad(F.col("doc_id").cast("string"), 16, "3")
         ),
     ).otherwise(t)
-    scrub = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, re_email, "<EMAIL>"), re_nik, "<ID>"
-        ),
-        re_phone,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, re_email, "<EMAIL>")
+    after_nik = F.regexp_replace(after_email, re_nik, "<ID>")
+    scrub = F.regexp_replace(after_nik, re_phone, "<PHONE>")
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(re_email), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(re_nik), 0)).alias("n_ids"),
-        F.size(F.regexp_extract_all(t, F.lit(re_phone), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(after_email, F.lit(re_nik), 0)).alias(
+            "n_ids"
+        ),
+        F.size(F.regexp_extract_all(after_nik, F.lit(re_phone), 0)).alias(
+            "n_phones"
+        ),
         scrub.alias("scrubbed"),
     )
 
@@ -2296,13 +2300,18 @@ WITH inj AS (
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '[0-9]{16}')) AS INT) AS n_ids,
-       CAST(len(regexp_extract_all(t, '\+62[0-9]{6,13}')) AS INT) AS n_phones,
-       regexp_replace(regexp_replace(regexp_replace(t,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '[0-9]{16}', '<ID>', 'g'),
-         '\+62[0-9]{6,13}', '<PHONE>', 'g') AS scrubbed
-FROM inj
+       CAST(len(regexp_extract_all(after_email, '[0-9]{16}')) AS INT) AS n_ids,
+       CAST(len(regexp_extract_all(after_nik, '\+62[0-9]{6,13}')) AS INT) AS n_phones,
+       regexp_replace(after_nik, '\+62[0-9]{6,13}', '<PHONE>', 'g') AS scrubbed
+FROM (
+  SELECT doc_id, t, after_email,
+         regexp_replace(after_email, '[0-9]{16}', '<ID>', 'g') AS after_nik
+  FROM (
+    SELECT doc_id, t,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+    FROM inj
+  )
+)
 """
 
 

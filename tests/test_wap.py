@@ -387,3 +387,51 @@ class TestWAPRegressions:
         assert m2["published"] is True
         assert not os.path.isdir(staged)
         assert spark.read.parquet(feed).count() == m2["n_fetched"]
+
+    def test_audited_rerun_of_committed_round_refused_before_any_io(
+        self, spark, corpus, robots, tmp_path
+    ):
+        eng = CrawlEngine(
+            spark, str(tmp_path / "rerun"), corpus, robots,
+            per_host_budget=BUDGET,
+        )
+        eng.init_frontier(seed_urls(SPEC))
+        eng.run_round(0)
+        before = final_state(spark, eng)
+        blob_before = eng.store.latest_blob_chain()
+        # round 0 is committed: the audited path must refuse up front —
+        # _run_round writes blob shards to blob_dir_for(0) BEFORE the staged
+        # commit, so a late (commit-time) guard would already have clobbered
+        # the committed round's filter state
+        with pytest.raises(ValueError):
+            eng.run_round_audited(0, lambda e, r: True)
+        assert final_state(spark, eng) == before
+        assert eng.store.latest_blob_chain() == blob_before
+        assert eng.store.staged_entry() is None
+
+    def test_orphaned_staged_feeds_are_reconciled(
+        self, spark, corpus, robots, tmp_path
+    ):
+        import shutil
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "reconcile"), corpus, robots,
+            per_host_budget=BUDGET, log_feed=True,
+        )
+        eng.init_frontier(seed_urls(SPEC))
+        eng.run_round_audited(0, lambda e, r: True)
+        staging = os.path.join(eng.store.root, "_logfeed_staging")
+        feeds = os.path.join(eng.store.root, "_logfeed")
+        # simulate a crash between publish_branch and the feed promotion:
+        # round 0 is committed but its feed still sits in staging
+        shutil.move(os.path.join(feeds, "feed-00000"),
+                    os.path.join(staging, "feed-00000"))
+        # and a crash between a veto's manifest flip and its cleanup: a
+        # staged feed for a round that was never committed
+        shutil.copytree(os.path.join(staging, "feed-00000"),
+                        os.path.join(staging, "feed-00099"))
+        eng.run_round_audited(1, lambda e, r: True)
+        # committed round's feed was promoted, the vetoed residue deleted
+        assert os.path.isdir(os.path.join(feeds, "feed-00000"))
+        assert not os.path.isdir(os.path.join(staging, "feed-00000"))
+        assert not os.path.isdir(os.path.join(staging, "feed-00099"))
