@@ -691,6 +691,52 @@ class SnapshotStore:
         self._flip_manifest(man)
         return {"removed_dirs": removed, "kept_rounds": len(kept)}
 
+    def remove_orphans(self, grace_seconds: float = 3600.0) -> dict[str, Any]:
+        """Iceberg `remove_orphan_files`: physically delete snap-*/delta-*
+        table dirs and `_blobs/snap-*` dirs that NO manifest entry —
+        committed round, `base_paths` fold, blob chain/dir, or staged
+        branch — references. Orphans are the documented residue of crashes
+        between data writes and the manifest flip (every mutation path
+        writes dirs FIRST, flips SECOND, so a crash never corrupts the
+        manifest but can strand fully-written dirs); they are harmless to
+        correctness and unbounded only in disk, which this maintenance pass
+        reclaims. `grace_seconds` is Iceberg's `older_than` safety window:
+        an IN-FLIGHT round's dirs exist before its manifest flip and would
+        look orphaned to a concurrent pass — never run with a grace shorter
+        than the longest possible round. The log-feed dirs are engine-owned
+        (reconciled by round start), not store-owned, and are never
+        touched."""
+        import shutil
+        import time
+
+        man = self.manifest()
+        live: set[str] = set()
+        for r in man["rounds"] + list(man.get("staged", {}).values()):
+            for info in r["tables"].values():
+                live.add(info["path"])
+                live.update(info.get("base_paths", []))
+            live.update(r.get("blob_chain") or [])
+            if r.get("blob_dir"):
+                live.add(r["blob_dir"])
+        now = time.time()
+        removed, skipped_young = 0, 0
+        for entry in sorted(os.listdir(self.root)):
+            sub = os.path.join(self.root, entry)
+            if not os.path.isdir(sub) or entry.startswith("_logfeed"):
+                continue
+            for name in sorted(os.listdir(sub)):
+                if not name.startswith(("snap-", "delta-")):
+                    continue
+                p = os.path.join(sub, name)
+                if p in live or not os.path.isdir(p):
+                    continue
+                if now - os.path.getmtime(p) < grace_seconds:
+                    skipped_young += 1
+                    continue
+                shutil.rmtree(p)
+                removed += 1
+        return {"removed_dirs": removed, "skipped_young": skipped_young}
+
     def round_metrics(self) -> list[dict[str, Any]]:
         return [
             {"round": r["round"], **r["metrics"]} for r in self.manifest()["rounds"]

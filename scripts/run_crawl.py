@@ -34,6 +34,11 @@ def main() -> None:
         "--max-dup-rate", type=float, default=0.9,
         help="duplicate-rate veto threshold for --audited",
     )
+    ap.add_argument(
+        "--expire-keep", type=int, default=0,
+        help="after the run, expire snapshots to the last N rounds "
+        "(0 = keep all) and remove crash-orphaned dirs older than an hour",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,7 +77,13 @@ def main() -> None:
         )
     seeds = None if eng.store.manifest()["rounds"] else seed_urls(spec)
     rounds = eng.run(seeds=seeds, max_rounds=args.rounds, audit_gate=gate)
-    print(json.dumps({"rounds": rounds}, default=int))
+    maintenance = None
+    if args.expire_keep > 0:
+        maintenance = {
+            "expire": eng.store.expire_snapshots(keep_last=args.expire_keep),
+            "orphans": eng.store.remove_orphans(),
+        }
+    print(json.dumps({"rounds": rounds, "maintenance": maintenance}, default=int))
     spark.stop()
 
 

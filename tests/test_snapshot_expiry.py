@@ -134,3 +134,54 @@ def test_expire_to_drain_only_window_keeps_blob_dir_reference(spark, tmp_path):
     n_seen = seen.count()
     assert n_seen > 0
     assert probed.filter("maybe_seen").count() == n_seen
+
+
+def test_remove_orphans_reclaims_only_unreferenced_dirs(spark, tmp_path):
+    """Iceberg remove_orphan_files semantics: crash-stranded snap/delta/blob
+    dirs go, every manifest-referenced dir (committed, base_paths fold,
+    blob chain, staged branch) and the engine-owned log feeds stay, and the
+    grace window protects in-flight writes."""
+    import time
+
+    from crawler_spark.engine.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.commit_round(0, {"t": df})
+    store.commit_round(1, {}, delta_tables={"t": df})
+    store.commit_round(2, {"t": df}, branch="audit")
+    before_t = sorted(map(tuple, store.read(spark, "t").collect()))
+    before_staged = sorted(map(tuple, store.read_staged(spark, "t").collect()))
+
+    # strand orphans the way a crash does: fully-written dirs, no manifest
+    old = time.time() - 7200
+    orphans = [
+        os.path.join(store.root, "t", "snap-00099"),
+        os.path.join(store.root, "t", "delta-00098"),
+        os.path.join(store.root, "_blobs", "snap-00097"),
+    ]
+    for p in orphans:
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+        os.utime(p, (old, old))
+    young = os.path.join(store.root, "t", "snap-00096")
+    os.makedirs(young)
+    feed = os.path.join(store.root, "_logfeed", "feed-00000")
+    os.makedirs(feed)
+
+    out = store.remove_orphans(grace_seconds=3600)
+    assert out["removed_dirs"] == 3
+    assert out["skipped_young"] == 1
+    assert not any(os.path.isdir(p) for p in orphans)
+    assert os.path.isdir(young) and os.path.isdir(feed)
+    # referenced dirs untouched: committed chain and staged branch both read
+    assert sorted(map(tuple, store.read(spark, "t").collect())) == before_t
+    assert (
+        sorted(map(tuple, store.read_staged(spark, "t").collect()))
+        == before_staged
+    )
+    # second pass after the window: the young orphan goes too
+    os.utime(young, (old, old))
+    assert store.remove_orphans(grace_seconds=3600)["removed_dirs"] == 1
+    store.drop_branch()
