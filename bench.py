@@ -72,6 +72,7 @@ HEADLINE = [
     "stratified_split",
     "curation_pipeline",
     "line_dedup",
+    "line_dedup_incremental",
     "pii_scrub",
 ]
 

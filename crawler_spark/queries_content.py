@@ -6,7 +6,7 @@ multimodal plumbing — each with a DuckDB oracle that re-derives the result.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2135,7 +2135,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side lambda that preserves line order and multiplicity. For an
     unbounded boilerplate set, swap the lambda for explode -> broadcast
     anti-join -> regroup (one more shuffle). Zero UDF."""
-    L, T = 10, 3
+    chunked = _docs(spark, sf_dir).select(
+        "doc_id", _planted_lines_col().alias("lines")
+    )
+    boiler = (
+        chunked.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _LINE_DEDUP_T)
+        .agg(F.collect_list("line").alias("bl"))
+    )
+    return _strip_boilerplate(chunked, boiler)
+
+
+_LINE_DEDUP_T = 3
+
+
+def _planted_lines_col(k: int = 10) -> Column:
+    """The line_dedup fixture construction: plant a shared 10-token header
+    (even doc_ids) / footer (doc_id % 3 == 0) into the newline-free corpus,
+    then chunk into k-token "lines"."""
     hdr = (
         "putusan ini dilindungi hak cipta pengadilan negeri republik"
         " indonesia portal"
@@ -2151,22 +2170,20 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0, F.concat(text2, F.lit(" " + ftr))
     ).otherwise(text2)
     toks = ws_tokens_col(text2)
-    nch = F.ceil(F.size(toks) / F.lit(L)).cast("int")
-    chunks = F.when(
+    nch = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.when(
         F.size(toks) > 0,
         F.transform(
             F.sequence(F.lit(0), nch - 1),
-            lambda i: F.array_join(F.slice(toks, i * L + 1, L), " "),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    chunked = _docs(spark, sf_dir).select("doc_id", chunks.alias("lines"))
-    boiler = (
-        chunked.select("doc_id", F.explode("lines").alias("line"))
-        .groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= T)
-        .agg(F.collect_list("line").alias("bl"))
-    )
+
+
+def _strip_boilerplate(chunked: DataFrame, boiler: DataFrame) -> DataFrame:
+    """Broadcast the one-row boilerplate list and strip its lines map-side
+    (order/multiplicity preserving) — shared by the batch and incremental
+    line-dedup queries."""
     empty = F.array().cast("array<string>")
     return (
         chunked.crossJoin(F.broadcast(boiler))
@@ -2184,6 +2201,50 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_lines") - F.size("kept")).alias("n_removed"),
             F.array_join("kept", " ").alias("cleaned"),
         )
+    )
+
+
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the boilerplate line index (the
+    production flow behind line_dedup): the corpus (doc_id % 10 != 0) owns
+    a STANDING (line, n_docs) count table; a new round's delta docs
+    (doc_id % 10 == 0) contribute their own counts, the index merges by SUM
+    — counts are additive, so the merge is a map-side-combinable aggregation
+    over the DELTA plus the standing table, never a corpus rescan — and the
+    DELTA docs are cleaned against the UPDATED index (a header that only
+    crosses the boilerplate threshold once the delta's occurrences land
+    must already be stripped from the delta that pushed it over).
+
+    Here the standing index is recomputed from the corpus split because the
+    fixture has no persisted state (same convention as simhash_incremental
+    / minhash_incremental); in the engine it is a snapshot table and the
+    per-round cost is O(delta lines). Output: the delta docs' line_dedup
+    rows."""
+    chunked = _docs(spark, sf_dir).select(
+        "doc_id", _planted_lines_col().alias("lines")
+    )
+    per_doc_lines = chunked.select(
+        "doc_id", F.explode("lines").alias("line")
+    )
+    standing = (
+        per_doc_lines.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    delta_counts = (
+        per_doc_lines.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    boiler = (
+        standing.unionByName(delta_counts)
+        .groupBy("line")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= _LINE_DEDUP_T)
+        .agg(F.collect_list("line").alias("bl"))
+    )
+    return _strip_boilerplate(
+        chunked.filter(F.col("doc_id") % 10 == 0), boiler
     )
 
 
@@ -2225,6 +2286,15 @@ FROM (
   FROM chunked, boiler b
 )
 """
+
+# standing-corpus counts + delta counts summed == distinct-doc counts over
+# the whole corpus (the splits are disjoint), so the incremental query's
+# oracle is the batch oracle restricted to the delta docs — the additivity
+# that MAKES the incremental maintenance correct is exactly what the shared
+# boiler CTE encodes.
+O_LINE_DEDUP_INCREMENTAL = (
+    O_LINE_DEDUP.rstrip() + "\nWHERE doc_id % 10 = 0\n"
+)
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2352,6 +2422,7 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "curation_pipeline": q_curation_pipeline,
     "line_dedup": q_line_dedup,
+    "line_dedup_incremental": q_line_dedup_incremental,
     "pii_scrub": q_pii_scrub,
 }
 
@@ -2391,6 +2462,7 @@ ORACLES = {
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,
     "line_dedup": O_LINE_DEDUP,
+    "line_dedup_incremental": O_LINE_DEDUP_INCREMENTAL,
     "pii_scrub": O_PII_SCRUB,
     "curation_pipeline": O_CURATION_PIPELINE,
 }

@@ -367,3 +367,18 @@ def test_pii_scrub_is_map_only(spark):
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in s
     assert count_shuffles(df) <= 1
+
+
+def test_line_dedup_incremental_broadcasts_updated_index(spark):
+    """Incremental index maintenance: standing-count + delta-count merge by
+    SUM (map-side combinable), the updated above-threshold set broadcasts
+    to the delta docs' map-side strip — same reconstruction contract as the
+    batch query, one extra count aggregation, no cartesian."""
+    from crawler_spark.queries_content import q_line_dedup_incremental
+
+    df = q_line_dedup_incremental(spark, SF)
+    from crawler_spark.plans.audit import count_occurrences
+
+    assert has_broadcast_join(df)
+    assert count_occurrences(df, "CartesianProduct") == 0
+    assert count_shuffles(df) <= 8
