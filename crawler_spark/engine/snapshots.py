@@ -262,6 +262,88 @@ class SnapshotStore:
                 )
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_round: int,
+        to_round: int | None = None,
+    ) -> DataFrame | None:
+        """Iceberg incremental scan (`incremental-from-snapshot` / the CDC
+        changelog's insert half): rows present at `to_round` that were not
+        present at `from_round` (exclusive/inclusive bounds, Iceberg's
+        from-exclusive convention). THE downstream-consumer primitive — an
+        indexer or training-data exporter polls "what's new since the round
+        I last processed" instead of rescanning the table.
+
+        Fast path, O(changed rows): when every commit of `table` in
+        (from, to] is a delta, the change set IS the union of those delta
+        dirs — no scan of the standing table at all (Iceberg's incremental
+        append scan). Falls back to read_at(to) EXCEPT ALL read_at(from)
+        when a full rewrite intervenes (compaction folds history, so added
+        rows are no longer attributable from the manifest alone) and for
+        merge-on-read tables (a delete key makes "changes" more than the
+        adds). Returns None when the table has no commit in the range.
+
+        A `from_round` older than the oldest retained round degrades to
+        "everything at to_round is a change" — the fail-safe direction for
+        a consumer that lost track across an expiry (it reprocesses rather
+        than silently missing rows)."""
+        if to_round is None:
+            to_round = self.latest_round()
+        rounds = self.manifest()["rounds"]
+        in_range = [
+            r["tables"][table]
+            for r in rounds
+            if from_round < r["round"] <= to_round and table in r["tables"]
+        ]
+        if not in_range:
+            return None
+        # Fast path ONLY when the manifest attributes every in-range row to
+        # a delta it still holds: from_round inside the retention window
+        # (an expired prefix means in_range no longer lists every commit in
+        # the range) and no entry carrying a base_paths fold (folded content
+        # predates the window — returning just the entry's own path would
+        # be right, but a fold also marks that history was compacted away,
+        # so take the safe diff). Merge-on-read tables always diff: a
+        # delete key makes "changes" more than the adds.
+        if (
+            table not in self.MERGE_ON_READ
+            and rounds
+            and from_round >= rounds[0]["round"]
+            and all(
+                info.get("mode", "full") == "delta"
+                and "base_paths" not in info
+                for info in in_range
+            )
+        ):
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[info["path"] for info in in_range]
+            )
+        new = self.read_at(spark, table, to_round)
+        old = (
+            self.read_at(spark, table, from_round)
+            if any(r["round"] <= from_round for r in rounds)
+            else None
+        )
+        if old is None:
+            return new
+        if old.columns != new.columns:
+            # the chain may straddle an add-column schema upgrade (the same
+            # case _resolve_read's mergeSchema exists for): align the old
+            # side to the new schema — missing columns are null, as every
+            # pre-upgrade row reads post-upgrade
+            fields = {f.name: f.dataType for f in new.schema.fields}
+            old = old.select(
+                *[
+                    (
+                        F.col(c) if c in old.columns else F.lit(None)
+                    ).cast(fields[c]).alias(c)
+                    for c in new.columns
+                ]
+            )
+        return new.exceptAll(old)
+
     def history(self) -> list[dict[str, Any]]:
         """Iceberg `table.history()` analogue over the whole store: one
         entry per commit — round, wall-clock, per-table (mode, rows, files)
@@ -710,14 +792,23 @@ class SnapshotStore:
         import time
 
         man = self.manifest()
+
+        def norm(p: str) -> str:
+            # manifest paths were recorded with whatever spelling of root
+            # the WRITING session used; this maintenance session may spell
+            # it differently ('./store' vs 'store' vs absolute). Exact
+            # string comparison would then see every committed dir as an
+            # orphan and delete live data — normalize both sides.
+            return os.path.normpath(os.path.abspath(p))
+
         live: set[str] = set()
         for r in man["rounds"] + list(man.get("staged", {}).values()):
             for info in r["tables"].values():
-                live.add(info["path"])
-                live.update(info.get("base_paths", []))
-            live.update(r.get("blob_chain") or [])
+                live.add(norm(info["path"]))
+                live.update(norm(b) for b in info.get("base_paths", []))
+            live.update(norm(b) for b in r.get("blob_chain") or [])
             if r.get("blob_dir"):
-                live.add(r["blob_dir"])
+                live.add(norm(r["blob_dir"]))
         now = time.time()
         removed, skipped_young = 0, 0
         for entry in sorted(os.listdir(self.root)):
@@ -728,7 +819,7 @@ class SnapshotStore:
                 if not name.startswith(("snap-", "delta-")):
                     continue
                 p = os.path.join(sub, name)
-                if p in live or not os.path.isdir(p):
+                if norm(p) in live or not os.path.isdir(p):
                     continue
                 if now - os.path.getmtime(p) < grace_seconds:
                     skipped_young += 1

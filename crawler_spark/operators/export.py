@@ -18,7 +18,11 @@ training-data-pipeline mandate, not reference parity.
 At 100 TB: `partitionBy` on the hash bucket is one shuffle keyed by the
 bucket id (uniform by construction — md5 of the key), and
 `maxRecordsPerFile` bounds file sizes inside each bucket without a second
-exchange. The manifest is driver-side parquet-footer metadata, no data scan.
+exchange. `out_dir` must be a DRIVER-REACHABLE filesystem path (shared
+storage on a cluster) — the same emulation boundary as SnapshotStore's
+manifest commit; an object-store target would need the cluster FS API for
+the atomic manifest write, and this sink refuses it loudly rather than
+dying halfway.
 """
 
 from __future__ import annotations
@@ -27,10 +31,50 @@ import json
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.text import md5_60bit_col
+
+
+def _shard_counts_footer(out_dir: str) -> dict[tuple[int, str], int] | None:
+    """{(bucket, file): rows} from local parquet footers; None when pyarrow
+    is unavailable or any footer read fails (caller falls back to a scan)."""
+    try:
+        import pyarrow.parquet as pq
+
+        out: dict[tuple[int, str], int] = {}
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("bucket="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            full_b = os.path.join(out_dir, bdir)
+            for name in sorted(os.listdir(full_b)):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    out[(bucket, name)] = int(
+                        pq.ParquetFile(
+                            os.path.join(full_b, name)
+                        ).metadata.num_rows
+                    )
+        return out
+    except Exception:
+        return None
+
+
+def _shard_counts_scan(
+    spark: SparkSession, out_dir: str
+) -> dict[tuple[int, str], int]:
+    """{(bucket, file): rows} via one Spark scan — the pyarrow-less path."""
+    rows = (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket", F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return {
+        (int(r["bucket"]), os.path.basename(r["file"])): int(r["rows"])
+        for r in rows
+    }
 
 
 def export_training_shards(
@@ -43,7 +87,17 @@ def export_training_shards(
     """Write `df` as `out_dir/bucket=K/*.parquet` with deterministic
     hash-bucketed shard membership and bounded file sizes, then commit
     `_EXPORT_MANIFEST.json` (written LAST — its presence marks a complete
-    export, the _SUCCESS convention with verifiable content)."""
+    export, the _SUCCESS convention with verifiable content).
+
+    Refuses a NULL `key_col` up front: md5(NULL) is NULL, so a null key
+    would land in Hive's default partition and break both the deterministic
+    membership contract and the manifest — better one cheap early-exit scan
+    than data files with no manifest."""
+    if not df.filter(F.col(key_col).isNull()).isEmpty():
+        raise ValueError(
+            f"export key column {key_col!r} contains NULLs — a null key has"
+            " no deterministic shard; filter or repair the rows first"
+        )
     bucket = (md5_60bit_col(F.col(key_col).cast("string")) % n_buckets).cast(
         "int"
     )
@@ -55,47 +109,24 @@ def export_training_shards(
         .partitionBy("bucket")
         .parquet(out_dir)
     )
-    shards: list[dict[str, Any]] = []
-    total = 0
-    try:
-        import pyarrow.parquet as pq
-
-        for bdir in sorted(os.listdir(out_dir)):
-            if not bdir.startswith("bucket="):
-                continue
-            full_b = os.path.join(out_dir, bdir)
-            for name in sorted(os.listdir(full_b)):
-                if name.endswith(".parquet") and not name.startswith("."):
-                    n = int(
-                        pq.ParquetFile(
-                            os.path.join(full_b, name)
-                        ).metadata.num_rows
-                    )
-                    shards.append(
-                        {"bucket": int(bdir.split("=")[1]), "file": name, "rows": n}
-                    )
-                    total += n
-    except ImportError:  # non-local target: one scan of the written files
-        rows = (
-            df.sparkSession.read.parquet(out_dir)
-            .groupBy("bucket", F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
+    if not os.path.isdir(out_dir):
+        raise NotImplementedError(
+            f"export dir {out_dir!r} is not driver-reachable: the manifest"
+            " commit needs a shared filesystem (the SnapshotStore boundary);"
+            " object-store targets need the cluster FS API"
         )
-        for r in sorted(rows, key=lambda r: (r["bucket"], r["file"])):
-            shards.append(
-                {
-                    "bucket": int(r["bucket"]),
-                    "file": os.path.basename(r["file"]),
-                    "rows": int(r["rows"]),
-                }
-            )
-            total += int(r["rows"])
+    counts = _shard_counts_footer(out_dir)
+    if counts is None:
+        counts = _shard_counts_scan(df.sparkSession, out_dir)
+    shards = [
+        {"bucket": b, "file": f, "rows": n}
+        for (b, f), n in sorted(counts.items())
+    ]
     manifest = {
         "key_col": key_col,
         "n_buckets": n_buckets,
         "max_rows_per_file": max_rows_per_file,
-        "total_rows": total,
+        "total_rows": sum(counts.values()),
         "shards": shards,
     }
     tmp = os.path.join(out_dir, "_EXPORT_MANIFEST.json.tmp")
@@ -105,28 +136,40 @@ def export_training_shards(
     return manifest
 
 
-def verify_export(spark, out_dir: str) -> dict[str, Any]:
-    """Consumer-side check: manifest present, per-shard footer counts match
-    the manifest, total matches. Footer metadata only — no data scan."""
+def verify_export(spark: SparkSession, out_dir: str) -> dict[str, Any]:
+    """Consumer-side check: manifest present, and the ACTUAL shard set
+    (bucket, file, rows) equals the manifest's exactly — a missing shard, a
+    row-count mismatch, and an EXTRA file the manifest never committed all
+    fail (a reader globs the directory, so an unmanifested file would feed
+    it rows beyond total_rows). Footer metadata when pyarrow is available,
+    one Spark scan otherwise — verification works wherever the export
+    does."""
     man_path = os.path.join(out_dir, "_EXPORT_MANIFEST.json")
     if not os.path.exists(man_path):
         return {"ok": False, "reason": "no manifest — incomplete export"}
     with open(man_path) as fh:
         man = json.load(fh)
-    import pyarrow.parquet as pq
-
-    seen_total = 0
-    for s in man["shards"]:
-        p = os.path.join(out_dir, f"bucket={s['bucket']}", s["file"])
-        if not os.path.exists(p):
-            return {"ok": False, "reason": f"missing shard {s['file']}"}
-        n = int(pq.ParquetFile(p).metadata.num_rows)
-        if n != s["rows"]:
+    expected = {
+        (int(s["bucket"]), s["file"]): int(s["rows"]) for s in man["shards"]
+    }
+    actual = _shard_counts_footer(out_dir)
+    if actual is None:
+        actual = _shard_counts_scan(spark, out_dir)
+    for key, n in sorted(expected.items()):
+        if key not in actual:
+            return {"ok": False, "reason": f"missing shard bucket={key[0]}/{key[1]}"}
+        if actual[key] != n:
             return {
                 "ok": False,
-                "reason": f"shard {s['file']}: {n} rows != manifest {s['rows']}",
+                "reason": f"shard {key[1]}: {actual[key]} rows != manifest {n}",
             }
-        seen_total += n
-    if seen_total != man["total_rows"]:
+    extras = sorted(set(actual) - set(expected))
+    if extras:
+        return {
+            "ok": False,
+            "reason": f"unmanifested shard file(s): bucket={extras[0][0]}/"
+            f"{extras[0][1]} (+{len(extras) - 1} more)",
+        }
+    if sum(actual.values()) != man["total_rows"]:
         return {"ok": False, "reason": "total mismatch"}
-    return {"ok": True, "total_rows": seen_total, "n_shards": len(man["shards"])}
+    return {"ok": True, "total_rows": man["total_rows"], "n_shards": len(expected)}

@@ -76,3 +76,37 @@ def test_verify_export_catches_tampering(spark, tmp_path):
     os.remove(os.path.join(out, f"bucket={victim['bucket']}", victim["file"]))
     v = verify_export(spark, out)
     assert not v["ok"] and "missing shard" in v["reason"]
+
+
+def test_export_refuses_null_keys_before_writing(spark, tmp_path):
+    from crawler_spark.operators.export import export_training_shards
+
+    import pytest as _pytest
+
+    df = _curated(spark).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("doc_id")),
+    )
+    out = str(tmp_path / "nullkey")
+    with _pytest.raises(ValueError, match="NULL"):
+        export_training_shards(df, out, key_col="doc_id", n_buckets=2)
+    assert not os.path.isdir(out)  # fail-fast: no data files either
+
+
+def test_verify_export_catches_unmanifested_extra_file(spark, tmp_path):
+    import shutil
+
+    from crawler_spark.operators.export import (
+        export_training_shards,
+        verify_export,
+    )
+
+    df = _curated(spark)
+    out = str(tmp_path / "extra")
+    man = export_training_shards(df, out, key_col="doc_id", n_buckets=2)
+    donor = man["shards"][0]
+    src = os.path.join(out, f"bucket={donor['bucket']}", donor["file"])
+    shutil.copy(src, os.path.join(
+        out, f"bucket={donor['bucket']}", "part-99999-extra.parquet"))
+    v = verify_export(spark, out)
+    assert not v["ok"] and "unmanifested" in v["reason"]

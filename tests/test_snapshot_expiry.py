@@ -185,3 +185,26 @@ def test_remove_orphans_reclaims_only_unreferenced_dirs(spark, tmp_path):
     os.utime(young, (old, old))
     assert store.remove_orphans(grace_seconds=3600)["removed_dirs"] == 1
     store.drop_branch()
+
+
+def test_remove_orphans_is_root_spelling_insensitive(spark, tmp_path):
+    """Liveness must compare NORMALIZED paths: a maintenance session that
+    spells the same root differently ('store/.' vs 'store') must not see
+    every committed dir as an orphan and delete live data."""
+    import time
+
+    from crawler_spark.engine.snapshots import SnapshotStore
+
+    root = str(tmp_path / "s")
+    store = SnapshotStore(root)
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.commit_round(0, {"t": df})
+    # age the committed dir past any grace window
+    snap = store.manifest()["rounds"][0]["tables"]["t"]["path"]
+    old = time.time() - 7200
+    os.utime(snap, (old, old))
+
+    reopened = SnapshotStore(os.path.join(root, "."))
+    out = reopened.remove_orphans(grace_seconds=3600)
+    assert out["removed_dirs"] == 0
+    assert sorted(map(tuple, reopened.read(spark, "t").collect())) == [(1, "a")]

@@ -100,3 +100,81 @@ def test_kept_delta_round_stays_readable_after_expiry(spark, store):
     store.expire_snapshots(keep_last=2)
     assert not os.path.isdir(r0_dir)
     assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4, 5]
+
+
+def test_read_changes_fast_path_unions_deltas_only(spark, store):
+    # (0, 2] is all-delta: the change set is the delta dirs themselves —
+    # no anti-join, no scan of the standing table
+    df = store.read_changes(spark, "t", 0, 2)
+    assert _ids(df) == [2, 3]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Except" not in plan
+    assert _ids(store.read_changes(spark, "t", 3, 4)) == [5]
+
+
+def test_read_changes_across_compaction_falls_back_to_diff(spark, store):
+    # (0, 3] crosses the round-3 full rewrite: manifest attribution is
+    # folded away, so the change set must come from a state diff
+    assert _ids(store.read_changes(spark, "t", 0, 3)) == [2, 3, 4]
+    # default to_round = latest
+    assert _ids(store.read_changes(spark, "t", 0)) == [2, 3, 4, 5]
+
+
+def test_read_changes_edges(spark, store):
+    # from before the first commit: everything at to_round is a change
+    assert _ids(store.read_changes(spark, "t", -1, 0)) == [0, 1]
+    # empty range: no commit of the table in (4, 4]
+    assert store.read_changes(spark, "t", 4, 4) is None
+
+
+def test_read_changes_merge_on_read_reflects_deletes(spark, tmp_path):
+    # a delete key makes "changes" more than the adds: the frontier must
+    # take the state-diff path, never the raw delta union
+    from crawler_spark.engine.snapshots import FRONTIER_DELS_SCHEMA
+
+    schema = "url_hash string, attempt int, scheduled_ms long, not_before long"
+
+    def fr(rows):
+        return spark.createDataFrame(rows, schema)
+
+    st = SnapshotStore(str(tmp_path / "mor"))
+    st.commit_round(0, {"frontier": fr([("a", 0, 0, 0), ("b", 0, 0, 0)])})
+    st.commit_round(
+        1, {},
+        delta_tables={
+            "frontier": fr([("c", 0, 0, 0)]),
+            "frontier_dels": fr([("a", 0, 0, 0)]),
+        },
+    )
+    changed = st.read_changes(spark, "frontier", 0, 1)
+    assert sorted(r["url_hash"] for r in changed.collect()) == ["c"]
+
+
+def test_read_changes_after_expiry_degrades_never_undercounts(spark, store):
+    # expire to rounds {3, 4}: rounds 1-2's delta content folds into round
+    # 3's entry as base_paths. A from_round below the window must NOT take
+    # the delta-union fast path (it would silently drop rounds 1-2's rows);
+    # it degrades to "everything at to_round is a change" — reprocessing,
+    # never missing rows.
+    store.expire_snapshots(keep_last=2)
+    assert _ids(store.read_changes(spark, "t", 0)) == [0, 1, 2, 3, 4, 5]
+    # inside the window the diff path still answers exactly
+    assert _ids(store.read_changes(spark, "t", 3, 4)) == [5]
+
+
+def test_read_changes_diff_aligns_added_columns(spark, store):
+    # add-column schema evolution + a full rewrite inside the range forces
+    # the exceptAll path across two schema versions: the old side must
+    # align (missing column reads null) instead of raising
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(7)],
+        "id int, v string, extra int",
+    )
+    store.commit_round(5, {"t": wide})
+    changed = store.read_changes(spark, "t", 2, 5)
+    ids = sorted(r["id"] for r in changed.collect())
+    # rows 0-3 existed at round 2 but EVERY round-5 row differs from its
+    # round-2 self (extra: null -> value), so all 7 are changes — the
+    # correct CDC answer for a column backfill
+    assert ids == [0, 1, 2, 3, 4, 5, 6]
+    assert "extra" in changed.columns
