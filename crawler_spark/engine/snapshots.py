@@ -61,12 +61,66 @@ class SnapshotStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    @staticmethod
-    def _footer_lineage(path: str) -> list[dict[str, Any]] | None:
-        """Per-file row counts straight from the local parquet footers
-        (Iceberg's commit-time file stats). Returns None when the path is
-        not a local directory (cluster object store) — caller falls back to
-        one Spark scan of the written files."""
+    # Column-stats bounds longer than this are dropped rather than stored
+    # (Iceberg's write.metadata.metrics truncate(16) — we drop instead of
+    # truncate-and-increment to keep the manifest logic obviously safe).
+    STATS_MAX_LEN = 40
+
+    @classmethod
+    def _footer_stats(cls, md: Any) -> dict[str, list[Any]]:
+        """Per-column [min, max] from one parquet file's footer metadata —
+        Iceberg's per-data-file lower_bounds/upper_bounds, the basis of
+        manifest-level file pruning. Conservative by construction: a column
+        appears ONLY when every row group carries usable min/max of a
+        JSON-storable scalar type; pruning treats a missing column as
+        'file may contain anything'."""
+        bounds: dict[str, list[Any]] = {}
+        dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dropped:  # nested leaf: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dropped.add(name)
+                    bounds.pop(name, None)
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except (UnicodeDecodeError, AttributeError):
+                        dropped.add(name)
+                        bounds.pop(name, None)
+                        continue
+                ok = all(
+                    isinstance(v, (int, float, str, bool))
+                    and not (
+                        isinstance(v, str) and len(v) > cls.STATS_MAX_LEN
+                    )
+                    for v in (lo, hi)
+                )
+                if not ok:
+                    dropped.add(name)
+                    bounds.pop(name, None)
+                    continue
+                if name in bounds:
+                    prev_lo, prev_hi = bounds[name]
+                    bounds[name] = [min(prev_lo, lo), max(prev_hi, hi)]
+                else:
+                    bounds[name] = [lo, hi]
+        return bounds
+
+    @classmethod
+    def _footer_lineage(cls, path: str) -> list[dict[str, Any]] | None:
+        """Per-file row counts AND column min/max bounds straight from the
+        local parquet footers (Iceberg's commit-time file stats). Returns
+        None when the path is not a local directory (cluster object store) —
+        caller falls back to one Spark scan of the written files (row counts
+        only; files without stats are never pruned)."""
         if not os.path.isdir(path):
             return None
         try:
@@ -76,12 +130,15 @@ class SnapshotStore:
             for name in sorted(os.listdir(path)):
                 if name.endswith(".parquet") and not name.startswith("."):
                     full = os.path.join(path, name)
-                    out.append(
-                        {
-                            "partition": name,
-                            "rows": int(pq.ParquetFile(full).metadata.num_rows),
-                        }
-                    )
+                    md = pq.ParquetFile(full).metadata
+                    item: dict[str, Any] = {
+                        "partition": name,
+                        "rows": int(md.num_rows),
+                    }
+                    stats = cls._footer_stats(md)
+                    if stats:
+                        item["stats"] = stats
+                    out.append(item)
             return out
         except Exception:
             return None
@@ -161,19 +218,119 @@ class SnapshotStore:
         paths = self.table_paths(table)
         return paths[-1] if paths else None
 
+    # ------------------------------------------------ manifest file pruning
+
+    @staticmethod
+    def _file_may_match(
+        stats: dict[str, list[Any]] | None,
+        predicates: list[tuple[str, str, Any]],
+    ) -> bool:
+        """Can a file whose footer bounds are `stats` contain a row
+        satisfying EVERY predicate? Missing stats (column absent, no-stats
+        file, incomparable types) answer yes — pruning must never drop a
+        file it cannot prove empty. Bounds prove only absence: the caller
+        still applies the real filter to the rows."""
+        if not stats:
+            return True
+        for col, op, val in predicates:
+            mm = stats.get(col)
+            if mm is None:
+                continue
+            lo, hi = mm
+            try:
+                if op == "==":
+                    if not (lo <= val and val <= hi):
+                        return False
+                elif op == "<=":
+                    if not lo <= val:
+                        return False
+                elif op == "<":
+                    if not lo < val:
+                        return False
+                elif op == ">=":
+                    if not hi >= val:
+                        return False
+                elif op == ">":
+                    if not hi > val:
+                        return False
+                else:
+                    raise ValueError(f"unsupported prune op: {op!r}")
+            except TypeError:
+                # predicate value not comparable with the stored bounds
+                # (e.g. str vs int) — cannot prove absence, keep the file
+                continue
+        return True
+
+    def _pruned_chain_paths(
+        self,
+        chain: list[tuple[int, dict]],
+        predicates: list[tuple[str, str, Any]],
+    ) -> tuple[list[str], dict[str, int]]:
+        """File-level read set for a live chain after manifest min/max
+        pruning (Iceberg's manifest-entry lower/upper-bound filtering).
+        Entries without per-file lineage stats — pre-upgrade commits, the
+        non-local Spark-scan fallback, folded base_paths — are kept whole
+        (dir paths); everything else is enumerated per file."""
+        kept: list[str] = []
+        io = {"files_total": 0, "files_kept": 0, "dirs_unpruned": 0}
+        for _, info in chain:
+            lineage = info.get("lineage") or []
+            if not lineage or any("stats" not in it for it in lineage):
+                # no (or partial) stats: keep the whole dir — counting its
+                # files as both total and kept keeps the ratio honest
+                n = len(lineage)
+                io["files_total"] += n
+                io["files_kept"] += n
+                io["dirs_unpruned"] += 1
+                kept.append(info["path"])
+                continue
+            for item in lineage:
+                io["files_total"] += 1
+                if self._file_may_match(item.get("stats"), predicates):
+                    io["files_kept"] += 1
+                    kept.append(os.path.join(info["path"], item["partition"]))
+        if chain:
+            for base in chain[-1][1].get("base_paths", []):
+                io["dirs_unpruned"] += 1
+                kept.append(base)
+        return kept, io
+
+    def prune_stats(
+        self, table: str, predicates: list[tuple[str, str, Any]]
+    ) -> dict[str, int]:
+        """File-skipping accounting for a pruned read of `table`'s live
+        chain — what BENCH reports as read amplification."""
+        chain = self._live_chain(self.manifest()["rounds"], table)
+        _, io = self._pruned_chain_paths(chain, predicates)
+        return io
+
     def _resolve_read(
         self,
         spark: SparkSession,
         rounds: list[dict],
         table: str,
         resolve: bool,
+        prune: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame | None:
         """Chain-union + merge-on-read resolution over an explicit rounds
         list — shared by read() (committed state) and read_staged() (state
         as-if a staging-branch commit were published)."""
-        paths = self._chain_paths(self._live_chain(rounds, table))
-        if not paths:
+        chain = self._live_chain(rounds, table)
+        all_paths = self._chain_paths(chain)
+        if not all_paths:
             return None
+        if prune:
+            paths, _ = self._pruned_chain_paths(chain, prune)
+            if not paths:
+                # every file provably excluded: an empty frame with the
+                # table's schema (footers only — no data read)
+                return (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*all_paths)
+                    .limit(0)
+                )
+        else:
+            paths = all_paths
         # mergeSchema: a chain may mix schema versions (add-column evolution
         # — e.g. pre-depth full base + post-upgrade deltas); without it the
         # reader picks one file's schema and silently DROPS the new column
@@ -200,11 +357,22 @@ class SnapshotStore:
         return df
 
     def read(
-        self, spark: SparkSession, table: str, resolve: bool = True
+        self,
+        spark: SparkSession,
+        table: str,
+        resolve: bool = True,
+        prune: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame | None:
+        """Live state of `table`. `prune` — a conjunction of
+        (column, op, value) with op in {==, <, <=, >, >=} — skips chain
+        files whose manifest min/max bounds prove no row can match
+        (Iceberg's manifest pruning). ADVISORY ONLY: kept files may still
+        hold non-matching rows, so the caller applies the real filter;
+        files/commits without stats are always kept. Merge-on-read delete
+        keys are applied in full either way (a delete may hit any file)."""
         # ONE manifest read for the call
         return self._resolve_read(
-            spark, self.manifest()["rounds"], table, resolve
+            spark, self.manifest()["rounds"], table, resolve, prune
         )
 
     def read_at(

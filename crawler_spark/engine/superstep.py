@@ -1239,3 +1239,23 @@ class CrawlEngine:
             F.col("pages_crawled").cast("long"),
             F.col("urls_extracted").cast("long"),
         )
+
+    def fetch_log_range(self, lo_round: int, hi_round: int) -> DataFrame:
+        """Q8 log range scan against the LIVE store (the reference's
+        month-partitioned crawl_log + btree range read,
+        current_schema.sql:228-239, redis_cache.py:695-737) — expressed as
+        manifest min/max file pruning instead of partition DDL: each round's
+        fetch_log delta holds only that round's rows, so the fetched_round
+        bounds recorded at commit time are tight per file and the read
+        touches O(range) files no matter how old the crawl is (Iceberg's
+        partition-pruning economics without a catalog). The residual filter
+        stays on top: pruning is advisory, correctness never depends on it."""
+        pred = [
+            ("fetched_round", ">=", lo_round),
+            ("fetched_round", "<=", hi_round),
+        ]
+        log = self.store.read(self.spark, "fetch_log", prune=pred)
+        return log.filter(
+            (F.col("fetched_round") >= lo_round)
+            & (F.col("fetched_round") <= hi_round)
+        )
