@@ -96,8 +96,13 @@ class SnapshotStore:
                         dropped.add(name)
                         bounds.pop(name, None)
                         continue
+                # floats excluded deliberately: parquet writers may omit
+                # NaN from min/max, so float bounds can EXCLUDE rows the
+                # file contains — Iceberg tracks nan_value_counts for this;
+                # we prune on int/string keys only (rounds, hosts, hashes)
                 ok = all(
-                    isinstance(v, (int, float, str, bool))
+                    isinstance(v, (int, str, bool))
+                    and not isinstance(v, float)
                     and not (
                         isinstance(v, str) and len(v) > cls.STATS_MAX_LEN
                     )

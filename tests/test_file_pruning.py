@@ -146,6 +146,22 @@ class TestConservativeKeeps:
             with open(man_path, "w") as fh:
                 fh.write(backup)
 
+    def test_float_bounds_never_recorded(self, spark, tmp_path):
+        """Parquet float min/max may omit NaN, so a float bound could prove
+        absence of a row the file contains — float columns must carry no
+        stats (Iceberg handles this via nan_value_counts; we prune on
+        int/string keys only)."""
+        st = SnapshotStore(str(tmp_path / "floats"))
+        df = spark.createDataFrame(
+            [(1, 0.5), (2, float("nan"))], "k int, score double"
+        )
+        st.commit_round(0, {"t": df}, row_hints={"t": 2})
+        for item in st.manifest()["rounds"][0]["tables"]["t"]["lineage"]:
+            assert "score" not in item.get("stats", {}), item
+            assert "k" in item.get("stats", {})  # int bounds still recorded
+        io = st.prune_stats("t", [("score", ">", 100.0)])
+        assert io["files_kept"] == io["files_total"]
+
     def test_long_string_bounds_dropped_not_truncated(self, spark,
                                                       tmp_path):
         st = SnapshotStore(str(tmp_path / "longstr"))
