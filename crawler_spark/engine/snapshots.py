@@ -280,17 +280,19 @@ class SnapshotStore:
         io = {"files_total": 0, "files_kept": 0, "dirs_unpruned": 0}
         for _, info in chain:
             lineage = info.get("lineage") or []
-            if not lineage or any("stats" not in it for it in lineage):
+            # zero-row files can never satisfy any predicate — they carry
+            # no footer stats (nothing to bound) but are prunable outright,
+            # and must not force the stats-completeness fallback below
+            live = [it for it in lineage if it.get("rows", 0) > 0]
+            io["files_total"] += len(lineage)
+            if not lineage or any("stats" not in it for it in live):
                 # no (or partial) stats: keep the whole dir — counting its
-                # files as both total and kept keeps the ratio honest
-                n = len(lineage)
-                io["files_total"] += n
-                io["files_kept"] += n
+                # files as kept keeps the ratio honest
+                io["files_kept"] += len(lineage)
                 io["dirs_unpruned"] += 1
                 kept.append(info["path"])
                 continue
-            for item in lineage:
-                io["files_total"] += 1
+            for item in live:
                 if self._file_may_match(item.get("stats"), predicates):
                     io["files_kept"] += 1
                     kept.append(os.path.join(info["path"], item["partition"]))
@@ -572,6 +574,7 @@ class SnapshotStore:
         delta_tables: dict[str, DataFrame] | None = None,
         row_hints: dict[str, int] | None = None,
         branch: str | None = None,
+        cluster_by: dict[str, list[str]] | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
         Lineage = per-spark-partition row counts captured at write time.
@@ -628,14 +631,33 @@ class SnapshotStore:
             stem = "snap" if mode == "full" else "delta"
             path = os.path.join(self.root, name, f"{stem}-{round_no:05d}")
             hint = (row_hints or {}).get(name)
-            if hint is not None:
+            n_files = (
+                max(1, min(-(-hint // self.ROWS_PER_FILE), 256))
+                if hint is not None
+                else None
+            )
+            cluster = (cluster_by or {}).get(name)
+            if cluster:
+                # Iceberg write sort order: range-partition + sort on the
+                # cluster keys so each file's footer min/max bounds are
+                # TIGHT and DISJOINT on those keys — a key-range read then
+                # prunes to O(matching files) instead of finding every
+                # file's bounds straddling the whole key space. Costs one
+                # range exchange per commit of this table (the same price
+                # Iceberg pays for a sorted write) — per-table opt-in.
+                df = (
+                    df.repartitionByRange(n_files, *cluster)
+                    if n_files is not None
+                    else df.repartitionByRange(*cluster)
+                ).sortWithinPartitions(*cluster)
+            elif n_files is not None:
                 # size output files by expected rows (the engine knows the
                 # round's counts from its metrics aggregate): a few-hundred-
                 # row delta must not become defaultParallelism near-empty
                 # files — file-count growth is what makes chain reads and
                 # listing slow as the crawl ages. At production scale the
                 # same formula yields real parallel writes.
-                df = df.coalesce(max(1, min(-(-hint // self.ROWS_PER_FILE), 256)))
+                df = df.coalesce(n_files)
             df.write.mode("overwrite").parquet(path)
             # lineage from the WRITTEN files' parquet footers — free driver-
             # side metadata, exactly how Iceberg records per-file row counts

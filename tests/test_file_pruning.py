@@ -197,6 +197,59 @@ class TestEngineLogRangeScan:
         assert io["files_kept"] == 2 and io["files_total"] == N_ROUNDS
 
 
+class TestSortOrderClustering:
+    """cluster_by (Iceberg write sort order): range-partition + sort on the
+    cluster keys at commit time so per-file bounds become tight and
+    disjoint — a key-range read prunes to O(matching files), where the
+    unclustered layout's every file straddles the whole key space."""
+
+    HOSTS = 16
+
+    def _df(self, spark):
+        rows = [
+            (f"host{h:02d}.example", f"u{h:02d}-{i:03d}", 0)
+            for h in range(self.HOSTS)
+            for i in range(50)
+        ]
+        return spark.createDataFrame(
+            rows, "host string, url_hash string, fetched_round int"
+        )
+
+    def test_clustered_bounds_disjoint_and_pruned(self, spark, tmp_path):
+        st = SnapshotStore(str(tmp_path / "clustered"))
+        st.ROWS_PER_FILE = 100  # force 8 files from the 800-row commit
+        st.commit_round(
+            0, {"t": self._df(spark)},
+            row_hints={"t": self.HOSTS * 50},
+            cluster_by={"t": ["host"]},
+        )
+        lineage = st.manifest()["rounds"][0]["tables"]["t"]["lineage"]
+        assert len(lineage) > 1
+        spans = sorted(
+            tuple(item["stats"]["host"]) for item in lineage
+        )
+        for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+            assert prev_hi <= next_lo  # disjoint (range-partitioned)
+        io = st.prune_stats("t", [("host", "==", "host05.example")])
+        assert io["files_kept"] == 1 and io["files_total"] == len(lineage)
+        got = st.read(
+            spark, "t", prune=[("host", "==", "host05.example")]
+        ).filter(F.col("host") == "host05.example")
+        assert got.count() == 50
+
+    def test_unclustered_control_cannot_prune(self, spark, tmp_path):
+        st = SnapshotStore(str(tmp_path / "unclustered"))
+        st.ROWS_PER_FILE = 100
+        # same data, hash-spread across files: every file sees ~all hosts
+        st.commit_round(
+            0, {"t": self._df(spark).repartition(8)},
+            row_hints={"t": self.HOSTS * 50},
+        )
+        io = st.prune_stats("t", [("host", "==", "host05.example")])
+        assert io["files_total"] > 1
+        assert io["files_kept"] == io["files_total"]
+
+
 class TestMergeOnReadUnderPruning:
     def test_delete_keys_still_applied(self, spark, tmp_path):
         st = SnapshotStore(str(tmp_path / "mor"))
