@@ -238,6 +238,11 @@ class SnapshotStore:
         if not stats:
             return True
         for col, op, val in predicates:
+            if isinstance(val, float):
+                # same rule as float BOUNDS (never recorded): NaN ordering
+                # and >2^53 rounding make Python float comparisons diverge
+                # from Spark's — a float predicate value never prunes
+                continue
             mm = stats.get(col)
             if mm is None:
                 continue
@@ -278,7 +283,14 @@ class SnapshotStore:
         (dir paths); everything else is enumerated per file."""
         kept: list[str] = []
         io = {"files_total": 0, "files_kept": 0, "dirs_unpruned": 0}
-        for _, info in chain:
+        # _chain_paths' canonical oldest-first order: folded base dirs
+        # first (stored order), then chain entries oldest-first — readers
+        # (mergeSchema field order) must see the same order pruned or not
+        if chain:
+            for base in chain[-1][1].get("base_paths", []):
+                io["dirs_unpruned"] += 1
+                kept.append(base)
+        for _, info in reversed(chain):
             lineage = info.get("lineage") or []
             # zero-row files can never satisfy any predicate — they carry
             # no footer stats (nothing to bound) but are prunable outright,
@@ -296,11 +308,40 @@ class SnapshotStore:
                 if self._file_may_match(item.get("stats"), predicates):
                     io["files_kept"] += 1
                     kept.append(os.path.join(info["path"], item["partition"]))
-        if chain:
-            for base in chain[-1][1].get("base_paths", []):
-                io["dirs_unpruned"] += 1
-                kept.append(base)
         return kept, io
+
+    @staticmethod
+    def _union_columns(chain: list[tuple[int, dict]]) -> list[tuple[str, str]]:
+        """(name, simpleString type) union over the chain's manifest column
+        records, oldest-first — the chain's merged schema without touching
+        a single parquet footer. Entries committed before column recording
+        contribute nothing (conservative: a pruned read then surfaces
+        whatever the kept files carry, never inventing columns)."""
+        cols: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for _, info in reversed(chain):
+            for name, dt in info.get("columns") or []:
+                if name not in seen:
+                    seen.add(name)
+                    cols.append((name, dt))
+        return cols
+
+    def _align_pruned_schema(
+        self, df: DataFrame, chain: list[tuple[int, dict]]
+    ) -> DataFrame:
+        """Pruning is advisory — it must never change what columns a reader
+        sees. A predicate that prunes out every file of a post-upgrade delta
+        would otherwise silently DROP the column the delta introduced
+        (add-column evolution); re-add such columns as typed nulls, exactly
+        what the unpruned mergeSchema read yields for the old files."""
+        spec = self._union_columns(chain)
+        have = set(df.columns)
+        for name, dtype in spec:
+            if name not in have:
+                df = df.withColumn(name, F.lit(None).cast(dtype))
+        if set(df.columns) == {n for n, _ in spec}:
+            df = df.select(*[n for n, _ in spec])
+        return df
 
     def prune_stats(
         self, table: str, predicates: list[tuple[str, str, Any]]
@@ -344,6 +385,8 @@ class SnapshotStore:
         # from every other file. Chains are <= REBUILD_EVERY+1 dirs, so the
         # footer merge is negligible.
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if prune:
+            df = self._align_pruned_schema(df, chain)
         dels_name = self.MERGE_ON_READ.get(table)
         if resolve and dels_name is not None:
             dels_chain = self._live_chain(rounds, dels_name)
@@ -637,6 +680,14 @@ class SnapshotStore:
                 else None
             )
             cluster = (cluster_by or {}).get(name)
+            if cluster and n_files is None:
+                # no row hint: one count of the (delta-sized) input beats
+                # exploding into defaultParallelism near-empty range
+                # partitions — engine paths always pass hints, this is the
+                # ad-hoc-caller fallback
+                n_files = max(
+                    1, min(-(-df.count() // self.ROWS_PER_FILE), 256)
+                )
             if cluster:
                 # Iceberg write sort order: range-partition + sort on the
                 # cluster keys so each file's footer min/max bounds are
@@ -676,6 +727,12 @@ class SnapshotStore:
                 "mode": mode,
                 "rows": sum(p["rows"] for p in lineage),
                 "lineage": lineage,
+                # the commit's column set (Iceberg's schema-id per snapshot):
+                # lets a pruned read reconstruct the chain schema without
+                # reading every file's footer
+                "columns": [
+                    [f.name, f.dataType.simpleString()] for f in df.schema
+                ],
             }
 
         for name, df in tables.items():

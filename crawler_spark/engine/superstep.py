@@ -1255,6 +1255,10 @@ class CrawlEngine:
             ("fetched_round", "<=", hi_round),
         ]
         log = self.store.read(self.spark, "fetch_log", prune=pred)
+        if log is None:
+            raise ValueError(
+                "fetch_log_range: store has no fetch_log commits yet"
+            )
         return log.filter(
             (F.col("fetched_round") >= lo_round)
             & (F.col("fetched_round") <= hi_round)

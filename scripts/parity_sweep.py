@@ -61,6 +61,10 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     Q, O = entrymod.queries(), entrymod.oracle_sql()
+    only = os.environ.get("PARITY_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        Q = {n: q for n, q in Q.items() if n in keep}
     results: dict[str, dict] = {}
     for name in Q:
         t0 = time.time()
