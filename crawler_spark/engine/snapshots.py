@@ -31,9 +31,11 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 import time
 from typing import Any
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,8 +59,19 @@ class SnapshotStore:
     # table scan rather than leaving it to each caller.
     MERGE_ON_READ = {"frontier": "frontier_dels"}
 
+    # One sidecar per commit dir holding every indexed column's per-file
+    # bloom (Iceberg's puffin file, one object-store RTT to load).
+    # Underscore prefix = invisible to Spark/Hadoop file listings, and the
+    # sidecar shares its data dir's lifecycle (expiry/rollback/orphan
+    # reclamation delete the dir, sidecar included) — zero extra GC code.
+    INDEX_SIDECAR = "_file_index.pkl"
+    INDEX_BITS_PER_KEY = 10  # ~0.9% FP at k=7 — a false KEEP costs one file
+
     def __init__(self, root: str):
         self.root = root
+        # parsed file-index sidecars, keyed by sidecar path (commit dirs are
+        # immutable, so no invalidation); bounded FIFO
+        self._index_cache: dict[str, dict[str, dict[str, Any]]] = {}
         os.makedirs(root, exist_ok=True)
 
     # Column-stats bounds longer than this are dropped rather than stored
@@ -271,6 +284,100 @@ class SnapshotStore:
                 continue
         return True
 
+    # --------------------------------------------- per-file bloom indexes
+
+    @staticmethod
+    def _index_key_hashes(values: Any) -> np.ndarray:
+        """Deterministic uint64 keys for file-index blooms, shared by build
+        (column values) and probe (the predicate constant): pandas'
+        fixed-key siphash — stable across processes/sessions, vectorized.
+        Integer widths normalize to int64 (hash-identical); strings stay
+        object. Floats never reach here (same exclusion as min/max stats)."""
+        import pandas as pd
+
+        arr = np.asarray(values)
+        if arr.dtype.kind in ("i", "u"):
+            arr = arr.astype(np.int64, copy=False)
+        else:
+            arr = arr.astype(object)
+        return pd.util.hash_array(arr)
+
+    def _build_file_index(
+        self, path: str, lineage: list[dict[str, Any]], cols: list[str]
+    ) -> list[str]:
+        """Per-file bloom filters for point-lookup pruning — Iceberg's
+        puffin blob sidecar. min/max bounds prune RANGE predicates but are
+        useless for uniformly-distributed keys (every file's url_hash
+        bounds straddle the whole hex space); a 10-bits/key bloom answers
+        `==` on exactly those columns for ~1.25 bytes/row of metadata.
+        Local-store commits only (the production analogue is Iceberg's
+        write.metadata bloom properties); int/string columns only; a column
+        that fails to build is skipped whole — pruning must stay advisory."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crawler_spark.kernels.membership import BloomFilter
+
+        blooms: dict[str, dict[str, bytes]] = {}
+        built: list[str] = []
+        for col in cols:
+            per_file: dict[str, bytes] = {}
+            ok = True
+            for item in lineage:
+                try:
+                    column = pq.read_table(
+                        os.path.join(path, item["partition"]), columns=[col]
+                    ).column(0)
+                    if not (
+                        pa.types.is_integer(column.type)
+                        or pa.types.is_string(column.type)
+                        or pa.types.is_large_string(column.type)
+                    ):
+                        ok = False
+                        break
+                    vals = column.drop_null().to_numpy(zero_copy_only=False)
+                except Exception:
+                    ok = False
+                    break
+                bf = BloomFilter.for_capacity(
+                    max(1, len(vals)), bits_per_key=self.INDEX_BITS_PER_KEY
+                )
+                if len(vals):
+                    bf.add_many(self._index_key_hashes(vals))
+                per_file[item["partition"]] = bf.to_bytes()
+            if ok:
+                blooms[col] = per_file
+                built.append(col)
+        if blooms:
+            with open(os.path.join(path, self.INDEX_SIDECAR), "wb") as fh:
+                pickle.dump(blooms, fh)
+        return built
+
+    def _load_file_index(
+        self, path: str
+    ) -> dict[str, dict[str, Any]] | None:
+        """Parsed {col: {file: BloomFilter}} for a commit dir, cached.
+        Any read problem answers None — the caller keeps every file."""
+        from crawler_spark.kernels.membership import BloomFilter
+
+        cached = self._index_cache.get(path)
+        if cached is not None:
+            return cached
+        sidecar = os.path.join(path, self.INDEX_SIDECAR)
+        try:
+            with open(sidecar, "rb") as fh:
+                raw = pickle.load(fh)
+            parsed = {
+                col: {f: BloomFilter.from_bytes(b) for f, b in files.items()}
+                for col, files in raw.items()
+            }
+        except Exception:
+            return None
+        if len(self._index_cache) >= 64:
+            self._index_cache.pop(next(iter(self._index_cache)))
+        self._index_cache[path] = parsed
+        return parsed
+
     def _pruned_chain_paths(
         self,
         chain: list[tuple[int, dict]],
@@ -283,6 +390,15 @@ class SnapshotStore:
         (dir paths); everything else is enumerated per file."""
         kept: list[str] = []
         io = {"files_total": 0, "files_kept": 0, "dirs_unpruned": 0}
+        # equality predicates a per-file bloom can answer (int/string only —
+        # the types the index builds over; bool/float never probe)
+        eq_preds = [
+            (c, v)
+            for c, op, v in predicates
+            if op == "=="
+            and not isinstance(v, bool)
+            and isinstance(v, (int, str))
+        ]
         # _chain_paths' canonical oldest-first order: folded base dirs
         # first (stored order), then chain entries oldest-first — readers
         # (mergeSchema field order) must see the same order pruned or not
@@ -292,6 +408,10 @@ class SnapshotStore:
                 kept.append(base)
         for _, info in reversed(chain):
             lineage = info.get("lineage") or []
+            idx_cols = [
+                c for c, _ in eq_preds if c in (info.get("file_index") or [])
+            ]
+            fidx = self._load_file_index(info["path"]) if idx_cols else None
             # zero-row files can never satisfy any predicate — they carry
             # no footer stats (nothing to bound) but are prunable outright,
             # and must not force the stats-completeness fallback below
@@ -305,10 +425,32 @@ class SnapshotStore:
                 kept.append(info["path"])
                 continue
             for item in live:
-                if self._file_may_match(item.get("stats"), predicates):
-                    io["files_kept"] += 1
-                    kept.append(os.path.join(info["path"], item["partition"]))
+                if not self._file_may_match(item.get("stats"), predicates):
+                    continue
+                if fidx is not None and not self._bloom_may_match(
+                    fidx, item["partition"], eq_preds
+                ):
+                    continue
+                io["files_kept"] += 1
+                kept.append(os.path.join(info["path"], item["partition"]))
         return kept, io
+
+    def _bloom_may_match(
+        self,
+        fidx: dict[str, dict[str, Any]],
+        fname: str,
+        eq_preds: list[tuple[str, Any]],
+    ) -> bool:
+        """False only when some indexed column's per-file bloom PROVES the
+        predicate value absent (no false negatives by construction); a
+        missing bloom for this file keeps it."""
+        for col, val in eq_preds:
+            bf = fidx.get(col, {}).get(fname)
+            if bf is not None and not bool(
+                bf.contains_many(self._index_key_hashes([val]))[0]
+            ):
+                return False
+        return True
 
     @staticmethod
     def _union_columns(chain: list[tuple[int, dict]]) -> list[tuple[str, str]]:
@@ -618,6 +760,7 @@ class SnapshotStore:
         row_hints: dict[str, int] | None = None,
         branch: str | None = None,
         cluster_by: dict[str, list[str]] | None = None,
+        file_index: dict[str, list[str]] | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
         Lineage = per-spark-partition row counts captured at write time.
@@ -734,6 +877,11 @@ class SnapshotStore:
                     [f.name, f.dataType.simpleString()] for f in df.schema
                 ],
             }
+            idx_cols = (file_index or {}).get(name)
+            if idx_cols and os.path.isdir(path):
+                built = self._build_file_index(path, lineage, idx_cols)
+                if built:
+                    entry["tables"][name]["file_index"] = built
 
         for name, df in tables.items():
             _write(name, df, "full")
@@ -873,6 +1021,62 @@ class SnapshotStore:
         # orphan dirs, never a staged manifest pointing at deleted files
         removed = self._release_entry_dirs(man, entry)
         return {"removed_dirs": removed, "round": entry["round"]}
+
+    def rollback(self, to_round: int) -> dict[str, Any]:
+        """Iceberg's `rollback_to_snapshot`: drop every committed round
+        AFTER `to_round` and reclaim the dirs only those rounds own (a
+        kept round's base_paths/blob_chain refs always point backward, so
+        nothing live can reference a dropped dir — still enforced via the
+        same liveness check as drop_branch). Staged branches are dropped
+        too: their gate verdict belongs to a history that no longer exists.
+        Streaming log feeds for dropped rounds are removed so tail readers
+        never see events from rolled-back rounds. One atomic manifest flip;
+        reclamation happens AFTER it (a crash between leaves orphans for
+        remove_orphans, never a manifest pointing at deleted files). The
+        engine's resume() then continues from `to_round + 1`, re-running
+        the dropped rounds deterministically."""
+        import shutil
+
+        man = self.manifest()
+        if man["rounds"]:
+            oldest = man["rounds"][0]["round"]
+            # below the retention window the target state was expired
+            # (folded into newer manifests) — nothing can restore it.
+            # to_round == -1 (full reset) is allowed only while round 0 is
+            # still retained: an oldest round > 0 carries folded history.
+            floor = -1 if oldest == 0 else oldest
+            if to_round < floor:
+                raise ValueError(
+                    f"cannot rollback to round {to_round}: retention kept"
+                    f" rounds {oldest}..{man['rounds'][-1]['round']} only"
+                )
+        dropped = [r for r in man["rounds"] if r["round"] > to_round]
+        staged = man.get("staged") or {}
+        if not dropped and not staged:
+            return {"dropped_rounds": 0, "dirs_reclaimed": 0, "feeds": 0}
+        new_man = dict(man)
+        new_man["rounds"] = [
+            r for r in man["rounds"] if r["round"] <= to_round
+        ]
+        new_man.pop("staged", None)
+        self._flip_manifest(new_man)
+        reclaimed = 0
+        for entry in dropped + list(staged.values()):
+            reclaimed += self._release_entry_dirs(new_man, entry)
+        feeds = 0
+        for parent in ("_logfeed", "_logfeed_staging"):
+            for entry in dropped + list(staged.values()):
+                feed = os.path.join(
+                    self.root, parent, f"feed-{entry['round']:05d}"
+                )
+                if os.path.isdir(feed):
+                    shutil.rmtree(feed)
+                    feeds += 1
+        return {
+            "dropped_rounds": len(dropped),
+            "dirs_reclaimed": reclaimed,
+            "feeds": feeds,
+        }
 
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, Any]:
         """Iceberg `expire_snapshots` / the reference's partition-maintenance

@@ -102,6 +102,7 @@ class CrawlEngine:
         log_feed: bool = False,
         max_depth: int | None = None,
         domain_priority: dict[str, int] | None = None,
+        file_index: dict[str, list[str]] | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -137,7 +138,15 @@ class CrawlEngine:
         for a website inherits its configured priority): hosts in the map
         score with the override for listings AND details, others keep the
         type-based defaults. Feeds the same S1 score, so high-priority
-        domains drain first within every host's budget window."""
+        domains drain first within every host's budget window.
+
+        file_index: per-table columns to build per-file bloom sidecars for
+        at commit time ({"pages": ["url_hash"], ...}) — the distributed
+        analogue of the reference's point-lookup btrees
+        (ix_crawled_page_url_hash, current_schema.sql:1441-1444): min/max
+        bounds cannot prune uniformly-distributed hash keys, blooms can.
+        page_lookup() exploits it; off by default (adds one column read
+        per committed file at commit time)."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -150,6 +159,7 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.max_depth = max_depth
         self.domain_priority = dict(domain_priority or {})
+        self.file_index = dict(file_index or {})
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -229,6 +239,7 @@ class CrawlEngine:
              "retry_history": self._empty_retry_history()},
             metrics={"phase": "init", "n_seeds": len(rows)},
             blob_dir=out_dir, blob_chain=[out_dir],
+            file_index=self.file_index,
             row_hints={"frontier": len(rows), "frontier_dels": 0,
                        "seen": len(rows), "pages": 0,
                        "dlq": 0, "fetch_log": 0, "retry_history": 0},
@@ -407,6 +418,7 @@ class CrawlEngine:
         entry = self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
             blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
+            file_index=self.file_index,
         )
         fresh.unpersist()
         return entry["metrics"]
@@ -1081,6 +1093,7 @@ class CrawlEngine:
             round_no, full, metrics=metrics, blob_dir=out_dir,
             blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
             branch=self._staging_branch,
+            file_index=self.file_index,
         )
         flagged.unpersist()
         selected.unpersist()
@@ -1263,3 +1276,18 @@ class CrawlEngine:
             (F.col("fetched_round") >= lo_round)
             & (F.col("fetched_round") <= hi_round)
         )
+
+    def page_lookup(self, url_hash: str) -> DataFrame:
+        """GetPageByURLHash (sql/queries/crawled_page.sql:43, served by the
+        btree ix_crawled_page_url_hash, current_schema.sql:1441-1444) as a
+        point lookup on the snapshot store: when the engine was built with
+        file_index={'pages': ['url_hash']}, the per-file blooms prune the
+        chain to O(1) files — min/max bounds can't skip anything for a
+        uniformly-distributed hash key, which is exactly why the reference
+        needs a btree there. Without the index this degrades to a full-chain
+        filter (pruning is always advisory; the real filter stays on top)."""
+        pred = [("url_hash", "==", url_hash)]
+        pages = self.store.read(self.spark, "pages", prune=pred)
+        if pages is None:
+            raise ValueError("page_lookup: store has no pages commits yet")
+        return pages.filter(F.col("url_hash") == url_hash)
