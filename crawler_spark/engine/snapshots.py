@@ -318,40 +318,56 @@ class SnapshotStore:
 
         from crawler_spark.kernels.membership import BloomFilter
 
-        blooms: dict[str, dict[str, bytes]] = {}
-        built: list[str] = []
-        for col in cols:
-            per_file: dict[str, bytes] = {}
-            ok = True
+        def _kind(t: Any) -> str | None:
+            if pa.types.is_integer(t):
+                return "i"
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return "s"
+            return None
+
+        # {col: {"kind": "i"|"s", "files": {fname: blob}}} — the kind lets
+        # the probe refuse cross-type predicate values (an int bloom probed
+        # with a string hashes into a different domain and would prune
+        # files Spark's cast-based equality matches)
+        blooms: dict[str, dict[str, Any]] = {}
+        try:
+            # eligibility from the schema of the first file — no data read
+            # for ineligible (float/nested) columns, one table read per file
+            first = os.path.join(path, lineage[0]["partition"])
+            schema = pq.ParquetFile(first).schema_arrow
+            eligible = {
+                c: k
+                for c in cols
+                if c in schema.names
+                and (k := _kind(schema.field(c).type)) is not None
+            }
+            if not eligible:
+                return []
             for item in lineage:
-                try:
-                    column = pq.read_table(
-                        os.path.join(path, item["partition"]), columns=[col]
-                    ).column(0)
-                    if not (
-                        pa.types.is_integer(column.type)
-                        or pa.types.is_string(column.type)
-                        or pa.types.is_large_string(column.type)
-                    ):
-                        ok = False
-                        break
-                    vals = column.drop_null().to_numpy(zero_copy_only=False)
-                except Exception:
-                    ok = False
-                    break
-                bf = BloomFilter.for_capacity(
-                    max(1, len(vals)), bits_per_key=self.INDEX_BITS_PER_KEY
+                tbl = pq.read_table(
+                    os.path.join(path, item["partition"]),
+                    columns=list(eligible),
                 )
-                if len(vals):
-                    bf.add_many(self._index_key_hashes(vals))
-                per_file[item["partition"]] = bf.to_bytes()
-            if ok:
-                blooms[col] = per_file
-                built.append(col)
-        if blooms:
-            with open(os.path.join(path, self.INDEX_SIDECAR), "wb") as fh:
-                pickle.dump(blooms, fh)
-        return built
+                for col, kind in eligible.items():
+                    vals = (
+                        tbl.column(col).drop_null()
+                        .to_numpy(zero_copy_only=False)
+                    )
+                    bf = BloomFilter.for_capacity(
+                        max(1, len(vals)),
+                        bits_per_key=self.INDEX_BITS_PER_KEY,
+                    )
+                    if len(vals):
+                        bf.add_many(self._index_key_hashes(vals))
+                    blooms.setdefault(
+                        col, {"kind": kind, "files": {}}
+                    )["files"][item["partition"]] = bf.to_bytes()
+        except Exception:
+            return []  # index build is best-effort; pruning stays advisory
+        with open(os.path.join(path, self.INDEX_SIDECAR), "wb") as fh:
+            pickle.dump(blooms, fh)
+        self._index_cache.pop(path, None)  # a rewrite invalidates any cache
+        return sorted(blooms)
 
     def _load_file_index(
         self, path: str
@@ -368,8 +384,14 @@ class SnapshotStore:
             with open(sidecar, "rb") as fh:
                 raw = pickle.load(fh)
             parsed = {
-                col: {f: BloomFilter.from_bytes(b) for f, b in files.items()}
-                for col, files in raw.items()
+                col: {
+                    "kind": spec["kind"],
+                    "files": {
+                        f: BloomFilter.from_bytes(b)
+                        for f, b in spec["files"].items()
+                    },
+                }
+                for col, spec in raw.items()
             }
         except Exception:
             return None
@@ -391,9 +413,15 @@ class SnapshotStore:
         kept: list[str] = []
         io = {"files_total": 0, "files_kept": 0, "dirs_unpruned": 0}
         # equality predicates a per-file bloom can answer (int/string only —
-        # the types the index builds over; bool/float never probe)
+        # the types the index builds over; bool/float never probe). Each
+        # value is hashed ONCE here, and carries its type kind so the probe
+        # can refuse a cross-type match (int bloom vs string value)
         eq_preds = [
-            (c, v)
+            (
+                c,
+                "i" if isinstance(v, int) else "s",
+                self._index_key_hashes([v]),
+            )
             for c, op, v in predicates
             if op == "=="
             and not isinstance(v, bool)
@@ -409,7 +437,9 @@ class SnapshotStore:
         for _, info in reversed(chain):
             lineage = info.get("lineage") or []
             idx_cols = [
-                c for c, _ in eq_preds if c in (info.get("file_index") or [])
+                c
+                for c, _, _ in eq_preds
+                if c in (info.get("file_index") or [])
             ]
             fidx = self._load_file_index(info["path"]) if idx_cols else None
             # zero-row files can never satisfy any predicate — they carry
@@ -417,9 +447,14 @@ class SnapshotStore:
             # and must not force the stats-completeness fallback below
             live = [it for it in lineage if it.get("rows", 0) > 0]
             io["files_total"] += len(lineage)
-            if not lineage or any("stats" not in it for it in live):
-                # no (or partial) stats: keep the whole dir — counting its
-                # files as kept keeps the ratio honest
+            incomplete = any("stats" not in it for it in live)
+            if not lineage or (incomplete and fidx is None):
+                # no lineage, or partial stats with no bloom index: keep the
+                # whole dir — counting its files as kept keeps the ratio
+                # honest. With a bloom index, stats-less files can still be
+                # bloom-pruned per file below (a sha256 key column exceeds
+                # STATS_MAX_LEN, so its files may carry NO min/max at all —
+                # exactly the case the bloom index exists for).
                 io["files_kept"] += len(lineage)
                 io["dirs_unpruned"] += 1
                 kept.append(info["path"])
@@ -435,20 +470,24 @@ class SnapshotStore:
                 kept.append(os.path.join(info["path"], item["partition"]))
         return kept, io
 
+    @staticmethod
     def _bloom_may_match(
-        self,
         fidx: dict[str, dict[str, Any]],
         fname: str,
-        eq_preds: list[tuple[str, Any]],
+        eq_preds: list[tuple[str, str, Any]],
     ) -> bool:
         """False only when some indexed column's per-file bloom PROVES the
-        predicate value absent (no false negatives by construction); a
-        missing bloom for this file keeps it."""
-        for col, val in eq_preds:
-            bf = fidx.get(col, {}).get(fname)
-            if bf is not None and not bool(
-                bf.contains_many(self._index_key_hashes([val]))[0]
-            ):
+        predicate value absent (no false negatives by construction). A
+        missing bloom for this file keeps it, and so does a predicate whose
+        value type differs from the indexed column's (mirrors
+        _file_may_match's TypeError rule — Spark's cast-based equality
+        could still match rows the foreign-type hash would miss)."""
+        for col, kind, hashed in eq_preds:
+            spec = fidx.get(col)
+            if spec is None or spec["kind"] != kind:
+                continue
+            bf = spec["files"].get(fname)
+            if bf is not None and not bool(bf.contains_many(hashed)[0]):
                 return False
         return True
 
@@ -952,6 +991,7 @@ class SnapshotStore:
         for p in self._entry_own_paths(entry):
             if p not in live and os.path.isdir(p):
                 shutil.rmtree(p)
+                self._index_cache.pop(p, None)  # dir gone -> blooms stale
                 removed += 1
         return removed
 
@@ -1051,9 +1091,12 @@ class SnapshotStore:
                     f" rounds {oldest}..{man['rounds'][-1]['round']} only"
                 )
         dropped = [r for r in man["rounds"] if r["round"] > to_round]
-        staged = man.get("staged") or {}
-        if not dropped and not staged:
+        if not dropped:
+            # nothing to roll back: committed history already ends at
+            # to_round. An in-flight staged audit SURVIVES — its history
+            # is intact, so destroying it would lose a live round's work.
             return {"dropped_rounds": 0, "dirs_reclaimed": 0, "feeds": 0}
+        staged = man.get("staged") or {}
         new_man = dict(man)
         new_man["rounds"] = [
             r for r in man["rounds"] if r["round"] <= to_round
@@ -1064,8 +1107,14 @@ class SnapshotStore:
         for entry in dropped + list(staged.values()):
             reclaimed += self._release_entry_dirs(new_man, entry)
         feeds = 0
-        for parent in ("_logfeed", "_logfeed_staging"):
-            for entry in dropped + list(staged.values()):
+        # dropped committed rounds lose their PUBLISHED feed (and any
+        # staging residue); staged entries only ever wrote under staging —
+        # a kept committed round sharing a staged round number must keep
+        # its published feed
+        for entry, parents in [
+            (e, ("_logfeed", "_logfeed_staging")) for e in dropped
+        ] + [(e, ("_logfeed_staging",)) for e in staged.values()]:
+            for parent in parents:
                 feed = os.path.join(
                     self.root, parent, f"feed-{entry['round']:05d}"
                 )

@@ -145,6 +145,81 @@ class TestPruning:
         assert got == 1
 
 
+class TestReviewRegressions:
+    """Gates from the adversarial review of the file-index/rollback diff."""
+
+    def test_cross_type_predicate_never_bloom_prunes(self, store):
+        # int column probed with a string value: hashes live in different
+        # domains — the bloom must refuse to answer (kind mismatch), same
+        # advisory rule as _file_may_match's TypeError guard
+        io = store.prune_stats("pages", [("fetched_round", "==", "1")])
+        assert io["files_kept"] == io["files_total"]
+
+    def test_statsless_files_still_bloom_prune(self, spark, tmp_path):
+        # every column's min/max is dropped (64-hex sha256 > STATS_MAX_LEN),
+        # so the files carry NO stats — the pre-bloom code kept the whole
+        # dir; the bloom index must still prune point lookups here, which
+        # is exactly the production pages-table shape
+        st = SnapshotStore(str(tmp_path / "nostats"))
+        long_hash = "a" * 63
+
+        def rows(r):
+            return spark.createDataFrame(
+                [(f"{long_hash}{r}{i:03d}"[:64] + f"{r}{i:03d}",)
+                 for i in range(10)],
+                "url_hash string",
+            )
+
+        st.commit_round(0, {"pages": rows(0)}, row_hints={"pages": 10},
+                        file_index={"pages": ["url_hash"]})
+        for r in (1, 2):
+            st.commit_round(r, {}, delta_tables={"pages": rows(r)},
+                            row_hints={"pages": 10},
+                            file_index={"pages": ["url_hash"]})
+        man = st.manifest()["rounds"][0]["tables"]["pages"]
+        assert all("stats" not in it for it in man["lineage"])
+        key = rows(1).head()["url_hash"]
+        io = st.prune_stats("pages", [("url_hash", "==", key)])
+        assert io["files_kept"] < io["files_total"]
+        got = (
+            st.read(spark, "pages", prune=[("url_hash", "==", key)])
+            .filter(F.col("url_hash") == key)
+            .count()
+        )
+        assert got == 1
+
+    def test_recommit_after_rollback_invalidates_bloom_cache(
+        self, spark, tmp_path
+    ):
+        # rollback deletes commit dirs that a re-run recreates at IDENTICAL
+        # paths; a stale cached bloom would prove the new keys absent and
+        # silently drop their files
+        st = SnapshotStore(str(tmp_path / "cache"))
+        fi = {"pages": ["url_hash"]}
+        st.commit_round(0, {"pages": _mk_rows(spark, 0)},
+                        row_hints={"pages": 40}, file_index=fi)
+        st.commit_round(1, {}, delta_tables={"pages": _mk_rows(spark, 1)},
+                        row_hints={"pages": 40}, file_index=fi)
+        # warm the cache on round 1's sidecar
+        st.prune_stats("pages", [("url_hash", "==", "hash-01-0000")])
+        st.rollback(0)
+        # re-run round 1 with DIFFERENT keys at the same delta path
+        new = spark.createDataFrame(
+            [("h0.example", f"fresh-{i:04d}", 1, 0.0) for i in range(40)],
+            "host string, url_hash string, fetched_round int, score double",
+        )
+        st.commit_round(1, {}, delta_tables={"pages": new},
+                        row_hints={"pages": 40}, file_index=fi)
+        pred = [("url_hash", "==", "fresh-0007")]
+        assert st.prune_stats("pages", pred)["files_kept"] >= 1
+        got = (
+            st.read(spark, "pages", prune=pred)
+            .filter(F.col("url_hash") == "fresh-0007")
+            .count()
+        )
+        assert got == 1
+
+
 class TestEngineLookup:
     @pytest.fixture(scope="class")
     def engine(self, spark, tmp_path_factory):

@@ -86,6 +86,18 @@ class TestStoreRollback:
         assert not os.path.exists(staged_path)
         assert store.latest_round() == 2
 
+    def test_noop_rollback_keeps_inflight_staged_branch(self, spark, store):
+        # rollback-to-latest drops no history, so an in-flight audit's
+        # staged commit must survive (review regression: it was destroyed)
+        store.commit_round(
+            4, {}, delta_tables={"seen": _mk(spark, 4)},
+            row_hints={"seen": 20}, branch="audit",
+        )
+        assert store.rollback(3)["dropped_rounds"] == 0
+        assert store.staged_entry("audit") is not None
+        store.publish_branch("audit")
+        assert store.latest_round() == 4
+
     def test_rollback_below_retention_raises(self, spark, store):
         store.expire_snapshots(keep_last=2)
         oldest = store.manifest()["rounds"][0]["round"]
