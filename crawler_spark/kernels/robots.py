@@ -6,8 +6,10 @@ The reference has NO robots handling (verified: no 'robots' match anywhere in
 rule requires robots compliance + crawl-delay budgets, so this component is
 designed fresh against RFC 9309:
 
-  * group selection: most-specific user-agent group (longest UA token match,
-    case-insensitive substring of product token), '*' as fallback;
+  * group selection: most-specific user-agent match (longest robots token
+    that is a case-insensitive PREFIX of the crawler's product token), '*'
+    as fallback; ALL groups tied at the winning specificity are combined
+    (§2.2.1) and unknown directives never interfere with grouping (§2.2.4);
   * rule matching: longest-path-match wins; tie -> Allow wins;
   * '*' wildcard and '$' end-anchor in paths;
   * empty Disallow == allow all;
@@ -30,63 +32,91 @@ class RobotsGroup:
     # (pattern, allow) in file order; pattern is the raw robots path pattern
     rules: list[tuple[str, bool]] = field(default_factory=list)
     crawl_delay: float | None = None
+    # regexes compiled once at parse time, parallel to `rules` — the match
+    # runs per (rule x frontier row) inside the robots pandas UDFs, so a
+    # per-call re-compile would thrash re's global cache at frontier scale
+    compiled: list[re.Pattern] = field(default_factory=list)
+
+    def _compiled(self, i: int) -> re.Pattern:
+        return (
+            self.compiled[i]
+            if i < len(self.compiled)
+            else _compile_path(self.rules[i][0])
+        )
 
 
 @dataclass
 class RobotsPolicy:
     groups: list[RobotsGroup] = field(default_factory=list)
 
-    def select_group(self, user_agent: str) -> RobotsGroup | None:
-        """Most-specific matching group: longest agent token that is a
-        case-insensitive prefix of (or equal to) the UA product token;
-        '*' matches anything with specificity 0."""
+    def _matching_groups(self, user_agent: str) -> list[RobotsGroup]:
+        """ALL groups tied at the winning specificity — RFC 9309 §2.2.1:
+        when more than one group matches, the matching groups' rules MUST
+        be combined (two 'User-agent: *' blocks act as one). A robots UA
+        token matches when it is a case-insensitive PREFIX of the
+        crawler's product token (the published longest-match semantics:
+        'googlebot' < 'googlebot-images' for UA googlebot-images; a longer
+        token for a DIFFERENT crawler never matches); '*' matches anything
+        at specificity 0 and applies only when no named token matches."""
         ua = user_agent.lower().split("/")[0].strip()
-        best: tuple[int, RobotsGroup] | None = None
+        best = -1
+        scored: list[tuple[int, RobotsGroup]] = []
         for g in self.groups:
+            spec = -1
             for a in g.agents:
-                al = a.lower()
+                al = a.lower().strip()
                 if al == "*":
-                    spec = 0
-                elif al in ua or ua in al:
-                    spec = len(al)
-                else:
-                    continue
-                if best is None or spec > best[0]:
-                    best = (spec, g)
-        return best[1] if best else None
+                    spec = max(spec, 0)
+                elif al and ua.startswith(al):
+                    spec = max(spec, len(al))
+            if spec >= 0:
+                scored.append((spec, g))
+                best = max(best, spec)
+        return [g for s, g in scored if s == best]
 
     def is_allowed(self, user_agent: str, path: str) -> bool:
-        g = self.select_group(user_agent)
-        if g is None:
+        groups = self._matching_groups(user_agent)
+        if not groups:
             return True
         if not path.startswith("/"):
             path = "/" + path
         best_len = -1
         best_allow = True
-        for pattern, allow in g.rules:
-            if not pattern:
-                # "Disallow:" (empty) == no restriction; spec: ignore
-                continue
-            if _match_path(pattern, path):
-                plen = len(pattern)
-                if plen > best_len or (plen == best_len and allow and not best_allow):
-                    best_len = plen
-                    best_allow = allow
+        for g in groups:
+            for i, (pattern, allow) in enumerate(g.rules):
+                if not pattern:
+                    # "Disallow:" (empty) == no restriction; spec: ignore
+                    continue
+                if g._compiled(i).match(path) is not None:
+                    plen = len(pattern)
+                    if plen > best_len or (
+                        plen == best_len and allow and not best_allow
+                    ):
+                        best_len = plen
+                        best_allow = allow
         return best_allow if best_len >= 0 else True
 
     def crawl_delay(self, user_agent: str) -> float | None:
-        g = self.select_group(user_agent)
-        return g.crawl_delay if g else None
+        """First crawl-delay among the combined matching groups, in file
+        order (the directive is non-standard; first-wins is the common
+        parser behavior for duplicated directives)."""
+        for g in self._matching_groups(user_agent):
+            if g.crawl_delay is not None:
+                return g.crawl_delay
+        return None
 
 
-def _match_path(pattern: str, path: str) -> bool:
+def _compile_path(pattern: str) -> re.Pattern:
     """robots path pattern -> anchored regex: '*' = any run, '$' = end."""
     anchored_end = pattern.endswith("$")
     if anchored_end:
         pattern = pattern[:-1]
     rx = "".join(".*" if c == "*" else re.escape(c) for c in pattern)
-    rx = "^" + rx + ("$" if anchored_end else "")
-    return re.match(rx, path) is not None
+    return re.compile("^" + rx + ("$" if anchored_end else ""))
+
+
+def _match_path(pattern: str, path: str) -> bool:
+    return _compile_path(pattern).match(path) is not None
 
 
 def parse_robots(text: str) -> RobotsPolicy:
@@ -109,16 +139,24 @@ def parse_robots(text: str) -> RobotsPolicy:
                 in_ua_run = True
             group.agents.append(val)
         elif group is not None:
-            in_ua_run = False
             if key == "disallow":
+                in_ua_run = False
                 group.rules.append((val, False))
+                group.compiled.append(_compile_path(val))
             elif key == "allow":
+                in_ua_run = False
                 group.rules.append((val, True))
+                group.compiled.append(_compile_path(val))
             elif key == "crawl-delay":
+                in_ua_run = False
                 try:
                     group.crawl_delay = float(val)
                 except ValueError:
                     pass
+            # any other directive (Sitemap, Host, ...) MUST NOT interfere
+            # with parsing (RFC 9309 §2.2.4): it neither closes the UA run
+            # nor ends the group — 'User-agent: a / Sitemap: x /
+            # User-agent: b / Disallow: /' is ONE group covering a and b
         # directives before any user-agent line are ignored (no group)
     return policy
 

@@ -349,21 +349,36 @@ def q_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # excluded, matching dlq_metrics_updater's unresolved-only refresh
     failed = F.col("status") == "failed"
     in_dlq = failed & ~F.col("resolved")
+    # the two UNGROUPED DLQ gauges are emitted from EVERY cube row with a
+    # zero/NULL contribution outside the DLQ subset: a scrape (and the
+    # oracle's ungrouped aggregate arms) must report unresolved=0 and
+    # age=NULL even when no unresolved failure exists — a conditional
+    # struct would drop the rows entirely on such inputs
     exploded = cube.select(
-        "n", "min_ts",
+        "n", "min_ts", in_dlq.alias("in_dlq"),
         F.explode(F.array_compact(F.array(
             fam("crawl_tasks_total", lab("task_type")),
             fam("crawl_tasks_completed_total", lab("task_type", "status")),
             fam("crawl_tasks_failed_total",
                 lab("task_type", "error_category"), failed),
             fam("queue_messages_processed_total", lab("queue_name")),
-            fam("dlq_entries_unresolved", lab(), in_dlq),
+            fam("dlq_entries_unresolved", lab()),
             fam("dlq_entries_by_category", lab("error_category"), in_dlq),
-            fam("dlq_oldest_unresolved_age_seconds", lab(), in_dlq),
+            fam("dlq_oldest_unresolved_age_seconds", lab()),
         ))).alias("f"),
     )
+    ungrouped_dlq = F.col("f.metric").isin(
+        "dlq_entries_unresolved", "dlq_oldest_unresolved_age_seconds"
+    )
+    contrib = exploded.select(
+        "f",
+        F.when(ungrouped_dlq & ~F.col("in_dlq"), F.lit(0))
+        .otherwise(F.col("n")).alias("n"),
+        F.when(ungrouped_dlq & ~F.col("in_dlq"), F.lit(None).cast("long"))
+        .otherwise(F.col("min_ts")).alias("min_ts"),
+    )
     return (
-        exploded.groupBy("f.metric", "f.labels")
+        contrib.groupBy("f.metric", "f.labels")
         .agg(F.sum("n").alias("sum_n"), F.min("min_ts").alias("m"))
         .select(
             "metric", "labels",

@@ -131,7 +131,14 @@ def fetch_against_corpus(
         status_l, content_l, retry_l, t_l, stopped_l, reason_l = [], [], [], [], [], []
         tokens, t = float(burst), 0.0
         for row in pdf.itertuples(index=False):
-            seed = getattr(row, "seed_id", "") or ""
+            raw_seed = getattr(row, "seed_id", "")
+            # pd.isna: a nullable numeric seed_id column surfaces nulls as
+            # NaN, and NaN is truthy AND != itself — `or ""` would key each
+            # null row under a DISTINCT chain, breaking the chain-stop
+            # contract for every row after the first stopped one
+            seed = "" if raw_seed is None or (
+                isinstance(raw_seed, float) and raw_seed != raw_seed
+            ) else str(raw_seed)
             if chain_stopped.get(seed):
                 status_l.append(None); content_l.append(None); retry_l.append(None)
                 t_l.append(None); stopped_l.append(True); reason_l.append("chain stopped")

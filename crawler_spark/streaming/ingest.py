@@ -27,7 +27,10 @@ _mem_counter = itertools.count()
 
 
 def _run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
-    """Drain a bounded stream into a memory sink, return the result table."""
+    """Drain a bounded stream into a memory sink, return the result rows.
+    The sink table is materialized and DROPPED before returning: repeated
+    drains in one process (bench reruns, parity sweeps) would otherwise pin
+    every result set in driver memory for process lifetime."""
     name = f"stream_out_{next(_mem_counter)}"
     q = (
         sdf.writeStream.format("memory")
@@ -37,30 +40,42 @@ def _run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = sdf.sparkSession
+    out = spark.sql(f"SELECT * FROM {name}")
+    rows = out.collect()  # bounded drains only — result sets are small
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events table (schema pinned —
-    streaming sources require it). FileStreamSource wants a DIRECTORY; the
-    driver ships single .parquet files, so expose the file through a symlink
-    dir (what a real deployment's landing directory is anyway)."""
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """File-source stream over one driver table (schema pinned — streaming
+    sources require it). FileStreamSource wants a DIRECTORY; the driver
+    ships single .parquet files, so expose the file through a cached
+    symlink dir (what a real deployment's landing directory is anyway)."""
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
-    key = f"_stream_dir_{sf_dir.replace('/', '_')}"
-    d = getattr(read_events_stream, key, None)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    d = _STREAM_DIRS.get((sf_dir, table))
     if d is None:
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
-        setattr(read_events_stream, key, d)
+        d = tempfile.mkdtemp(prefix=f"{table}_stream_")
+        os.symlink(src, os.path.join(d, f"{table}.parquet"))
+        _STREAM_DIRS[(sf_dir, table)] = d
     schema = spark.read.parquet(src).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "8")
         .parquet(d)
     )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_table_stream(spark, sf_dir, "events")
 
 
 def windowed_request_counts(
@@ -180,24 +195,7 @@ def run_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents table (same symlink-dir trick
-    as read_events_stream)."""
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = f"_doc_stream_dir_{sf_dir.replace('/', '_')}"
-    d = getattr(read_documents_stream, key, None)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="documents_stream_")
-        os.symlink(src, os.path.join(d, "documents.parquet"))
-        setattr(read_documents_stream, key, d)
-    schema = spark.read.parquet(src).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
-        .parquet(d)
-    )
+    return _read_table_stream(spark, sf_dir, "documents")
 
 
 def run_span_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,3 +126,58 @@ def test_spark_robots_filter(spark):
         ("c.go.id", "/y"): None,
         ("c.go.id", "/"): None,
     }
+
+
+def test_multiple_matching_groups_combine():
+    # RFC 9309 §2.2.1: two '*' groups act as one combined rule set
+    txt = """
+User-agent: *
+Disallow: /a
+
+User-agent: *
+Disallow: /b
+"""
+    assert not is_allowed(txt, "bot", "/a")
+    assert not is_allowed(txt, "bot", "/b")
+    assert is_allowed(txt, "bot", "/c")
+
+
+def test_prefix_match_not_substring():
+    # a longer token for a DIFFERENT crawler must not beat an exact match
+    txt = """
+User-agent: bot
+Disallow: /mine
+
+User-agent: botsearch-extended
+Disallow: /theirs
+"""
+    assert not is_allowed(txt, "bot/1.0", "/mine")
+    assert is_allowed(txt, "bot/1.0", "/theirs")  # not our group
+    assert not is_allowed(txt, "botsearch-extended", "/theirs")
+    # and an empty UA matches no named token (falls through to none here)
+    assert is_allowed(txt, "", "/mine")
+
+
+def test_unknown_directives_do_not_split_groups():
+    # RFC 9309 §2.2.4: Sitemap between UA lines must not interfere —
+    # both agents share the one group and its Disallow
+    txt = """
+User-agent: googlebot
+Sitemap: https://x.go.id/sitemap.xml
+User-agent: otherbot
+Disallow: /
+"""
+    assert not is_allowed(txt, "googlebot", "/x")
+    assert not is_allowed(txt, "otherbot", "/x")
+
+
+def test_crawl_delay_combined_groups_first_wins():
+    txt = """
+User-agent: *
+Disallow: /a
+
+User-agent: *
+Crawl-delay: 3
+"""
+    assert crawl_delay(txt, "any") == 3.0
+    assert not is_allowed(txt, "any", "/a")
