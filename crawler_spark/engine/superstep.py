@@ -874,9 +874,12 @@ class CrawlEngine:
         if self.ttl_rounds is not None:
             from crawler_spark.operators.merge import merge_latest_wins
 
+            # fetch_order tiebreak: a retry row and a re-discovered row for
+            # one URL can both be fetched in ONE round (same fetched_round);
+            # the later fetch in round order wins deterministically
             next_pages = merge_latest_wins(
                 pages, new_pages, keys=["host", "url_hash"],
-                order_col="fetched_round",
+                order_col="fetched_round", tiebreak_cols=["fetch_order"],
             )
         else:
             next_pages = pages.unionByName(new_pages)

@@ -23,8 +23,13 @@ from crawler_spark.kernels.textstats import (
 
 
 def ws_tokens_col(text: Column) -> Column:
-    """Whitespace tokens, empty strings dropped (== str.split() semantics)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokens, empty strings dropped (== str.split() semantics).
+    (?U) makes Java's \\s match ALL Unicode whitespace like Python's —
+    without it NBSP-joined words (ubiquitous in real web text) stay fused
+    here while the kernel splits them. The DuckDB oracles keep RE2's
+    ASCII-only \\s: the SQL contract is exact on ASCII fixtures; the
+    kernel (Python) is the authority on full Unicode."""
+    return F.filter(F.split(text, r"(?U)\s+"), lambda t: t != "")
 
 
 def token_count_ws_col(text: Column) -> Column:
@@ -32,11 +37,17 @@ def token_count_ws_col(text: Column) -> Column:
 
 
 def token_count_bpe_col(text: Column) -> Column:
-    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+    # (?U): the kernel's Python \s inside the class is Unicode-aware
+    return F.regexp_count(text, F.lit("(?U)" + BPE_TOKEN_RE))
 
 
 def punct_ratio_col(text: Column) -> Column:
-    return F.when(F.length(text) > 0, F.regexp_count(text, F.lit(PUNCT_RE)) / F.length(text)).otherwise(0.0)
+    # (?U): without it Java counts NBSP as punctuation ([^...\s] with an
+    # ASCII-only \s), inflating the penalty on real web text
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit("(?U)" + PUNCT_RE)) / F.length(text),
+    ).otherwise(0.0)
 
 
 def stopword_hits_col(text: Column, stopwords: tuple[str, ...]) -> Column:
@@ -53,7 +64,9 @@ def lang_id_col(text: Column) -> Column:
 
 
 def quality_score_col(text: Column) -> Column:
-    n = F.length(text)
+    # coalesce: F.least SKIPS nulls, so length(NULL) would make len_score
+    # 2000/2000 = 1.0 and score NULL text 0.6 — the kernel scores it 0.2
+    n = F.coalesce(F.length(text), F.lit(0))
     ntok = token_count_ws_col(text)
     len_score = F.least(n, F.lit(2000)).cast("double") / 2000.0
     hits = (stopword_hits_col(text, STOPWORDS_ID) + stopword_hits_col(text, STOPWORDS_EN)).cast("double")

@@ -212,6 +212,30 @@ def simhash_incremental_near_dup(
     )
 
 
+MINHASH_M31 = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for k universal-hash permutations over Z_{2^31-1} — the
+    ONE source of truth shared by minhash_signature and the SQL oracles.
+
+    a_i must be LARGE (near-M31) odd multipliers so a_i * (h mod M31)
+    actually WRAPS the modulus: the previous scheme's small a_i (<= 31) on
+    a 40-bit h never reached its 2^61-1 modulus, making every component a
+    strictly monotone transform of the SAME base hash — all k argmins
+    picked the same shingle, signature agreement collapsed to a single
+    Bernoulli trial (docs share their global-min shingle or nothing), and
+    the LSH band amplification 1-(1-J^r)^b was silently a no-op.
+    a_i * h31 < 2^62 stays exact in int64 on both engines."""
+    return [
+        (
+            (1103515245 * (i + 1) + 7919) % MINHASH_M31 | 1,
+            (1000003 * (i + 1) + 12345) % MINHASH_M31,
+        )
+        for i in range(k)
+    ]
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -221,11 +245,15 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signatures over word shingles, fully JVM-side.
 
-    Per-shingle 40-bit base hash h (md5-substring, engine-portable; 40 bits
-    keeps a_i*h + b_i inside int64 for exact cross-engine arithmetic), k
-    universal-hash permutations h_i = (a_i*h + b_i) mod p, signature_i =
-    min over shingles. a_i/b_i are fixed odd constants so the signature is
-    deterministic and reproducible in the SQL oracle.
+    Per-shingle 40-bit base hash h (md5-substring, engine-portable),
+    reduced to h31 = h mod (2^31-1), then k universal-hash permutations
+    h_i = (a_i*h31 + b_i) mod (2^31-1), signature_i = min over shingles.
+    Coefficients from minhash_coeffs (deterministic, wrap-verified) so the
+    signature is reproducible in the SQL oracle. Documents shorter than
+    `shingle_words` tokens have no shingles and get NO signature row — the
+    usual minhash-pipeline convention (exact-hash dedup upstream catches
+    identical short docs; near-dup similarity is meaningless below one
+    shingle of context).
 
     Plan shape: explode shingles -> md5 once per shingle -> k min-aggregates
     with map-side partial aggregation (shuffle volume = docs x k longs, not
@@ -236,18 +264,19 @@ def minhash_signature(
     self-referencing consumers (the LSH bucket agg) reuse instead of
     re-evaluating the signature lineage.
     """
-    p = 2305843009213693951  # 2^61 - 1 (Mersenne)
-    coeffs = [(2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(k)]
+    m = MINHASH_M31
     shingles = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(F.col(text_col), shingle_words)).alias("shingle"),
     )
     hashed = shingles.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("shingle")), 17, 10), 16, 10).cast("long")
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 17, 10), 16, 10)
+        .cast("long") % F.lit(m),
     )
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coeffs)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(m)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
     return hashed.groupBy("id").agg(*aggs)
 

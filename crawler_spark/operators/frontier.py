@@ -65,9 +65,18 @@ def politeness_budgets(
             F.col(crawl_delay_col).isNotNull() & (F.col(crawl_delay_col) > 0),
             F.least(F.col(rps_col), 1.0 / F.col(crawl_delay_col)),
         ).otherwise(F.col(rps_col))
+    # F.min, not max: with several seed rows per host the BINDING (most
+    # restrictive) rate governs — max would let one row lacking its
+    # crawl_delay erase the robots delay for the whole host. coalesce:
+    # F.least skips nulls, so an all-null rate (unknown limit) would
+    # otherwise inherit the 10^6 cap instead of the conservative
+    # burst-only trickle.
     return seeds.groupBy(host).agg(
         F.least(
-            F.floor(F.max(eff) * round_seconds) + burst, F.lit(10**6)
+            F.coalesce(
+                F.floor(F.min(eff) * round_seconds), F.lit(0)
+            ) + burst,
+            F.lit(10**6),
         ).cast("long").alias("budget")
     )
 
@@ -117,10 +126,24 @@ def salted_budget_selection(
     costs n_salts parallel sorts of 10^8/n_salts rows instead of one serial
     sort — the difference between a straggler task and a balanced stage.
     """
-    salted = hot_host_salt(
-        frontier, host=host, hot_threshold=hot_threshold, n_salts=n_salts
-    ).withColumn(
-        "__is_hot", F.max(F.col("host_salt")).over(Window.partitionBy(host)) > 0
+    # hotness comes straight from the counts aggregate — deriving it with a
+    # max() window over partitionBy(host) would funnel the entire hot host
+    # into ONE WindowExec task, reinstating the exact straggler (plus an
+    # extra host exchange) the salting exists to prevent
+    counts = frontier.groupBy(host).agg(F.count("*").alias("__pending"))
+    salted = (
+        frontier.join(F.broadcast(counts), host)
+        .withColumn("__is_hot", F.col("__pending") > hot_threshold)
+        .withColumn(
+            "host_salt",
+            F.when(
+                F.col("__is_hot"),
+                F.pmod(F.xxhash64(F.col("url_hash")), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__pending")
     )
     # per-(host,salt) budget: floor(budget/n_salts) + 1 for the first
     # (budget % n_salts) salts; cold hosts (salt always 0) keep budget intact
@@ -141,9 +164,30 @@ def salted_budget_selection(
     )
 
 
-def enqueue_idempotent(frontier: DataFrame, new_rows: DataFrame, key: str = "url_hash") -> DataFrame:
+def enqueue_idempotent(
+    frontier: DataFrame,
+    new_rows: DataFrame,
+    key: str = "url_hash",
+    order_col: str | None = None,
+    dedup_batch: bool = True,
+) -> DataFrame:
     """S2 (ZADD NX): first-write-wins — new rows that collide with an
-    existing frontier key are dropped, existing scores never updated."""
+    existing frontier key are dropped, existing scores never updated.
+    WITHIN-batch collisions also collapse to one row by default (the key
+    invariant lives in the operator, not at call sites): the
+    lowest-`order_col` row when given — deterministic first-write — else
+    an arbitrary row per key. A caller that already key-deduped its batch
+    passes dedup_batch=False to skip the redundant exchange."""
+    if dedup_batch:
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+            new_rows = (
+                new_rows.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            new_rows = new_rows.dropDuplicates([key])
     return frontier.unionByName(
         new_rows.join(frontier.select(key).distinct(), key, "left_anti"),
         allowMissingColumns=True,

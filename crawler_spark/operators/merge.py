@@ -26,14 +26,25 @@ def merge_latest_wins(
     incoming: DataFrame,
     keys: list[str],
     order_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per key: greatest ``order_col`` wins; on ties the incoming
-    side wins (ON CONFLICT DO UPDATE replaces even at equal timestamps)."""
+    side wins (ON CONFLICT DO UPDATE replaces even at equal timestamps).
+
+    tiebreak_cols (descending, after the source tag): the arbiter for
+    duplicate keys WITHIN the incoming side — the engine legitimately
+    fetches a retry row and a re-discovered row for one URL in the same
+    round (same fetched_round), and without a total order the surviving
+    row's attributes would be nondeterministic across runs, breaking
+    resume byte-parity. Callers whose incoming side is key-unique may omit
+    it."""
     tagged = existing.select(incoming.columns).withColumn(
         "_src", F.lit(0)
     ).unionByName(incoming.withColumn("_src", F.lit(1)))
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
+        F.col(order_col).desc(),
+        F.col("_src").desc(),
+        *[F.col(c).desc() for c in (tiebreak_cols or [])],
     )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))

@@ -421,9 +421,13 @@ def kmeans_fit(
     )
     sizes = None
     for _ in range(n_iter):
+        # cache: the assignment (broadcast crossJoin + argmin window — the
+        # iteration's expensive stage) feeds BOTH the means and the member
+        # counts; uncached, the localCheckpointed means force one full
+        # recompute per iteration just to count members
         assigned = ivf_assign(
             corpus, centroids, id_col=id_col, vec_col=vec_col
-        )
+        ).persist()
         exploded = assigned.select(
             "centroid_id",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
@@ -442,5 +446,6 @@ def kmeans_fit(
         )
         sizes = assigned.groupBy("centroid_id").agg(
             F.count("*").cast("long").alias("n_members")
-        )
+        ).localCheckpoint()
+        assigned.unpersist()
     return centroids, sizes

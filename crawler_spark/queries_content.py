@@ -27,14 +27,23 @@ from crawler_spark.functions.text import (
     ws_tokens_col,
 )
 from crawler_spark.operators.dedup import (
+    MINHASH_M31,
     content_hash_stats,
     jaccard_pairs,
     mark_exact_duplicates,
+    minhash_coeffs,
     minhash_incremental_pairs,
     minhash_lsh_pairs,
     minhash_signature,
     simhash_incremental_near_dup,
     simhash_near_dup_join,
+)
+
+# the oracle's minhash aggregate arms, generated from the SAME coefficients
+# the Spark operator uses (one source of truth — see minhash_coeffs)
+_MINHASH_MINS_SQL = ",\n         ".join(
+    f"min(((h60 % {MINHASH_M31}) * {a} + {b}) % {MINHASH_M31}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(16))
 )
 from crawler_spark.operators.similarity import brute_force_topk
 
@@ -351,13 +360,7 @@ SELECT p.id_a, p.id_b,
        round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
 FROM pairs p JOIN tsets a ON p.id_a = a.id JOIN tsets b ON p.id_b = b.id
-""".replace(
-    "{mins}",
-    ",\n         ".join(
-        f"min((h60 * {2 * i + 1} + {1000003 * (i + 1) + 12345}) % 2305843009213693951) AS mh_{i}"
-        for i in range(16)
-    ),
-)
+""".replace("{mins}", _MINHASH_MINS_SQL)
 
 
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,13 +442,7 @@ SELECT p.id_a, p.id_b,
              / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
 FROM pairs p JOIN tsets a ON p.id_a = a.id JOIN tsets b ON p.id_b = b.id
 WHERE p.id_b >= 1000000
-""".replace(
-    "{mins}",
-    ",\n         ".join(
-        f"min((h60 * {2 * i + 1} + {1000003 * (i + 1) + 12345}) % 2305843009213693951) AS mh_{i}"
-        for i in range(16)
-    ),
-)
+""".replace("{mins}", _MINHASH_MINS_SQL)
 
 
 # ---------------------------------------------------------------- similarity

@@ -1947,7 +1947,9 @@ def q_idempotent_enqueue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("arrival"),
     )
     batch = first_by_order(incoming, "job_id", ["arrival"]).drop("arrival")
-    return enqueue_idempotent(existing, batch, key="job_id")
+    return enqueue_idempotent(
+        existing, batch, key="job_id", dedup_batch=False
+    )
 
 
 O_IDEMPOTENT_ENQUEUE = """

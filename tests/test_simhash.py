@@ -321,3 +321,31 @@ class TestIncrementalInvariantRandomized:
             (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(c_sigs).collect()
         }
         assert inc == full_union - full_corpus
+
+
+def test_minhash_components_are_independent_permutations(spark):
+    """Review regression: with small multipliers the k 'permutations' never
+    wrapped their modulus, so every component tracked the SAME min shingle
+    and two signatures agreed on all 16 components or none. Proper universal
+    hashing must give partial agreement on partially-overlapping docs, and
+    different components must pick different argmin shingles."""
+    from crawler_spark.operators.dedup import minhash_signature
+
+    shared = " ".join(f"kata{i} umum{i} bersama{i}" for i in range(12))
+    a_only = " ".join(f"alpha{i} satu{i} unik{i}" for i in range(12))
+    b_only = " ".join(f"beta{i} dua{i} lain{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"{shared} {a_only}"), (2, f"{shared} {b_only}")],
+        "id long, text string",
+    )
+    sig = {r["id"]: [r[f"mh_{i}"] for i in range(16)]
+           for r in minhash_signature(docs, "id", "text").collect()}
+    agree = sum(x == y for x, y in zip(sig[1], sig[2]))
+    # J ~ 0.5 -> expected agreement ~8/16; 0 and 16 each have p ~ 2^-16
+    # under independent permutations but were CERTAIN outcomes before
+    assert 0 < agree < 16, f"degenerate signature: {agree}/16 components"
+    # and within one doc, the 16 mins must not all be transforms of one
+    # shingle: their ranks over the shingle set must differ, which shows
+    # as non-constant pairwise ordering across docs
+    diffs = {x - y for x, y in zip(sig[1], sig[2])}
+    assert len(diffs) > 1

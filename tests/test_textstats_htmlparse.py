@@ -110,3 +110,36 @@ def test_normalize_text():
 def test_normalize_text_empty():
     assert normalize_text("") == ""
     assert normalize_text(None) == ""
+
+
+class TestKernelSparkParityEdges:
+    """Review regressions: the Spark column expressions must match the
+    Python kernel spec on NULL text and Unicode whitespace (NBSP is
+    everywhere in real web text; Java's default \\s is ASCII-only)."""
+
+    def test_null_text_quality_matches_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import quality_score_col
+        from crawler_spark.kernels.textstats import quality_score
+
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        got = df.select(quality_score_col(F.col("text")).alias("q")).head()["q"]
+        assert got == quality_score(None) == 0.2
+
+    def test_nbsp_tokens_match_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.text import (
+            punct_ratio_col, token_count_ws_col,
+        )
+        from crawler_spark.kernels.textstats import punct_ratio, token_count_ws
+
+        s = "yang\u00a0dan\u2003di akhir"  # NBSP + EM-space + ASCII space
+        df = spark.createDataFrame([(1, s)], "id long, text string")
+        row = df.select(
+            token_count_ws_col(F.col("text")).alias("n"),
+            punct_ratio_col(F.col("text")).alias("p"),
+        ).head()
+        assert row["n"] == token_count_ws(s) == 4
+        assert punct_ratio(s) == 0.0 and abs(row["p"]) < 1e-12
