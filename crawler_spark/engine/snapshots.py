@@ -606,19 +606,53 @@ class SnapshotStore:
             spark, self.manifest()["rounds"], table, resolve, prune
         )
 
+    # -------------------------------------------------------- snapshot tags
+
+    def tag(self, name: str, round_no: int) -> None:
+        """Iceberg tag: a named immutable reference to a committed round
+        (e.g. 'training-cut-2026-08'). Tagged rounds are protected from
+        expire_snapshots (retention keeps everything from the oldest tag
+        forward) and readable forever via read_at(table, 'name'). Rollback
+        past a tag drops the tag with its history."""
+        man = self.manifest()
+        if not any(r["round"] == round_no for r in man["rounds"]):
+            raise ValueError(
+                f"cannot tag round {round_no}: not a committed round"
+            )
+        man.setdefault("tags", {})[name] = round_no
+        self._flip_manifest(man)
+
+    def drop_tag(self, name: str) -> None:
+        man = self.manifest()
+        tags = man.get("tags", {})
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        del tags[name]
+        if not tags:
+            man.pop("tags", None)
+        self._flip_manifest(man)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.manifest().get("tags", {}))
+
     def read_at(
         self,
         spark: SparkSession,
         table: str,
-        round_no: int,
+        round_no: int | str,
         resolve: bool = True,
     ) -> DataFrame | None:
         """Time-travel read (Iceberg `VERSION AS OF`): the live state of
-        `table` as of `round_no`, resolved from the manifest chain over only
-        commits <= round_no. Raises if `round_no` predates the retention
-        window (expire_snapshots dropped it) — same contract as Iceberg's
-        missing-snapshot error. Returns None when the table had no commit
-        yet at that round."""
+        `table` as of `round_no` — a round number or a TAG name — resolved
+        from the manifest chain over only commits <= that round. Raises if
+        the round predates the retention window (expire_snapshots dropped
+        it) — same contract as Iceberg's missing-snapshot error. Returns
+        None when the table had no commit yet at that round."""
+        if isinstance(round_no, str):
+            tags = self.manifest().get("tags", {})
+            if round_no not in tags:
+                raise KeyError(f"no tag {round_no!r}")
+            round_no = tags[round_no]
         all_rounds = self.manifest()["rounds"]
         if all_rounds and round_no < all_rounds[0]["round"]:
             raise ValueError(
@@ -1102,6 +1136,14 @@ class SnapshotStore:
             r for r in man["rounds"] if r["round"] <= to_round
         ]
         new_man.pop("staged", None)
+        # tags above the rollback point reference history that no longer
+        # exists — they fall with it
+        kept_tags = {
+            n: r for n, r in man.get("tags", {}).items() if r <= to_round
+        }
+        new_man.pop("tags", None)
+        if kept_tags:
+            new_man["tags"] = kept_tags
         self._flip_manifest(new_man)
         reclaimed = 0
         for entry in dropped + list(staged.values()):
@@ -1142,6 +1184,16 @@ class SnapshotStore:
 
         man = self.manifest()
         rounds = man["rounds"]
+        # tags pin retention: keep everything from the oldest tagged round
+        # forward (contiguous superset of Iceberg's referenced-snapshot
+        # rule — never less readable than asked). A tagged round therefore
+        # stays time-travelable for as long as its tag lives.
+        tagged = set(man.get("tags", {}).values())
+        if tagged:
+            oldest_tagged_idx = min(
+                i for i, r in enumerate(rounds) if r["round"] in tagged
+            )
+            keep_last = max(keep_last, len(rounds) - oldest_tagged_idx)
         if len(rounds) <= keep_last:
             return {"removed_dirs": 0, "kept_rounds": len(rounds)}
         dropped, kept = rounds[:-keep_last], rounds[-keep_last:]
