@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green stalwarts go last. Names absent from the current registry are
 # skipped, so this list may lead the code by a round.
 _CHECK_FIRST = [
-    # newest in r03 (no driver signal yet): boilerplate line dedup (+ its
-    # incremental index maintenance) and PII scrub
+    # newest in r03 (no driver signal yet): scheduled-job processor tick
+    # (orphan repair + timezone backfill + catch-up classification),
+    # boilerplate line dedup (+ its incremental index maintenance), PII scrub
+    "scheduled_job_tick",
     "line_dedup",
     "line_dedup_incremental",
     "pii_scrub",

@@ -2437,7 +2437,142 @@ FROM c
 """
 
 
+def q_scheduled_job_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 scheduled-job processor tick (scheduled_job_processor.py:43-134
+    `_prepare_scheduled_job` + `handle_missed_schedules`:223-262): one pass
+    over the scheduled-jobs table classifying every row before the poll
+    loop runs —
+
+    - NULL/empty timezone -> backfilled to 'UTC' (legacy rows predating the
+      timezone column), flagged;
+    - next_run_time IS NULL + valid cron -> orphan repaired: recompute from
+      `now` WITHOUT a catch-up firing (reference lines 100-127);
+    - next_run_time IS NULL + invalid cron -> deactivated (lines 121-127);
+    - due within the 1-hour MAX_CATCHUP_DELAY window -> catchup_fire;
+    - due but missed by > 1 hour -> missed_skip (reschedule only, no job);
+    - future next_run -> not_due; is_active=false -> inactive.
+
+    The Spark side routes every row through the real `prepare_jobs` kernel
+    (kernels/cron.py:200) inside one vectorized pandas UDF; the oracle pins
+    the classification per synthesized variant. Metadata-scale table (one
+    row per *schedule*, not per URL), so the pandas UDF is not a hot path.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.kernels.cron import prepare_jobs
+
+    now = "2024-06-01 12:00:00"
+
+    jobs = _events(spark, sf_dir).select(
+        "event_id", (F.col("event_id") % 7).cast("int").alias("variant")
+    ).select(
+        "event_id",
+        "variant",
+        F.expr("CASE WHEN variant = 4 THEN 'not a cron' ELSE '0 3 * * *' END")
+        .alias("cron_expr"),
+        F.expr("CASE WHEN variant IN (1, 4) THEN NULL ELSE 'UTC' END").alias("tz"),
+        F.expr(
+            f"CASE WHEN variant IN (3, 4) THEN NULL "
+            f"WHEN variant = 2 THEN timestamp'{now}' - INTERVAL 3 HOURS "
+            f"WHEN variant = 5 THEN timestamp'{now}' + INTERVAL 2 HOURS "
+            f"ELSE timestamp'{now}' - INTERVAL 30 MINUTES END"
+        ).alias("next_run_time"),
+        F.expr("variant != 6").alias("is_active"),
+    )
+
+    out_type = T.StructType([
+        T.StructField("tz_eff", T.StringType()),
+        T.StructField("tz_backfilled", T.BooleanType()),
+        T.StructField("orphan_repaired", T.BooleanType()),
+        T.StructField("active_after", T.BooleanType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("fires", T.BooleanType()),
+    ])
+
+    @pandas_udf(out_type)
+    def _tick(cron_expr, tz, next_run_time, is_active):
+        from datetime import UTC as _UTC
+        from datetime import datetime, timedelta
+
+        now_dt = datetime(2024, 6, 1, 12, 0, tzinfo=_UTC)
+        catchup = timedelta(hours=1)
+        raw = [
+            {
+                "cron_expression": c,
+                "timezone": (None if z is None or (isinstance(z, float)) else z),
+                "next_run_time": (
+                    None if pd.isna(n) else n.to_pydatetime().replace(tzinfo=_UTC)
+                ),
+                "is_active": bool(a),
+            }
+            for c, z, n, a in zip(cron_expr, tz, next_run_time, is_active)
+        ]
+        rows = []
+        for j in prepare_jobs(raw, now_dt):
+            backfilled = bool(j.get("timezone_backfilled", False))
+            repaired = bool(j.get("orphan_repaired", False))
+            active = bool(j.get("is_active", True))
+            nrt = j.get("next_run_time")
+            if not active and not repaired and nrt is not None:
+                # was inactive on input (repair never deactivates a row
+                # that had a next_run_time)
+                outcome, fires = "inactive", False
+            elif not active:
+                outcome, fires = "deactivated", False
+            elif repaired:
+                outcome, fires = "orphan_rescheduled", False
+            elif nrt > now_dt:
+                outcome, fires = "not_due", False
+            elif now_dt - nrt <= catchup:
+                outcome, fires = "catchup_fire", True
+            else:
+                outcome, fires = "missed_skip", False
+            rows.append(
+                (j.get("timezone"), backfilled, repaired, active, outcome, fires)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "tz_eff", "tz_backfilled", "orphan_repaired",
+                "active_after", "outcome", "fires",
+            ],
+        )
+
+    return jobs.select(
+        "event_id",
+        "variant",
+        "cron_expr",
+        _tick("cron_expr", "tz", "next_run_time", "is_active").alias("r"),
+    ).select(
+        "event_id", "variant", "cron_expr", "r.tz_eff", "r.tz_backfilled",
+        "r.orphan_repaired", "r.active_after", "r.outcome", "r.fires",
+    )
+
+
+O_SCHEDULED_JOB_TICK = """
+SELECT event_id,
+       CAST(event_id % 7 AS INT) AS variant,
+       CASE WHEN event_id % 7 = 4 THEN 'not a cron' ELSE '0 3 * * *' END AS cron_expr,
+       'UTC' AS tz_eff,
+       (event_id % 7) IN (1, 4) AS tz_backfilled,
+       (event_id % 7) = 3 AS orphan_repaired,
+       (event_id % 7) NOT IN (4, 6) AS active_after,
+       CASE CAST(event_id % 7 AS INT)
+         WHEN 2 THEN 'missed_skip'
+         WHEN 3 THEN 'orphan_rescheduled'
+         WHEN 4 THEN 'deactivated'
+         WHEN 5 THEN 'not_due'
+         WHEN 6 THEN 'inactive'
+         ELSE 'catchup_fire'
+       END AS outcome,
+       (event_id % 7) IN (0, 1) AS fires
+FROM events
+"""
+
+
 QUERIES = {
+    "scheduled_job_tick": q_scheduled_job_tick,
     "robots_gate": q_robots_gate,
     "workflow_toposort": q_workflow_toposort,
     "config_merge": q_config_merge,
@@ -2490,6 +2625,7 @@ ORACLES = {
     "config_merge": O_CONFIG_MERGE,
     "data_attr_extract": O_DATA_ATTR_EXTRACT,
     "cron_next_run": O_CRON_NEXT_RUN,
+    "scheduled_job_tick": O_SCHEDULED_JOB_TICK,
     "url_normalize_hash": O_URL_NORMALIZE_HASH,
     "url_seen_antijoin": O_URL_SEEN_ANTIJOIN,
     "seen_probe_exact": O_SEEN_PROBE_EXACT,
