@@ -34,7 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green stalwarts go last. Names absent from the current registry are
 # skipped, so this list may lead the code by a round.
 _CHECK_FIRST = [
-    # newest in r03 (no driver signal yet): scheduled-job processor tick
+    # newest in r03 (no driver signal yet): crawl-trap detection, host
+    # circuit breaker, sitemap ingestion, conditional re-crawl
+    "crawl_traps",
+    "host_circuit_breaker",
+    "sitemap_expand",
+    "conditional_recrawl",
+    # r03 (no driver signal yet): scheduled-job processor tick
     # (orphan repair + timezone backfill + catch-up classification),
     # boilerplate line dedup (+ its incremental index maintenance), PII scrub
     "scheduled_job_tick",

@@ -2571,8 +2571,394 @@ FROM events
 """
 
 
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (beyond-reference crawl-tier op): calendars,
+    faceted search, and session-id pages generate unbounded URL families a
+    crawler must cut off — the classic signal is one path TEMPLATE (digit
+    runs collapsed) accounting for an exploding number of distinct URLs on
+    one host. The reference caps pagination at max_pages=100
+    (`/root/reference/crawler/services/pagination.py:50-143`) but has no
+    template-level trap signal; at 10^10 URLs this aggregation is what keeps
+    a handful of trap hosts from eating the frontier.
+
+    Shape: pure map (regexp template) + ONE map-side-combinable aggregation
+    on (host, template) — count(DISTINCT path) is two-phase but never moves
+    raw pages, and the output is O(#templates), tiny. Synthetic input: hosts
+    3 and 7 (of 20) serve a calendar-style two-number family (unbounded);
+    every other host serves a 23-page bounded section."""
+    ev = _events(spark, sf_dir)
+    h = F.col("user_id") % 20
+    path = F.when(
+        h.isin(3, 7),
+        F.concat(
+            F.lit("/calendar/"), (F.col("event_id") % 1500).cast("string"),
+            F.lit("/day/"), (F.col("user_id") % 97).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("/cases/"), (F.col("event_id") % 23).cast("string"))
+    )
+    urls = ev.select(
+        F.concat(F.lit("portal"), h.cast("string"), F.lit(".go.id")).alias("host"),
+        path.alias("path"),
+    )
+    agg = (
+        urls.withColumn(
+            "path_template", F.regexp_replace("path", "[0-9]+", "{N}")
+        )
+        .groupBy("host", "path_template")
+        .agg(
+            F.countDistinct("path").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return agg.select(
+        "host", "path_template", "n_urls", "n_hits",
+        (F.col("n_urls") > 30).cast("int").alias("is_trap"),
+    )
+
+
+O_CRAWL_TRAPS = """
+WITH u AS (
+  SELECT 'portal' || (user_id % 20) || '.go.id' AS host,
+         CASE WHEN (user_id % 20) IN (3, 7)
+              THEN '/calendar/' || (event_id % 1500) || '/day/' || (user_id % 97)
+              ELSE '/cases/' || (event_id % 23) END AS path
+  FROM events
+)
+SELECT host,
+       regexp_replace(path, '[0-9]+', '{N}', 'g') AS path_template,
+       count(DISTINCT path) AS n_urls,
+       count(*) AS n_hits,
+       CAST(count(DISTINCT path) > 30 AS INT) AS is_trap
+FROM u
+GROUP BY host, path_template
+"""
+
+
+def q_host_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host error circuit breaker (beyond-reference): the reference
+    classifies and retries per REQUEST (`retry_policy.py`, R1-R5) but has no
+    host-level cutoff, so a host melting down (5xx storm) keeps receiving
+    its full politeness budget. Here the fetch log is classified per
+    (host, round): a round TRIPS when its error rate crosses the threshold
+    with enough attempts; the host then sits in cooldown for the following
+    3 rounds (the engine would zero its budget there, the set-oriented
+    analogue of an open breaker — re-entry after cooldown is the half-open
+    probe). Shape: one agg + one RANGE window per host — the window moves
+    O(hosts x rounds) rows, never raw requests. Synthetic input: hosts 2 and
+    9 (of 25) run a ~70% 5xx storm in rounds 4-6 over a 10% background error
+    rate."""
+    ev = _events(spark, sf_dir)
+    h = F.col("user_id") % 25
+    rnd = (F.col("event_id") % 12).cast("int")
+    storm = h.isin(2, 9) & rnd.between(4, 6) & (F.col("event_id") % 10 < 7)
+    background = F.col("event_id") % 10 == 0
+    log = ev.select(
+        F.concat(F.lit("portal"), h.cast("string"), F.lit(".go.id")).alias("host"),
+        rnd.alias("rnd"),
+        F.when(storm | background, F.lit(503)).otherwise(F.lit(200)).alias("status"),
+    )
+    per = log.groupBy("host", "rnd").agg(
+        F.count(F.lit(1)).alias("n_req"),
+        F.sum((F.col("status") >= 500).cast("long")).alias("n_err"),
+    )
+    per = per.withColumn(
+        "err_rate", F.col("n_err").cast("double") / F.col("n_req")
+    ).withColumn(
+        "tripped",
+        ((F.col("err_rate") >= 0.5) & (F.col("n_req") >= 5)).cast("int"),
+    )
+    cooldown = Window.partitionBy("host").orderBy("rnd").rangeBetween(-3, -1)
+    per = per.withColumn(
+        "suppressed", F.coalesce(F.max("tripped").over(cooldown), F.lit(0))
+    )
+    state = (
+        F.when(F.col("tripped") == 1, F.lit("open"))
+        .when(F.col("suppressed") == 1, F.lit("cooldown"))
+        .otherwise(F.lit("closed"))
+    )
+    return per.select(
+        "host", "rnd", "n_req", "n_err", "err_rate", "tripped",
+        state.alias("state"),
+    )
+
+
+O_HOST_CIRCUIT_BREAKER = """
+WITH log AS (
+  SELECT 'portal' || (user_id % 25) || '.go.id' AS host,
+         CAST(event_id % 12 AS INT) AS rnd,
+         CASE WHEN ((user_id % 25) IN (2, 9)
+                    AND (event_id % 12) BETWEEN 4 AND 6
+                    AND (event_id % 10) < 7)
+                   OR (event_id % 10) = 0
+              THEN 503 ELSE 200 END AS status
+  FROM events
+),
+per AS (
+  SELECT host, rnd,
+         count(*) AS n_req,
+         CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM log GROUP BY host, rnd
+),
+rated AS (
+  SELECT host, rnd, n_req, n_err,
+         CAST(n_err AS DOUBLE) / n_req AS err_rate,
+         CAST(CAST(n_err AS DOUBLE) / n_req >= 0.5 AND n_req >= 5 AS INT) AS tripped
+  FROM per
+),
+windowed AS (
+  SELECT *,
+         coalesce(max(tripped) OVER (
+           PARTITION BY host ORDER BY rnd
+           RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS suppressed
+  FROM rated
+)
+SELECT host, rnd, n_req, n_err, err_rate, tripped,
+       CASE WHEN tripped = 1 THEN 'open'
+            WHEN suppressed = 1 THEN 'cooldown'
+            ELSE 'closed' END AS state
+FROM windowed
+"""
+
+
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end-to-end (beyond-reference — the reference's seed
+    discovery is config-only, `seed_url_crawler.py:303+`): robots.txt
+    `Sitemap:` discovery (RFC 9309 §2.3 global lines, case-insensitive key)
+    -> urlset/sitemapindex parse (sitemaps.org protocol via
+    kernels/sitemap.py) -> frontier candidates with the protocol priority
+    mapped onto the S1 0-10 scale. sitemapindex children come out as
+    kind='sitemap' rows — index fan-out is frontier RECIRCULATION (fetch the
+    child next round), the same shape as pagination expansion, never
+    in-process recursion.
+
+    The Spark side builds each host's robots + XML documents with JVM
+    expressions and round-trips them through the real parser UDFs (a parser
+    that misreads namespaces, drops lastmod, or mis-clamps priority fails
+    the hash); the oracle regenerates the expected entries constructively,
+    never parsing XML. Per-urlset extras pin the protocol edges: an entry
+    with no <loc> (dropped) and an out-of-range priority 9.9 (-> default
+    0.5). Shape: distinct-host agg + map-only UDF parse + explode — the
+    sitemap corpus is O(hosts), trivially parallel, zero joins."""
+    from crawler_spark.functions.sitemap_udfs import (
+        parse_sitemap_udf,
+        sitemap_urls_udf,
+    )
+
+    ev = _events(spark, sf_dir)
+    hosts = ev.select((F.col("user_id") % 10).alias("h")).distinct()
+    hs = F.col("h").cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n"),
+        F.lit("Sitemap: https://portal"), hs, F.lit(".go.id/sitemap.xml\n"),
+        F.when(
+            F.col("h") % 4 == 0,
+            F.concat(F.lit("sitemap: https://portal"), hs,
+                     F.lit(".go.id/sitemap-index.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    discovered = hosts.select(
+        "h", F.explode(sitemap_urls_udf(robots)).alias("sitemap_url")
+    )
+
+    def entry_xml(i):
+        loc = F.concat(F.lit("https://portal"), hs, F.lit(".go.id/doc/"),
+                       i.cast("string"))
+        lastmod = F.when(
+            i % 3 == 0,
+            F.concat(F.lit("<lastmod>2025-01-"),
+                     F.lpad((i % 9 + 1).cast("string"), 2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit(""))
+        chf = (
+            F.when(i % 4 == 0, F.lit("<changefreq>daily</changefreq>"))
+            .when(i % 4 == 1, F.lit("<changefreq>weekly</changefreq>"))
+            .when(i % 4 == 3, F.lit("<changefreq>monthly</changefreq>"))
+            .otherwise(F.lit(""))
+        )
+        pr = F.concat(
+            F.lit("<priority>"),
+            F.when(i % 11 == 10, F.lit("1.0")).otherwise(
+                F.concat(F.lit("0."), (i % 11).cast("string"))
+            ),
+            F.lit("</priority>"),
+        )
+        return F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                        lastmod, chf, pr, F.lit("</url>"))
+
+    def child_xml(k):
+        return F.concat(
+            F.lit("<sitemap><loc>https://portal"), hs,
+            F.lit(".go.id/sitemap-part-"), k.cast("string"), F.lit(".xml</loc>"),
+            F.when(
+                k % 2 == 0,
+                F.concat(F.lit("<lastmod>2025-02-0"), (k + 1).cast("string"),
+                         F.lit("</lastmod>")),
+            ).otherwise(F.lit("")),
+            F.lit("</sitemap>"),
+        )
+
+    urlset_doc = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.col("h") + 11), entry_xml), ""
+        ),
+        # protocol edges: loc-less entry is unusable (dropped); out-of-range
+        # priority falls back to the 0.5 default
+        F.lit("<url><priority>0.9</priority></url>"),
+        F.lit("<url><loc>https://portal"), hs,
+        F.lit(".go.id/special</loc><priority>9.9</priority></url>"),
+        F.lit("</urlset>"),
+    )
+    index_doc = F.concat(
+        F.lit("<sitemapindex>"),
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(2)), child_xml), ""),
+        F.lit("</sitemapindex>"),
+    )
+    parsed = discovered.select(
+        "h",
+        "sitemap_url",
+        F.explode(
+            parse_sitemap_udf(
+                F.when(F.col("sitemap_url").endswith("/sitemap.xml"), urlset_doc)
+                .otherwise(index_doc)
+            )
+        ).alias("e"),
+    )
+    return parsed.select(
+        F.concat(F.lit("portal"), hs, F.lit(".go.id")).alias("host"),
+        "sitemap_url",
+        F.col("e.kind").alias("kind"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.col("e.priority").alias("priority"),
+        # S1 mapping (kernels/sitemap.py sitemap_priority_to_frontier): the
+        # grid has no .5 ties, so HALF_UP here == the kernel's banker's
+        # rounding (pinned against the kernel in tests/test_sitemap.py)
+        F.round((F.lit(1.0) - F.col("e.priority")) * 10, 0)
+        .cast("int")
+        .alias("frontier_priority"),
+    )
+
+
+O_SITEMAP_EXPAND = """
+WITH hosts AS (SELECT DISTINCT user_id % 10 AS h FROM events),
+urlset AS (
+  SELECT h,
+         'https://portal' || h || '.go.id/sitemap.xml' AS sitemap_url,
+         'url' AS kind,
+         'https://portal' || h || '.go.id/doc/' || i AS loc,
+         CASE WHEN i % 3 = 0
+              THEN '2025-01-' || lpad(CAST(i % 9 + 1 AS VARCHAR), 2, '0')
+         END AS lastmod,
+         CASE CAST(i % 4 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+              WHEN 3 THEN 'monthly' END AS changefreq,
+         CAST(i % 11 AS DOUBLE) / 10.0 AS priority,
+         CAST(10 - (i % 11) AS INT) AS frontier_priority
+  FROM (SELECT h, unnest(generate_series(0, 11 + h)) AS i FROM hosts)
+),
+special AS (
+  SELECT h,
+         'https://portal' || h || '.go.id/sitemap.xml' AS sitemap_url,
+         'url' AS kind,
+         'https://portal' || h || '.go.id/special' AS loc,
+         CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         0.5 AS priority,
+         5 AS frontier_priority
+  FROM hosts
+),
+idx AS (
+  SELECT h,
+         'https://portal' || h || '.go.id/sitemap-index.xml' AS sitemap_url,
+         'sitemap' AS kind,
+         'https://portal' || h || '.go.id/sitemap-part-' || k || '.xml' AS loc,
+         CASE WHEN k % 2 = 0 THEN '2025-02-0' || (k + 1) END AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         0.5 AS priority,
+         5 AS frontier_priority
+  FROM hosts, generate_series(0, 2) AS t(k)
+  WHERE h % 4 = 0
+)
+SELECT 'portal' || h || '.go.id' AS host, sitemap_url, kind, loc, lastmod,
+       changefreq, priority, frontier_priority
+FROM (SELECT * FROM urlset UNION ALL SELECT * FROM special
+      UNION ALL SELECT * FROM idx)
+"""
+
+
+def q_conditional_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional re-crawl classification (beyond-reference — the reference
+    re-fetches unconditionally; RFC 9110 §8.8.3/§13.1.2 ETag +
+    If-None-Match): due re-crawl candidates join the standing pages table on
+    identity; a stored validator matching the live body is a 304 —
+    'not_modified' refreshes the seen TTL and SKIPS parse + page write
+    (at 100 TB the dominant re-crawl economy: most pages don't change
+    between visits, so write amplification and parse CPU follow the CHANGE
+    rate, not the visit rate); a mismatch is 'modified' (re-parse, MERGE by
+    operators/merge.py latest-wins); no stored page is 'new'. Shape: one
+    keyed equi-join (both sides bucketable on the join key — the
+    operators/bucketing.py layout) + map-only CASE; parse_needed marks
+    exactly the rows the parse stage reads. Synthetic input: even doc_ids
+    are stored; every 5th live body changed; doc_id%3==1 not due."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("page_doc"),
+        F.sha2(F.col("text"), 256).alias("stored_etag"),
+    )
+    live_body = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("<p>rev2</p>"))
+    ).otherwise(F.col("text"))
+    cands = docs.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id", F.sha2(live_body, 256).alias("live_etag")
+    )
+    j = cands.join(pages, cands.doc_id == pages.page_doc, "left")
+    action = (
+        F.when(F.col("stored_etag").isNull(), F.lit("new"))
+        .when(F.col("stored_etag") == F.col("live_etag"), F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(
+        "doc_id",
+        action.alias("action"),
+        "stored_etag",
+        "live_etag",
+        (action != F.lit("not_modified")).cast("int").alias("parse_needed"),
+    )
+
+
+O_CONDITIONAL_RECRAWL = """
+WITH pages AS (
+  SELECT doc_id AS page_doc, sha256(text) AS stored_etag
+  FROM documents WHERE doc_id % 2 = 0
+),
+cands AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || '<p>rev2</p>'
+                     ELSE text END) AS live_etag
+  FROM documents WHERE doc_id % 3 != 1
+)
+SELECT c.doc_id,
+       CASE WHEN p.stored_etag IS NULL THEN 'new'
+            WHEN p.stored_etag = c.live_etag THEN 'not_modified'
+            ELSE 'modified' END AS action,
+       p.stored_etag,
+       c.live_etag,
+       CAST(CASE WHEN p.stored_etag IS NULL THEN 'new'
+                 WHEN p.stored_etag = c.live_etag THEN 'not_modified'
+                 ELSE 'modified' END != 'not_modified' AS INT) AS parse_needed
+FROM cands c LEFT JOIN pages p ON c.doc_id = p.page_doc
+"""
+
+
 QUERIES = {
     "scheduled_job_tick": q_scheduled_job_tick,
+    "crawl_traps": q_crawl_traps,
+    "host_circuit_breaker": q_host_circuit_breaker,
+    "sitemap_expand": q_sitemap_expand,
+    "conditional_recrawl": q_conditional_recrawl,
     "robots_gate": q_robots_gate,
     "workflow_toposort": q_workflow_toposort,
     "config_merge": q_config_merge,
@@ -2620,6 +3006,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "crawl_traps": O_CRAWL_TRAPS,
+    "host_circuit_breaker": O_HOST_CIRCUIT_BREAKER,
+    "sitemap_expand": O_SITEMAP_EXPAND,
+    "conditional_recrawl": O_CONDITIONAL_RECRAWL,
     "robots_gate": O_ROBOTS_GATE,
     "workflow_toposort": O_WORKFLOW_TOPOSORT,
     "config_merge": O_CONFIG_MERGE,
