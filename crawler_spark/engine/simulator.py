@@ -48,6 +48,10 @@ class SimResult:
     # every retry recirculation decision: (url_norm, attempt_number) — the
     # retry_history(action='retry') analogue
     retries: list[tuple[str, int]] = field(default_factory=list)
+    # circuit-breaker suppressions: (round, host) for every host that had
+    # due rows but was held at budget 0 — matches the engine's
+    # n_breaker_hosts metric per round
+    breaker_events: list[tuple[int, str]] = field(default_factory=list)
 
 
 def _mk_row(
@@ -76,6 +80,7 @@ def simulate(
     ttl_rounds: int | None = None,
     max_depth: int | None = None,
     domain_priority: dict[str, int] | None = None,
+    breaker: tuple[float, int, int] | None = None,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
@@ -123,6 +128,24 @@ def simulate(
                 res.robots_excluded.append(r["url_norm"])
                 frontier.remove(r)
 
+        # circuit breaker (mirrors superstep.py): a host whose 5xx rate in
+        # any of the previous `cooldown` rounds reached `thr` over >=
+        # `min_att` fetches is held at budget 0 this round; its rows stay
+        # in the frontier untouched
+        suppressed: set[str] = set()
+        if breaker is not None and rnd > 0:
+            thr, min_att, cooldown = breaker
+            per_rh: dict[tuple[str, int], tuple[int, int]] = {}
+            for r0, h0, _u, st in res.fetch_attempts:
+                if rnd - cooldown <= r0 <= rnd - 1:
+                    n, e = per_rh.get((h0, r0), (0, 0))
+                    per_rh[(h0, r0)] = (n + 1, e + (1 if st >= 500 else 0))
+            suppressed = {
+                h0
+                for (h0, _r0), (n, e) in per_rh.items()
+                if n >= min_att and e / n >= thr
+            }
+
         # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
         by_host: dict[str, list[dict]] = {}
         for r in allowed:
@@ -130,6 +153,9 @@ def simulate(
         new_rows: list[dict] = []
         new_link_rows: dict[str, dict] = {}  # this round's link discoveries
         for host in by_host:
+            if host in suppressed:
+                res.breaker_events.append((rnd, host))
+                continue  # budget 0: rows remain in the frontier
             pol = policies.get(host)
             cd = pol.crawl_delay(user_agent) if pol else None
             budget = (

@@ -103,6 +103,7 @@ class CrawlEngine:
         max_depth: int | None = None,
         domain_priority: dict[str, int] | None = None,
         file_index: dict[str, list[str]] | None = None,
+        breaker: tuple[float, int, int] | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -146,7 +147,20 @@ class CrawlEngine:
         (ix_crawled_page_url_hash, current_schema.sql:1441-1444): min/max
         bounds cannot prune uniformly-distributed hash keys, blooms can.
         page_lookup() exploits it; off by default (adds one column read
-        per committed file at commit time)."""
+        per committed file at commit time).
+
+        breaker: per-host error circuit breaker (beyond-reference — the
+        reference retries per REQUEST only, retry_policy.py/R1-R5, so a host
+        melting down keeps receiving its full politeness budget) as
+        (err_threshold, min_attempts, cooldown_rounds): a host whose 5xx
+        rate in any of the previous `cooldown_rounds` rounds reached
+        `err_threshold` over at least `min_attempts` fetches gets budget 0
+        this round — its due rows stay in the frontier untouched (the open
+        state); when the window slides past the trip (no attempts happen
+        while open, so the window empties) the host re-enters at full
+        budget (the half-open probe: one more bad round re-trips it). The
+        trip stats come from a fetched_round-pruned fetch_log range read
+        (O(window) files on an aged chain), one tiny agg per round."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -160,6 +174,7 @@ class CrawlEngine:
         self.max_depth = max_depth
         self.domain_priority = dict(domain_priority or {})
         self.file_index = dict(file_index or {})
+        self.breaker = breaker
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -643,6 +658,35 @@ class CrawlEngine:
             )
             .select("host", "budget")
         )
+        # per-host circuit breaker: tripped hosts leave the budgets dim, so
+        # the selection's left join coalesces their budget to 0 — their due
+        # rows flow untouched into not_selected (still in the frontier next
+        # round). Window stats read O(cooldown) pruned fetch_log files.
+        suppressed_dim: DataFrame | None = None
+        if self.breaker is not None and round_no > 0:
+            thr, min_att, cooldown = self.breaker
+            wlog = self.fetch_log_range(
+                max(0, round_no - cooldown), round_no - 1
+            )
+            tripped = (
+                wlog.groupBy("host", "fetched_round")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("status_code") >= 500).cast("long")).alias("e"),
+                )
+                .filter(
+                    (F.col("n") >= min_att)
+                    & (F.col("e").cast("double") / F.col("n") >= thr)
+                )
+                .select("host")
+                .distinct()
+            )
+            # hosts tripped AND due this round — the metric the simulator
+            # equivalence gate checks per round
+            suppressed_dim = budgets.join(
+                F.broadcast(tripped), "host", "left_semi"
+            ).cache()
+            budgets = budgets.join(F.broadcast(tripped), "host", "left_anti")
         if self.hot_host_threshold is not None:
             from crawler_spark.operators.frontier import salted_budget_selection
 
@@ -913,6 +957,11 @@ class CrawlEngine:
             .crossJoin(fresh.agg(F.count("*").alias("n_new_urls")))
             .crossJoin(retries.agg(F.count("*").alias("n_retry")))
             .crossJoin(to_dlq.agg(F.count("*").alias("n_dlq")))
+            .crossJoin(
+                suppressed_dim.agg(F.count("*").alias("n_breaker_hosts"))
+                if suppressed_dim is not None
+                else spark.range(1).select(F.lit(0).alias("n_breaker_hosts"))
+            )
         ).first()
         metrics = {
             "n_due": int(stats["n_due"]),
@@ -926,6 +975,8 @@ class CrawlEngine:
             "n_retry": int(stats["n_retry"]),
             "n_dlq": int(stats["n_dlq"]),
         }
+        if self.breaker is not None:
+            metrics["n_breaker_hosts"] = int(stats["n_breaker_hosts"])
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) and the frontier commits merge-on-read (adds
         # delta + equality-delete keys) — per-round IO is O(delta)

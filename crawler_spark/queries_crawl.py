@@ -2642,9 +2642,11 @@ def q_host_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     its full politeness budget. Here the fetch log is classified per
     (host, round): a round TRIPS when its error rate crosses the threshold
     with enough attempts; the host then sits in cooldown for the following
-    3 rounds (the engine would zero its budget there, the set-oriented
-    analogue of an open breaker — re-entry after cooldown is the half-open
-    probe). Shape: one agg + one RANGE window per host — the window moves
+    3 rounds (CrawlEngine(breaker=...) zeroes its politeness budget there —
+    the open state; re-entry after cooldown is the half-open probe, gated
+    engine==simulator in tests/test_breaker.py). This query is the same
+    classification as reporting analytics over an observed fetch log.
+    Shape: one agg + one RANGE window per host — the window moves
     O(hosts x rounds) rows, never raw requests. Synthetic input: hosts 2 and
     9 (of 25) run a ~70% 5xx storm in rounds 4-6 over a 10% background error
     rate."""
