@@ -52,6 +52,13 @@ class SimResult:
     # due rows but was held at budget 0 — matches the engine's
     # n_breaker_hosts metric per round
     breaker_events: list[tuple[int, str]] = field(default_factory=list)
+    # crawl-trap state: flagged (host, template) pairs per round — matches
+    # the engine's n_trap_templates metric; final cumulative counts mirror
+    # the url_templates table
+    trap_flags_by_round: dict[int, set[tuple[str, str]]] = field(
+        default_factory=dict
+    )
+    template_counts: dict[tuple[str, str], int] = field(default_factory=dict)
 
 
 def _mk_row(
@@ -81,6 +88,7 @@ def simulate(
     max_depth: int | None = None,
     domain_priority: dict[str, int] | None = None,
     breaker: tuple[float, int, int] | None = None,
+    trap_max_urls: int | None = None,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
@@ -146,6 +154,18 @@ def simulate(
                 if n >= min_att and e / n >= thr
             }
 
+        # crawl-trap flags: round-START snapshot of the standing counts
+        # (mirrors superstep.py reading url_templates before the round)
+        trap_flags: set[tuple[str, str]] = set()
+        if trap_max_urls is not None:
+            trap_flags = {
+                key
+                for key, n in res.template_counts.items()
+                if n > trap_max_urls
+            }
+            res.trap_flags_by_round[rnd] = set(trap_flags)
+        trap_delta: dict[tuple[str, str], int] = {}
+
         # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
         by_host: dict[str, list[dict]] = {}
         for r in allowed:
@@ -206,6 +226,17 @@ def simulate(
                             rnd + 1,
                             cand_depth,
                         )
+                        tmpl_key = None
+                        if trap_max_urls is not None:
+                            tmpl_key = (
+                                row["host"],
+                                re.sub(r"[0-9]+", "{N}", row["path"]),
+                            )
+                            # flagged template: dropped before the seen set
+                            # (order vs within-round dedup is immaterial —
+                            # all copies share the template)
+                            if tmpl_key in trap_flags:
+                                continue
                         prev = new_link_rows.get(row["url_hash"])
                         if prev is not None:
                             # within-round dup: min depth wins (engine's
@@ -219,6 +250,10 @@ def simulate(
                         seen_round[row["url_hash"]] = rnd
                         new_link_rows[row["url_hash"]] = row
                         new_rows.append(row)
+                        if tmpl_key is not None:
+                            trap_delta[tmpl_key] = (
+                                trap_delta.get(tmpl_key, 0) + 1
+                            )
                 elif _retryable(status):
                     if r["attempt"] + 1 < MAX_ATTEMPTS:
                         res.retries.append((r["url_norm"], r["attempt"] + 1))
@@ -234,4 +269,8 @@ def simulate(
                         res.dlq.append((r["url_norm"], r["attempt"] + 1))
                 # non-retryable failures simply leave the frontier
         frontier.extend(new_rows)
+        # standing template counts commit with the round (engine appends the
+        # url_templates delta at round end; next round's flags see it)
+        for key, n in trap_delta.items():
+            res.template_counts[key] = res.template_counts.get(key, 0) + n
     return res

@@ -104,6 +104,7 @@ class CrawlEngine:
         domain_priority: dict[str, int] | None = None,
         file_index: dict[str, list[str]] | None = None,
         breaker: tuple[float, int, int] | None = None,
+        trap_max_urls: int | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -160,7 +161,17 @@ class CrawlEngine:
         while open, so the window empties) the host re-enters at full
         budget (the half-open probe: one more bad round re-trips it). The
         trip stats come from a fetched_round-pruned fetch_log range read
-        (O(window) files on an aged chain), one tiny agg per round."""
+        (O(window) files on an aged chain), one tiny agg per round.
+
+        trap_max_urls: crawl-trap cutoff (beyond-reference): a standing
+        `url_templates` table counts enqueued URLs per (host, path template
+        with digit runs collapsed to {N}); once a template's cumulative
+        count exceeds the cap, NEW candidates matching it are dropped at
+        extraction — after within-round dedup, BEFORE the seen probe — so a
+        calendar/facet family stops growing the frontier while every other
+        template on the host keeps crawling. Flags snapshot at round START
+        (commits <= round-1); counts commit as O(delta) appends with the
+        round. The flags side is O(#flagged templates), broadcast."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -175,6 +186,7 @@ class CrawlEngine:
         self.domain_priority = dict(domain_priority or {})
         self.file_index = dict(file_index or {})
         self.breaker = breaker
+        self.trap_max_urls = trap_max_urls
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -800,8 +812,40 @@ class CrawlEngine:
             )
             .withColumn("url_hash", F.lower(F.hex("url_key")))
             .drop("url_key")
-            .cache()
         )
+        # crawl-trap cutoff: candidates whose (host, digit-collapsed path
+        # template) is over the standing cap are dropped here — after the
+        # within-round dedup, BEFORE the seen probe (trapped families never
+        # reach the filter store). Flags are the round-START table state.
+        trap_flags: DataFrame | None = None
+        if self.trap_max_urls is not None:
+            cands = cands.withColumn(
+                "path_template",
+                F.regexp_replace(
+                    F.concat(
+                        F.lit("/"),
+                        F.regexp_extract(
+                            "url_norm", r"^https?://[^/]+/(.*)$", 1
+                        ),
+                    ),
+                    "[0-9]+",
+                    "{N}",
+                ),
+            )
+            tmpl = self.store.read(spark, "url_templates")
+            if tmpl is not None:
+                trap_flags = (
+                    tmpl.groupBy("host", "path_template")
+                    .agg(F.sum("n").alias("n_urls"))
+                    .filter(F.col("n_urls") > self.trap_max_urls)
+                    .select("host", "path_template")
+                    .cache()
+                )
+                cands = cands.join(
+                    F.broadcast(trap_flags), ["host", "path_template"],
+                    "left_anti",
+                )
+        cands = cands.cache()
         # two-layer seen dedup with the FILE-backed shard probe: candidates
         # shuffle once on shard, each task loads only its own shard's blob
         # from the store — no blobs on the driver or in the UDF closure.
@@ -962,6 +1006,11 @@ class CrawlEngine:
                 if suppressed_dim is not None
                 else spark.range(1).select(F.lit(0).alias("n_breaker_hosts"))
             )
+            .crossJoin(
+                trap_flags.agg(F.count("*").alias("n_trap_templates"))
+                if trap_flags is not None
+                else spark.range(1).select(F.lit(0).alias("n_trap_templates"))
+            )
         ).first()
         metrics = {
             "n_due": int(stats["n_due"]),
@@ -977,6 +1026,8 @@ class CrawlEngine:
         }
         if self.breaker is not None:
             metrics["n_breaker_hosts"] = int(stats["n_breaker_hosts"])
+        if self.trap_max_urls is not None:
+            metrics["n_trap_templates"] = int(stats["n_trap_templates"])
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) and the frontier commits merge-on-read (adds
         # delta + equality-delete keys) — per-round IO is O(delta)
@@ -1126,6 +1177,28 @@ class CrawlEngine:
             hints["dlq"] = metrics["n_dlq"]
             hints["fetch_log"] = metrics["n_fetched"]
             hints["retry_history"] = n_failed
+        if self.trap_max_urls is not None and metrics["n_new_urls"] > 0:
+            # standing template counts: one O(#templates-in-delta) append per
+            # round; readers SUM per (host, template) across the chain.
+            # Compaction folds the chain via the generic full-snapshot path.
+            tmpl_delta = (
+                fresh.groupBy("host", "path_template")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .withColumn("round", F.lit(round_no).cast("int"))
+            )
+            if compaction or self.store.table_path("url_templates") is None:
+                prev_tmpl = self.store.read(spark, "url_templates")
+                full["url_templates"] = (
+                    prev_tmpl.unionByName(tmpl_delta)
+                    .groupBy("host", "path_template")
+                    .agg(F.sum("n").alias("n"))
+                    .withColumn("round", F.lit(round_no).cast("int"))
+                    if prev_tmpl is not None
+                    else tmpl_delta
+                )
+            else:
+                delta["url_templates"] = tmpl_delta
+            hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
         if self.log_feed and metrics["n_fetched"] > 0:
             import os
 
@@ -1155,6 +1228,10 @@ class CrawlEngine:
         parsed.unpersist()
         cands.unpersist()
         fresh.unpersist()
+        if suppressed_dim is not None:
+            suppressed_dim.unpersist()
+        if trap_flags is not None:
+            trap_flags.unpersist()
         return metrics
 
     # ------------------------------------------------------------- the loop

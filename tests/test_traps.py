@@ -1,0 +1,122 @@
+"""Crawl-trap cutoff in the engine: equivalence + suppression behavior.
+
+Fixture: 2 hosts x 5 listing pages x 5 details. The detail template
+`/putusan/detail/{N}` accumulates 5 URLs per host per round; with
+trap_max_urls=12 it crosses the cap after round 3 (15 > 12), so the details
+discovered from listing page 5 onward are dropped at extraction — while the
+listing chain itself (a different template) keeps crawling to its natural
+stop. The standing `url_templates` table carries the counts across rounds
+as O(delta) appends.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.engine.corpus import (
+    CorpusSpec,
+    build_corpus,
+    host_name,
+    listing_html,
+    listing_url,
+)
+from crawler_spark.engine.simulator import simulate
+from crawler_spark.engine.superstep import CrawlEngine
+
+TRAP_CAP = 12
+SPEC = CorpusSpec(n_hosts=2, listing_pages=5, details_per_page=5,
+                  hosts_with_robots=0)
+DETAIL_TMPL = "/putusan/detail/{N}"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    c = build_corpus(SPEC)
+    # the sha-derived corpus plants 404/429s on some listing pages, cutting
+    # the chains before the detail template can cross the cap — pin every
+    # listing to 200 so the trap dynamics (not chain stops) drive the test
+    for i in range(SPEC.n_hosts):
+        h = host_name(i)
+        for p in range(1, SPEC.listing_pages + 1):
+            c[listing_url(h, p)] = (200, listing_html(SPEC, h, p), None)
+    return c
+
+
+@pytest.fixture(scope="module")
+def seeds():
+    return [listing_url(host_name(i), 1) for i in range(SPEC.n_hosts)]
+
+
+@pytest.fixture(scope="module")
+def sim(corpus, seeds):
+    return simulate(corpus, {}, seeds, per_host_budget=8, max_rounds=20,
+                    trap_max_urls=TRAP_CAP)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus, seeds, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("trap_store"))
+    eng = CrawlEngine(spark, root, corpus, {}, per_host_budget=8,
+                      trap_max_urls=TRAP_CAP)
+    eng.init_frontier(seeds)
+    eng.metrics_by_round = eng.run(max_rounds=20)
+    return eng
+
+
+class TestTrapEquivalence:
+    def test_crawl_order_matches_simulator(self, engine, sim):
+        assert engine.crawl_order() == sim.crawl_order
+
+    def test_seen_set_matches_simulator(self, engine, sim):
+        assert engine.seen_set() == sim.seen
+
+    def test_trap_metric_matches_sim_flags(self, engine, sim):
+        for m in engine.metrics_by_round:
+            rnd = m["round"]
+            if "n_trap_templates" in m:
+                assert m["n_trap_templates"] == len(
+                    sim.trap_flags_by_round.get(rnd, set())
+                ), rnd
+
+    def test_url_templates_table_matches_sim_counts(self, engine, sim):
+        rows = (
+            engine.store.read(engine.spark, "url_templates")
+            .groupBy("host", "path_template")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        got = {(r["host"], r["path_template"]): r["n"] for r in rows}
+        assert got == sim.template_counts
+
+
+class TestTrapBehavior:
+    def test_detail_template_flagged(self, sim):
+        flagged = set().union(*sim.trap_flags_by_round.values())
+        assert (host_name(0), DETAIL_TMPL) in flagged
+        assert (host_name(1), DETAIL_TMPL) in flagged
+
+    def test_trap_caps_frontier_growth(self, corpus, seeds, sim):
+        """With the cap, fewer URLs enter the seen set; the suppressed ones
+        are exactly detail URLs discovered after the flag."""
+        base = simulate(corpus, {}, seeds, per_host_budget=8, max_rounds=20)
+        assert sim.seen < base.seen
+        # listing chain unaffected: same listing URLs crawled in both runs
+        assert {u for _r, _h, _o, u in sim.crawl_order if "?page=" in u} == {
+            u for _r, _h, _o, u in base.crawl_order if "?page=" in u
+        }
+
+    def test_counts_stop_growing_after_flag(self, sim):
+        """Once flagged, a template's standing count freezes (candidates are
+        dropped before the seen set, so they never increment it)."""
+        cap_host = host_name(0)
+        first_flag = min(
+            rnd
+            for rnd, flags in sim.trap_flags_by_round.items()
+            if (cap_host, DETAIL_TMPL) in flags
+        )
+        # every detail enqueue event for this host happened before the flag
+        n = sim.template_counts[(cap_host, DETAIL_TMPL)]
+        assert n > TRAP_CAP  # crossed the cap...
+        assert n <= TRAP_CAP + SPEC.details_per_page  # ...by at most one round's batch
+        assert first_flag < sim.rounds
