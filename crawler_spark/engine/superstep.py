@@ -272,7 +272,12 @@ class CrawlEngine:
                        "dlq": 0, "fetch_log": 0, "retry_history": 0},
         )
 
-    def enqueue_seeds(self, urls: DataFrame, url_col: str = "url") -> dict[str, Any]:
+    def enqueue_seeds(
+        self,
+        urls: DataFrame,
+        url_col: str = "url",
+        priority_col: str | None = None,
+    ) -> dict[str, Any]:
         """Mid-crawl seed ingestion (the streaming entry point — the
         reference accepts new jobs while workers crawl, worker.py consuming
         NATS continuously): a DataFrame of raw seed URLs joins the frontier
@@ -282,16 +287,32 @@ class CrawlEngine:
         fresh ones enter frontier AND seen atomically in one enqueue-only
         commit, with incremental shard maintenance).
 
+        priority_col: optional per-row S1 priority (0-10, HIGHER = crawled
+        first, the reference's scale) replacing the PRIORITY_LISTING
+        default — the sitemap ingestion path maps protocol <priority>
+        through it. Duplicate raw URLs keep the MAX (most important) value
+        deterministically; domain_priority host overrides still win,
+        mirroring the reference's website-level priority precedence.
+
         On a fresh store this doubles as distributed init (round -1)."""
         spark = self.spark
         fresh_store = not self.store.manifest()["rounds"]
         round_no = -1 if fresh_store else self.store.latest_round() + 1
-        norm = (
-            urls.select(normalize_url_udf(F.col(url_col)).alias("url_norm"))
-            .filter(F.col("url_norm").isNotNull())
-            .dropDuplicates(["url_norm"])
-            .withColumn("url_hash", url_hash("url_norm"))
-            .withColumn("host", canonical_host_udf(F.col("url_norm")))
+        cols = [normalize_url_udf(F.col(url_col)).alias("url_norm")]
+        if priority_col is not None:
+            cols.append(F.col(priority_col).cast("int").alias("__prio"))
+        norm = urls.select(*cols).filter(F.col("url_norm").isNotNull())
+        if priority_col is not None:
+            norm = norm.groupBy("url_norm").agg(F.max("__prio").alias("__prio"))
+        else:
+            norm = norm.dropDuplicates(["url_norm"])
+        norm = norm.withColumn("url_hash", url_hash("url_norm")).withColumn(
+            "host", canonical_host_udf(F.col("url_norm"))
+        )
+        default_prio = (
+            F.coalesce(F.col("__prio"), F.lit(PRIORITY_LISTING))
+            if priority_col is not None
+            else F.lit(PRIORITY_LISTING)
         )
         batch = norm.select(
             "url_norm", "url_hash", "host",
@@ -301,7 +322,7 @@ class CrawlEngine:
             ).alias("path"),
             F.concat(F.lit("listing:"), F.col("host")).alias("seed_id"),
             self._priority_expr(
-                F.col("host"), F.lit(PRIORITY_LISTING)
+                F.col("host"), default_prio
             ).alias("priority"),
             F.lit(max(round_no, 0)).cast("long").alias("scheduled_ms"),
             F.lit(0).alias("attempt"),
@@ -455,6 +476,53 @@ class CrawlEngine:
         return self.enqueue_seeds(
             self.spark.createDataFrame([(s,) for s in seeds], "url string")
         )
+
+    def enqueue_sitemaps(
+        self, sitemap_docs: DataFrame, xml_col: str = "xml"
+    ) -> tuple[dict[str, Any], DataFrame]:
+        """Sitemap ingestion into the frontier (beyond-reference; seed
+        discovery there is config-only, seed_url_crawler.py:303+): a
+        DataFrame of fetched sitemap documents parses distributed
+        (kernels/sitemap.py via one Arrow UDF + explode), page entries
+        enqueue through the standard enqueue_seeds path — protocol
+        <priority> mapped onto the S1 scale (1.0 -> 0, crawled first), the
+        enqueue==seen invariant and O(batch) commit economics inherited
+        wholesale — and <sitemapindex> children come back as a DataFrame of
+        (sitemap_url, lastmod) for the CALLER to fetch and feed into the
+        next enqueue_sitemaps call: index fan-out is recirculation across
+        calls, one level per call, exactly like pagination expansion —
+        never in-process recursion.
+
+        Returns (enqueue metrics + n_sitemap_children, child sitemaps)."""
+        from crawler_spark.functions.sitemap_udfs import parse_sitemap_udf
+
+        entries = sitemap_docs.select(
+            F.explode(parse_sitemap_udf(F.col(xml_col))).alias("e")
+        ).select(
+            F.col("e.kind").alias("kind"),
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+            F.col("e.priority").alias("priority"),
+        ).cache()
+        pages = entries.filter(F.col("kind") == "url").select(
+            F.col("loc").alias("url"),
+            # sitemap_priority_to_frontier as a JVM expr: protocol 1.0 ->
+            # S1 10 (crawled first). No .5 ties on the clamped 0.0-1.0
+            # range; pinned vs the kernel in tests/test_sitemap.py
+            F.round(F.col("priority") * 10, 0).cast("int")
+            .alias("sm_priority"),
+        )
+        children = (
+            entries.filter(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias("sitemap_url"), "lastmod")
+            .cache()
+        )
+        n_children = children.count()
+        metrics = self.enqueue_seeds(pages, url_col="url",
+                                     priority_col="sm_priority")
+        metrics["n_sitemap_children"] = n_children
+        entries.unpersist()
+        return metrics, children
 
     def _empty_pages(self) -> DataFrame:
         # raw_html is the blob-store parity column (the reference writes the

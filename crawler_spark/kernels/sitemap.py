@@ -119,8 +119,9 @@ def parse_sitemap(xml_text: str) -> list[SitemapEntry]:
 
 def sitemap_priority_to_frontier(priority: float) -> int:
     """Map protocol priority (0.0-1.0, higher = more important) onto the
-    frontier's 0-10 priority scale (S1: LOWER numeric = crawled first,
-    `priority_queue.py:89-155` score `(10-priority)*10^12 + ts`), so
-    priority 1.0 -> 0 (front) and 0.0 -> 10 (back). round-half-even is
-    fine here: the scale is coarse and both engines use the same rule."""
-    return int(round((1.0 - priority) * 10))
+    frontier's 0-10 priority scale (S1: HIGHER numeric = crawled first —
+    10 is manual/highest; `priority_queue.py:89-155` score
+    `(10-priority)*10^12 + ts`, lower score drains first), so protocol
+    1.0 -> 10 (front) and 0.0 -> 0 (back). round-half-even is fine here:
+    the 0.1-step grid has no .5 ties and both engines use the same rule."""
+    return int(round(priority * 10))

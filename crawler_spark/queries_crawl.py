@@ -2836,11 +2836,11 @@ def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.lastmod").alias("lastmod"),
         F.col("e.changefreq").alias("changefreq"),
         F.col("e.priority").alias("priority"),
-        # S1 mapping (kernels/sitemap.py sitemap_priority_to_frontier): the
-        # grid has no .5 ties, so HALF_UP here == the kernel's banker's
-        # rounding (pinned against the kernel in tests/test_sitemap.py)
-        F.round((F.lit(1.0) - F.col("e.priority")) * 10, 0)
-        .cast("int")
+        # S1 mapping (kernels/sitemap.py sitemap_priority_to_frontier:
+        # protocol 1.0 -> 10, crawled first): the grid has no .5 ties, so
+        # HALF_UP here == the kernel's banker's rounding (pinned against
+        # the kernel in tests/test_sitemap.py)
+        F.round(F.col("e.priority") * 10, 0).cast("int")
         .alias("frontier_priority"),
     )
 
@@ -2858,7 +2858,7 @@ urlset AS (
          CASE CAST(i % 4 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
               WHEN 3 THEN 'monthly' END AS changefreq,
          CAST(i % 11 AS DOUBLE) / 10.0 AS priority,
-         CAST(10 - (i % 11) AS INT) AS frontier_priority
+         CAST(i % 11 AS INT) AS frontier_priority
   FROM (SELECT h, unnest(generate_series(0, 11 + h)) AS i FROM hosts)
 ),
 special AS (

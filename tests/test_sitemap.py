@@ -104,9 +104,10 @@ class TestSitemapParse:
 
 class TestFrontierPriorityMapping:
     def test_kernel_grid(self):
-        # protocol 1.0 (most important) -> frontier 0 (crawled first)
-        assert sitemap_priority_to_frontier(1.0) == 0
-        assert sitemap_priority_to_frontier(0.0) == 10
+        # protocol 1.0 (most important) -> frontier 10 (S1: higher drains
+        # first — the reference's 10 = manual/highest)
+        assert sitemap_priority_to_frontier(1.0) == 10
+        assert sitemap_priority_to_frontier(0.0) == 0
         assert sitemap_priority_to_frontier(0.5) == 5
 
     def test_jvm_expr_equals_kernel_on_grid(self, spark):
@@ -120,9 +121,7 @@ class TestFrontierPriorityMapping:
             r["priority"]: r["fp"]
             for r in df.select(
                 "priority",
-                F.round((F.lit(1.0) - F.col("priority")) * 10, 0)
-                .cast("int")
-                .alias("fp"),
+                F.round(F.col("priority") * 10, 0).cast("int").alias("fp"),
             ).collect()
         }
         assert got == {p: sitemap_priority_to_frontier(p) for p in grid}
