@@ -59,6 +59,14 @@ class SimResult:
         default_factory=dict
     )
     template_counts: dict[tuple[str, str], int] = field(default_factory=dict)
+    # conditional re-crawl: (round, url_norm) for every 304 (body matched
+    # the stored page; parse + merge skipped) — matches the engine's
+    # n_not_modified metric per round
+    not_modified: list[tuple[int, str]] = field(default_factory=list)
+    # hash -> LAST enqueue round (res.seen is cumulative ever-seen; under
+    # TTL the engine's compacted table is the ACTIVE window — compare it to
+    # {h: r >= last_active_round - ttl} over this dict)
+    seen_rounds: dict[str, int] = field(default_factory=dict)
 
 
 def _mk_row(
@@ -89,6 +97,7 @@ def simulate(
     domain_priority: dict[str, int] | None = None,
     breaker: tuple[float, int, int] | None = None,
     trap_max_urls: int | None = None,
+    conditional_recrawl: bool = False,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
@@ -102,6 +111,10 @@ def simulate(
     # same URL can legitimately coexist, and the simulator must mirror that.
     frontier: list[dict] = []
     seen_round: dict[str, int] = {}  # hash -> round last enqueued (TTL window)
+    # conditional re-crawl: stored page bodies as of the LAST COMMITTED round
+    # (the engine joins against the pages table read at round start);
+    # within-round fetches buffer into a delta merged at round end
+    page_body: dict[str, str] = {}
     for u in seeds:
         norm = normalize_url(u)
         row = _mk_row(
@@ -165,6 +178,7 @@ def simulate(
             }
             res.trap_flags_by_round[rnd] = set(trap_flags)
         trap_delta: dict[tuple[str, str], int] = {}
+        body_delta: dict[str, str] = {}
 
         # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
         by_host: dict[str, list[dict]] = {}
@@ -204,6 +218,15 @@ def simulate(
                     stopped_chains.add(r["seed_id"])
                 if status == 200:
                     res.crawl_order.append((rnd, host, order, r["url_norm"]))
+                    if conditional_recrawl and ttl_rounds is not None:
+                        if page_body.get(r["url_norm"]) == content:
+                            # 304: parse, link re-extraction, and the page
+                            # merge are skipped (mirrors superstep.py)
+                            res.not_modified.append((rnd, r["url_norm"]))
+                            continue
+                        # within-round later fetch wins, matching the
+                        # engine merge's fetch_order tiebreak
+                        body_delta[r["url_norm"]] = content
                     page = extract_page(content)
                     for href, *_meta in page["links"]:
                         cand_depth = r["depth"] + 1
@@ -273,4 +296,6 @@ def simulate(
         # url_templates delta at round end; next round's flags see it)
         for key, n in trap_delta.items():
             res.template_counts[key] = res.template_counts.get(key, 0) + n
+        page_body.update(body_delta)
+    res.seen_rounds = dict(seen_round)
     return res

@@ -105,6 +105,7 @@ class CrawlEngine:
         file_index: dict[str, list[str]] | None = None,
         breaker: tuple[float, int, int] | None = None,
         trap_max_urls: int | None = None,
+        conditional_recrawl: bool = False,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -171,7 +172,20 @@ class CrawlEngine:
         calendar/facet family stops growing the frontier while every other
         template on the host keeps crawling. Flags snapshot at round START
         (commits <= round-1); counts commit as O(delta) appends with the
-        round. The flags side is O(#flagged templates), broadcast."""
+        round. The flags side is O(#flagged templates), broadcast.
+
+        conditional_recrawl: ETag semantics on the TTL re-crawl path
+        (RFC 9110 §8.8.3/§13.1.2 — beyond-reference; the reference
+        re-persists unconditionally): a re-fetched page whose body matches
+        the STORED page (strong validator: byte equality, compared as
+        sha256 of the raw body) is a 304 — it stays in crawl order and the
+        fetch_log, but SKIPS the parse UDF, link re-extraction, and the
+        latest-wins page MERGE, so per-round parse CPU and page-table write
+        amplification follow the CHANGE rate, not the visit rate (the
+        dominant re-crawl economy at 100 TB). On real Iceberg the stored
+        validator is its own tiny column; here it derives from raw_html at
+        join time. Meaningful only with ttl_rounds (permanent membership
+        never re-fetches)."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -187,6 +201,7 @@ class CrawlEngine:
         self.file_index = dict(file_index or {})
         self.breaker = breaker
         self.trap_max_urls = trap_max_urls
+        self.conditional_recrawl = conditional_recrawl
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -808,6 +823,26 @@ class CrawlEngine:
         fetched = fetch_against_corpus(batch, self.corpus).cache()
 
         ok = fetched.filter(F.col("status_code") == 200)
+        # conditional re-crawl (ETag/304): bodies identical to the stored
+        # page skip parse + merge entirely; only changed/new bodies go on.
+        # The join keys on (host, url_hash) — the pages MERGE key, bucketable
+        # — and compares strong validators (sha256 of the raw body).
+        not_modified: DataFrame | None = None
+        if self.conditional_recrawl and self.ttl_rounds is not None:
+            stored = pages.select(
+                "host", "url_hash",
+                F.sha2(F.col("raw_html"), 256).alias("__stored_etag"),
+            )
+            okj = ok.join(stored, ["host", "url_hash"], "left")
+            fresh_etag = F.sha2(F.col("content"), 256)
+            not_modified = okj.filter(
+                F.col("__stored_etag").isNotNull()
+                & (F.col("__stored_etag") == fresh_etag)
+            ).cache()
+            ok = okj.filter(
+                F.col("__stored_etag").isNull()
+                | (F.col("__stored_etag") != fresh_etag)
+            ).drop("__stored_etag")
         parsed = ok.withColumn(
             "p", parse_page_udf(F.col("content"))
         ).select(
@@ -1079,6 +1114,11 @@ class CrawlEngine:
                 if trap_flags is not None
                 else spark.range(1).select(F.lit(0).alias("n_trap_templates"))
             )
+            .crossJoin(
+                not_modified.agg(F.count("*").alias("n_not_modified"))
+                if not_modified is not None
+                else spark.range(1).select(F.lit(0).alias("n_not_modified"))
+            )
         ).first()
         metrics = {
             "n_due": int(stats["n_due"]),
@@ -1096,6 +1136,8 @@ class CrawlEngine:
             metrics["n_breaker_hosts"] = int(stats["n_breaker_hosts"])
         if self.trap_max_urls is not None:
             metrics["n_trap_templates"] = int(stats["n_trap_templates"])
+        if not_modified is not None:
+            metrics["n_not_modified"] = int(stats["n_not_modified"])
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) and the frontier commits merge-on-read (adds
         # delta + equality-delete keys) — per-round IO is O(delta)
@@ -1300,6 +1342,8 @@ class CrawlEngine:
             suppressed_dim.unpersist()
         if trap_flags is not None:
             trap_flags.unpersist()
+        if not_modified is not None:
+            not_modified.unpersist()
         return metrics
 
     # ------------------------------------------------------------- the loop
