@@ -218,17 +218,24 @@ def simulate(
                     stopped_chains.add(r["seed_id"])
                 if status == 200:
                     res.crawl_order.append((rnd, host, order, r["url_norm"]))
+                    page_links = None
                     if conditional_recrawl and ttl_rounds is not None:
-                        if page_body.get(r["url_norm"]) == content:
-                            # 304: parse, link re-extraction, and the page
-                            # merge are skipped (mirrors superstep.py)
+                        stored = page_body.get(r["url_norm"])
+                        if stored is not None and stored[0] == content:
+                            # 304: parse and the page merge are skipped, but
+                            # the STORED link set recirculates (body
+                            # unchanged ⇒ links unchanged) — mirrors
+                            # superstep.py's __stored_links union
                             res.not_modified.append((rnd, r["url_norm"]))
-                            continue
-                        # within-round later fetch wins, matching the
-                        # engine merge's fetch_order tiebreak
-                        body_delta[r["url_norm"]] = content
-                    page = extract_page(content)
-                    for href, *_meta in page["links"]:
+                            page_links = stored[1]
+                    if page_links is None:
+                        page = extract_page(content)
+                        page_links = page["links"]
+                        if conditional_recrawl and ttl_rounds is not None:
+                            # within-round later fetch wins, matching the
+                            # engine merge's fetch_order tiebreak
+                            body_delta[r["url_norm"]] = (content, page_links)
+                    for href, *_meta in page_links:
                         cand_depth = r["depth"] + 1
                         if max_depth is not None and cand_depth > max_depth:
                             continue  # over-horizon: dropped BEFORE seen

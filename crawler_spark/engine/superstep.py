@@ -201,6 +201,14 @@ class CrawlEngine:
         self.file_index = dict(file_index or {})
         self.breaker = breaker
         self.trap_max_urls = trap_max_urls
+        if conditional_recrawl and ttl_rounds is None:
+            # permanent membership never re-fetches, so the flag would be a
+            # silent no-op — surface the misconfiguration instead
+            raise ValueError(
+                "conditional_recrawl requires ttl_rounds (permanent seen"
+                " membership never re-fetches, so there is nothing to"
+                " conditionally re-crawl)"
+            )
         self.conditional_recrawl = conditional_recrawl
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
@@ -344,6 +352,27 @@ class CrawlEngine:
             F.lit(max(round_no, 0)).cast("long").alias("not_before"),
             F.lit(0).cast("int").alias("depth"),
         )
+        # crawl-trap cutoff applies to EVERY ingestion path (a sitemap
+        # advertising a 10^6-URL calendar family must not bypass the cap
+        # that extraction candidates honor); enqueued fresh URLs also FEED
+        # the standing counts below, so sitemap-sourced families trip the
+        # flag for later extraction rounds too
+        tmpl_expr = F.regexp_replace(F.col("path"), "[0-9]+", "{N}")
+        if self.trap_max_urls is not None and not fresh_store:
+            tmpl_tbl = self.store.read(spark, "url_templates")
+            if tmpl_tbl is not None:
+                trap_flags = (
+                    tmpl_tbl.groupBy("host", "path_template")
+                    .agg(F.sum("n").alias("n_urls"))
+                    .filter(F.col("n_urls") > self.trap_max_urls)
+                    .select("host", "path_template")
+                )
+                batch = (
+                    batch.withColumn("path_template", tmpl_expr)
+                    .join(F.broadcast(trap_flags),
+                          ["host", "path_template"], "left_anti")
+                    .drop("path_template")
+                )
         seen = self.store.read(spark, "seen") if not fresh_store else None
         enq_chain = None if fresh_store else self.store.latest_blob_chain()
         if seen is None:
@@ -478,6 +507,20 @@ class CrawlEngine:
             # rewrite, no delete keys; per-enqueue IO is O(batch)
             delta = {"frontier": fresh, "seen": seen_delta}
             hints = {"frontier": n_fresh, "seen": n_fresh}
+        if self.trap_max_urls is not None and n_fresh > 0:
+            # enqueued URLs count into the standing template table exactly
+            # like extraction-discovered ones
+            tmpl_delta = (
+                fresh.withColumn("path_template", tmpl_expr)
+                .groupBy("host", "path_template")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .withColumn("round", F.lit(round_no).cast("int"))
+            )
+            if self.store.table_path("url_templates") is None:
+                full["url_templates"] = tmpl_delta
+            else:
+                delta["url_templates"] = tmpl_delta
+            hints["url_templates"] = max(1, n_fresh // 64)
         entry = self.store.commit_round(
             round_no, full, metrics=metrics, blob_dir=out_dir,
             blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
@@ -500,7 +543,8 @@ class CrawlEngine:
         DataFrame of fetched sitemap documents parses distributed
         (kernels/sitemap.py via one Arrow UDF + explode), page entries
         enqueue through the standard enqueue_seeds path — protocol
-        <priority> mapped onto the S1 scale (1.0 -> 0, crawled first), the
+        <priority> mapped onto the S1 scale (1.0 -> 10, crawled first:
+        HIGHER S1 priority drains first, the reference's convention), the
         enqueue==seen invariant and O(batch) commit economics inherited
         wholesale — and <sitemapindex> children come back as a DataFrame of
         (sitemap_url, lastmod) for the CALLER to fetch and feed into the
@@ -527,15 +571,22 @@ class CrawlEngine:
             F.round(F.col("priority") * 10, 0).cast("int")
             .alias("sm_priority"),
         )
-        children = (
+        # materialize the (small — index entries only) children on the
+        # driver and hand back a fresh local DataFrame: no cached RDD leaks
+        # across the caller's recirculation loop, and the returned frame
+        # stays valid after `entries` is unpersisted
+        child_rows = (
             entries.filter(F.col("kind") == "sitemap")
             .select(F.col("loc").alias("sitemap_url"), "lastmod")
-            .cache()
+            .collect()
         )
-        n_children = children.count()
+        children = self.spark.createDataFrame(
+            [(r["sitemap_url"], r["lastmod"]) for r in child_rows],
+            "sitemap_url string, lastmod string",
+        )
         metrics = self.enqueue_seeds(pages, url_col="url",
                                      priority_col="sm_priority")
-        metrics["n_sitemap_children"] = n_children
+        metrics["n_sitemap_children"] = len(child_rows)
         entries.unpersist()
         return metrics, children
 
@@ -543,14 +594,20 @@ class CrawlEngine:
         # raw_html is the blob-store parity column (the reference writes the
         # raw page to GCS tasks/{task}/{url_hash}.html, storage.py:56-71;
         # here the blob IS a column of the snapshot table)
-        return self.spark.createDataFrame(
-            [],
+        schema = (
             "url_hash string, url_norm string, host string, title string,"
             " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
             " content_sha256 string, simhash long, status_code int,"
             " fetched_round int, fetch_order int, raw_html string,"
-            " extracted_json string",
+            " extracted_json string"
         )
+        if self.conditional_recrawl:
+            # stored validator + link set for the 304 path
+            schema += (
+                ", etag string, links array<struct<href:string,"
+                "anchor:string,preview:string,pos:int>>"
+            )
+        return self.spark.createDataFrame([], schema)
 
     def _empty_frontier_dels(self) -> DataFrame:
         from crawler_spark.engine.snapshots import FRONTIER_DELS_SCHEMA
@@ -829,9 +886,28 @@ class CrawlEngine:
         # — and compares strong validators (sha256 of the raw body).
         not_modified: DataFrame | None = None
         if self.conditional_recrawl and self.ttl_rounds is not None:
+            from crawler_spark.functions.parse_udfs import LINK_TYPE
+
+            # the validator is a STORED column (etag, written with the page
+            # — Iceberg's tiny-column economics: the join dim is a column
+            # read, never a full-corpus re-hash); pre-upgrade rows without
+            # it fall back to hashing raw_html for exactly those rows, and
+            # rows without stored links recirculate nothing until their
+            # first post-upgrade re-write
+            pcols = pages.columns
+            etag_col = (
+                F.coalesce(F.col("etag"), F.sha2(F.col("raw_html"), 256))
+                if "etag" in pcols
+                else F.sha2(F.col("raw_html"), 256)
+            )
+            links_col = (
+                F.col("links") if "links" in pcols
+                else F.lit(None).cast(LINK_TYPE)
+            )
             stored = pages.select(
                 "host", "url_hash",
-                F.sha2(F.col("raw_html"), 256).alias("__stored_etag"),
+                etag_col.alias("__stored_etag"),
+                links_col.alias("__stored_links"),
             )
             okj = ok.join(stored, ["host", "url_hash"], "left")
             fresh_etag = F.sha2(F.col("content"), 256)
@@ -842,7 +918,7 @@ class CrawlEngine:
             ok = okj.filter(
                 F.col("__stored_etag").isNull()
                 | (F.col("__stored_etag") != fresh_etag)
-            ).drop("__stored_etag")
+            ).drop("__stored_etag", "__stored_links")
         parsed = ok.withColumn(
             "p", parse_page_udf(F.col("content"))
         ).select(
@@ -864,14 +940,23 @@ class CrawlEngine:
             with_extract = parsed.withColumn(
                 "extracted_json", F.lit(None).cast("string")
             )
-        new_pages = with_extract.select(
+        page_cols = [
             "url_hash", "url_norm", "host", "title", "spans", "content_sha256",
             "simhash", F.lit(200).alias("status_code"),
             F.lit(round_no).alias("fetched_round"),
             F.col("fetch_order").cast("int"),
             F.col("content").alias("raw_html"),
             "extracted_json",
-        )
+        ]
+        if self.conditional_recrawl:
+            # persist the strong validator + link set WITH the page: the next
+            # re-crawl's 304 check is a column read, and its link
+            # recirculation needs no re-parse
+            page_cols += [
+                F.sha2(F.col("content"), 256).alias("etag"),
+                F.col("links").alias("links"),
+            ]
+        new_pages = with_extract.select(*page_cols)
 
         # ---- link extraction -> absolutize -> normalize -> scope -> dedup
         links = parsed.select(
@@ -882,6 +967,22 @@ class CrawlEngine:
             (F.col("depth") + 1).cast("int").alias("cand_depth"),
             F.col("l.href").alias("href"), F.col("l.pos").alias("pos"),
         ).filter(F.col("href").isNotNull())
+        if not_modified is not None:
+            # 304 pages recirculate their STORED link set (body unchanged ⇒
+            # links unchanged), so conditional mode keeps the exact crawl
+            # dynamics of unconditional mode — TTL re-discovery through
+            # unchanged hub pages never starves — while still skipping the
+            # parse UDF and the page write
+            nm_links = not_modified.select(
+                "url_norm", "host", "depth",
+                F.explode_outer("__stored_links").alias("l"),
+            ).select(
+                F.col("url_norm").alias("base"),
+                F.col("host").alias("src_host"),
+                (F.col("depth") + 1).cast("int").alias("cand_depth"),
+                F.col("l.href").alias("href"), F.col("l.pos").alias("pos"),
+            ).filter(F.col("href").isNotNull())
+            links = links.unionByName(nm_links)
         if self.max_depth is not None:
             # depth horizon: over-depth candidates are dropped BEFORE the
             # seen set, so a shorter path found later may still enqueue them
@@ -1161,6 +1262,13 @@ class CrawlEngine:
             # longer chain (left by a permanent-mode run of this store)
             # would silently drop the base membership
             or (self.ttl_rounds is not None and len(prev_chain) != 1)
+            # the standing template table is a chain like any other: bound
+            # its length even when compaction slots land on quiet rounds
+            or (
+                self.trap_max_urls is not None
+                and self.store.chain_length("url_templates")
+                >= self.REBUILD_EVERY
+            )
         )
         # driver action 3: shard maintenance. Permanent mode appends a
         # DELTA blob dir holding only this round's fresh keys (merge-on-read
@@ -1287,28 +1395,39 @@ class CrawlEngine:
             hints["dlq"] = metrics["n_dlq"]
             hints["fetch_log"] = metrics["n_fetched"]
             hints["retry_history"] = n_failed
-        if self.trap_max_urls is not None and metrics["n_new_urls"] > 0:
+        if self.trap_max_urls is not None:
             # standing template counts: one O(#templates-in-delta) append per
             # round; readers SUM per (host, template) across the chain.
-            # Compaction folds the chain via the generic full-snapshot path.
+            # Compaction folds the chain even on rounds with no fresh URLs —
+            # gating the fold on the delta would let quiet compaction slots
+            # skip it and the chain grow past REBUILD_EVERY.
             tmpl_delta = (
                 fresh.groupBy("host", "path_template")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .withColumn("round", F.lit(round_no).cast("int"))
+                if metrics["n_new_urls"] > 0
+                else None
             )
-            if compaction or self.store.table_path("url_templates") is None:
+            prev_exists = self.store.table_path("url_templates") is not None
+            if compaction and prev_exists:
                 prev_tmpl = self.store.read(spark, "url_templates")
-                full["url_templates"] = (
+                merged = (
                     prev_tmpl.unionByName(tmpl_delta)
-                    .groupBy("host", "path_template")
+                    if tmpl_delta is not None
+                    else prev_tmpl
+                )
+                full["url_templates"] = (
+                    merged.groupBy("host", "path_template")
                     .agg(F.sum("n").alias("n"))
                     .withColumn("round", F.lit(round_no).cast("int"))
-                    if prev_tmpl is not None
-                    else tmpl_delta
                 )
-            else:
-                delta["url_templates"] = tmpl_delta
-            hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
+                hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
+            elif tmpl_delta is not None:
+                if prev_exists:
+                    delta["url_templates"] = tmpl_delta
+                else:
+                    full["url_templates"] = tmpl_delta
+                hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
         if self.log_feed and metrics["n_fetched"] > 0:
             import os
 

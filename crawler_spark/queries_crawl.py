@@ -2896,7 +2896,8 @@ def q_conditional_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-fetches unconditionally; RFC 9110 §8.8.3/§13.1.2 ETag +
     If-None-Match): due re-crawl candidates join the standing pages table on
     identity; a stored validator matching the live body is a 304 —
-    'not_modified' refreshes the seen TTL and SKIPS parse + page write
+    'not_modified' keeps the stored page row (the engine additionally
+    recirculates the STORED link set) and SKIPS parse + page write
     (at 100 TB the dominant re-crawl economy: most pages don't change
     between visits, so write amplification and parse CPU follow the CHANGE
     rate, not the visit rate); a mismatch is 'modified' (re-parse, MERGE by

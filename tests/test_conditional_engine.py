@@ -77,6 +77,18 @@ class TestConditionalEquivalence:
 
 
 class TestConditionalEconomy:
+    def test_conditional_preserves_crawl_dynamics_exactly(self, fixture, sim):
+        """The 304 path recirculates the STORED link set, so conditional
+        mode changes NOTHING about what gets crawled when — only what gets
+        parsed and written. (Without stored-link recirculation, a 304'd hub
+        page would stop re-enqueueing its outlinks and TTL re-discovery
+        would starve — found by review.)"""
+        corpus, robots, seeds = fixture
+        base = simulate(corpus, robots, seeds, per_host_budget=3,
+                        max_rounds=ROUNDS, ttl_rounds=TTL)
+        assert sim.crawl_order == base.crawl_order
+        assert sim.seen == base.seen
+
     def test_recrawls_happen_and_are_all_304(self, sim):
         """Static corpus: every repeat fetch of a URL is a 304."""
         counts = Counter(u for *_, u in sim.crawl_order)

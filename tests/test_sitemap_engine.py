@@ -52,7 +52,7 @@ def corpus():
 
 
 def test_sitemap_enqueue_priority_drives_crawl_order(spark, corpus, tmp_path):
-    """Protocol priority 1.0 -> S1 priority 0 -> fetched before 0.1 -> 9,
+    """Protocol priority 1.0 -> S1 priority 10 -> fetched before 0.1 -> 1,
     within one host and round (the politeness budget covers all four)."""
     eng = CrawlEngine(spark, str(tmp_path / "s1"), corpus, {},
                       per_host_budget=8)

@@ -120,3 +120,64 @@ class TestTrapBehavior:
         assert n > TRAP_CAP  # crossed the cap...
         assert n <= TRAP_CAP + SPEC.details_per_page  # ...by at most one round's batch
         assert first_flag < sim.rounds
+
+
+class TestTrapIngestionPaths:
+    """Review finding: enqueue_seeds/enqueue_sitemaps must honor AND feed
+    the trap table — a sitemap advertising a trap family must not bypass
+    the cap that extraction candidates honor."""
+
+    def test_enqueue_feeds_counts_and_is_then_suppressed(self, spark, corpus,
+                                                         tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = CrawlEngine(spark, str(tmp_path / "enq"), corpus, {},
+                          per_host_budget=8, trap_max_urls=TRAP_CAP)
+        h = host_name(0)
+        # 20 distinct URLs of one template: over the cap in one batch
+        urls = [f"https://{h}/putusan/archive/{i}" for i in range(20)]
+        m1 = eng.enqueue_seeds(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        )
+        assert m1["n_enqueued"] == 20
+        tbl = (
+            eng.store.read(spark, "url_templates")
+            .groupBy("host", "path_template")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        counts = {(r["host"], r["path_template"]): r["n"] for r in tbl}
+        assert counts[(h, "/putusan/archive/{N}")] == 20
+        # a later enqueue of MORE urls from the now-flagged family drops
+        # them all; a sibling template still enqueues
+        more = [f"https://{h}/putusan/archive/{i}" for i in range(20, 30)]
+        m2 = eng.enqueue_seeds(
+            spark.createDataFrame([(u,) for u in more], "url string")
+        )
+        assert m2["n_enqueued"] == 0
+        ok = eng.enqueue_seeds(
+            spark.createDataFrame(
+                [(f"https://{h}/putusan/other/1",)], "url string"
+            )
+        )
+        assert ok["n_enqueued"] == 1
+
+    def test_template_chain_stays_bounded(self, spark, corpus, seeds,
+                                          tmp_path):
+        """Review finding: the fold must fire on compaction rounds even when
+        they discover no fresh URLs — the chain is bounded like every other
+        table's."""
+        eng = CrawlEngine(spark, str(tmp_path / "bound"), corpus, {},
+                          per_host_budget=8, trap_max_urls=TRAP_CAP)
+        eng.REBUILD_EVERY = 3
+        eng.init_frontier(seeds)
+        eng.run(max_rounds=20)
+        assert eng.store.chain_length("url_templates") <= 3
+
+
+def test_conditional_without_ttl_is_rejected(spark, tmp_path):
+    """Review finding: conditional_recrawl without ttl_rounds was a silent
+    no-op; now it raises."""
+    with pytest.raises(ValueError, match="conditional_recrawl"):
+        CrawlEngine(spark, str(tmp_path / "x"), {}, {},
+                    conditional_recrawl=True)
