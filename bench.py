@@ -74,6 +74,11 @@ HEADLINE = [
     "line_dedup",
     "line_dedup_incremental",
     "pii_scrub",
+    # r03 frontier-hygiene ops
+    "crawl_traps",
+    "host_circuit_breaker",
+    "sitemap_expand",
+    "conditional_recrawl",
 ]
 
 

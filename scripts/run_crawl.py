@@ -39,7 +39,31 @@ def main() -> None:
         help="after the run, expire snapshots to the last N rounds "
         "(0 = keep all) and remove crash-orphaned dirs older than an hour",
     )
+    ap.add_argument(
+        "--ttl-rounds", type=int, default=0,
+        help="windowed URL-seen membership in rounds (0 = permanent)",
+    )
+    ap.add_argument(
+        "--trap-max-urls", type=int, default=0,
+        help="crawl-trap cutoff: max enqueued URLs per (host, path "
+        "template) before new candidates of that template are dropped "
+        "(0 = off)",
+    )
+    ap.add_argument(
+        "--breaker", default="",
+        help="per-host error circuit breaker as 'threshold,min_attempts,"
+        "cooldown_rounds' (e.g. '0.5,5,3'; empty = off)",
+    )
+    ap.add_argument(
+        "--conditional-recrawl", action="store_true",
+        help="ETag/304 semantics on TTL re-crawls (requires --ttl-rounds): "
+        "unchanged bodies skip parse + page write, stored links recirculate",
+    )
     args = ap.parse_args()
+    breaker = None
+    if args.breaker:
+        thr, min_att, cooldown = args.breaker.split(",")
+        breaker = (float(thr), int(min_att), int(cooldown))
 
     from pyspark.sql import SparkSession
 
@@ -60,6 +84,10 @@ def main() -> None:
         spark, args.store, build_corpus(spec), robots_map(spec),
         per_host_budget=args.budget,
         selector_configs=website_configs(spec),
+        ttl_rounds=args.ttl_rounds or None,
+        trap_max_urls=args.trap_max_urls or None,
+        breaker=breaker,
+        conditional_recrawl=args.conditional_recrawl,
     )
     gate = None
     if args.audited:
