@@ -102,6 +102,63 @@ class TestSitemapParse:
         assert [e.loc for e in parse_sitemap(xml)] == ["https://h/a"]
 
 
+class TestSitemapRoundTrip:
+    """Property: any entry list serialized to urlset XML parses back
+    exactly (loc/lastmod/changefreq preserved, priority clamped)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    loc_st = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="/-._~"
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "https://h.go.id/" + s)
+
+    @given(
+        st.lists(
+            st.tuples(
+                loc_st,
+                st.one_of(st.none(), st.just("2025-03-01")),
+                st.one_of(st.none(), st.sampled_from(["daily", "weekly", "never"])),
+                st.floats(min_value=-2, max_value=2, allow_nan=False).map(
+                    lambda p: round(p, 2)
+                ),
+            ),
+            max_size=20,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, entries):
+        from crawler_spark.kernels.sitemap import DEFAULT_PRIORITY
+
+        parts = ["<urlset>"]
+        for loc, lastmod, chf, pr in entries:
+            parts.append("<url>")
+            parts.append(f"<loc>{loc}</loc>")
+            if lastmod is not None:
+                parts.append(f"<lastmod>{lastmod}</lastmod>")
+            if chf is not None:
+                parts.append(f"<changefreq>{chf}</changefreq>")
+            parts.append(f"<priority>{pr}</priority>")
+            parts.append("</url>")
+        parts.append("</urlset>")
+        got = parse_sitemap("".join(parts))
+        assert [
+            (e.loc, e.lastmod, e.changefreq, e.priority) for e in got
+        ] == [
+            (
+                loc,
+                lastmod,
+                chf,
+                pr if 0.0 <= pr <= 1.0 else DEFAULT_PRIORITY,
+            )
+            for loc, lastmod, chf, pr in entries
+        ]
+
+
 class TestFrontierPriorityMapping:
     def test_kernel_grid(self):
         # protocol 1.0 (most important) -> frontier 10 (S1: higher drains
