@@ -94,3 +94,76 @@ def run_streaming_crawl(
     )
     q.awaitTermination()
     return batch_log
+
+
+SITEMAP_DOC_SCHEMA = "xml string"
+
+
+def run_streaming_sitemap_crawl(
+    spark: SparkSession,
+    engine: CrawlEngine,
+    sitemap_dir: str,
+    checkpoint_dir: str,
+    fetch_sitemap=None,
+    rounds_per_batch: int = 20,
+    max_files_per_trigger: int = 1,
+    max_index_depth: int = 4,
+) -> list[dict[str, Any]]:
+    """Sitemap documents as the durable seed queue (the production shape of
+    sitemap ingestion: a discovery fetcher drops each fetched sitemap XML
+    into a directory; the crawl absorbs them as micro-batches).
+
+    Per batch: ``enqueue_sitemaps`` parses the documents distributed and
+    enqueues page entries (protocol priority -> S1, enqueue==seen
+    invariant); <sitemapindex> children are resolved through the
+    ``fetch_sitemap(url) -> xml`` callable (the network boundary — None
+    disables recirculation) and fed back, one level per iteration up to
+    ``max_index_depth``; then the engine crawls to drain. Replay of a
+    micro-batch after a crash re-parses the same documents and anti-joins
+    away — the same exactly-once composition as run_streaming_crawl.
+
+    Rows are JSON lines ``{"xml": "<urlset…>"}`` — a file source needs a
+    columnar schema, and the queue element is the DOCUMENT (its source URL
+    is not load-bearing: entries carry absolute locs)."""
+    batch_log: list[dict[str, Any]] = []
+
+    def _handle(batch_df, batch_id: int) -> None:
+        m, children = engine.enqueue_sitemaps(batch_df)
+        enqueues = [m]
+        rows = children.collect()
+        depth = 0
+        while rows and fetch_sitemap is not None and depth < max_index_depth:
+            docs = spark.createDataFrame(
+                [(fetch_sitemap(r["sitemap_url"]),) for r in rows],
+                SITEMAP_DOC_SCHEMA,
+            )
+            m_child, children = engine.enqueue_sitemaps(docs)
+            enqueues.append(m_child)
+            rows = children.collect()
+            depth += 1
+        rounds = engine.run(max_rounds=rounds_per_batch)
+        batch_log.append(
+            {
+                "batch_id": batch_id,
+                "n_enqueued": sum(e["n_enqueued"] for e in enqueues),
+                "n_sitemap_children": sum(
+                    e.get("n_sitemap_children", 0) for e in enqueues
+                ),
+                "n_rounds": len(rounds),
+                "drained": bool(rounds and rounds[-1].get("done")),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(SITEMAP_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(sitemap_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batch_log

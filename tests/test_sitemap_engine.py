@@ -95,6 +95,51 @@ def test_sitemap_replay_is_noop_and_children_recirculate(spark, corpus, tmp_path
     assert m3["n_enqueued"] == 0
 
 
+def test_streaming_sitemap_crawl_equals_batch(spark, corpus, tmp_path):
+    """Sitemap docs split across micro-batches + an index child resolved
+    through the fetch callable: the drained result equals one batch crawl
+    of the same advertised URLs, and a checkpointed replay is a no-op."""
+    import json
+
+    from crawler_spark.streaming.crawl_stream import run_streaming_sitemap_crawl
+
+    urls = [detail_url(HOST, 1, s) for s in range(2)]
+    # the child sitemap advertises pages UNREACHABLE by link extraction
+    # (nothing links /putusan/extra/*), so its enqueue cannot be deduped by
+    # earlier crawl rounds — sitemap discovery is their only path in
+    extras = [f"https://{HOST}/putusan/extra/{i}" for i in range(2)]
+    for u in extras:
+        corpus[u] = (200, detail_html(HOST, 1, 0), None)
+    child_url = f"https://{HOST}/sitemap-child.xml"
+    child_xml = _urlset([(extras[0], 0.6), (extras[1], 0.4)])
+    smdir = tmp_path / "smq"
+    smdir.mkdir()
+    (smdir / "a.json").write_text(
+        json.dumps({"xml": _urlset([(urls[0], 0.9), (urls[1], 0.3)])}) + "\n"
+    )
+    (smdir / "b.json").write_text(
+        json.dumps({"xml": _index([child_url])}) + "\n"
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "s4"), corpus, {},
+                      per_host_budget=8)
+    log = run_streaming_sitemap_crawl(
+        spark, eng, str(smdir), str(tmp_path / "ckpt"),
+        fetch_sitemap={child_url: child_xml}.get,
+    )
+    assert len(log) == 2  # one micro-batch per file
+    assert sum(b["n_enqueued"] for b in log) == 4
+    assert sum(b["n_sitemap_children"] for b in log) == 1
+    crawled = {u for _r, _h, _o, u in eng.crawl_order()}
+    # every advertised URL fetched (plus anything link-discovered from them)
+    assert set(urls) | set(extras) <= crawled
+    # replay with the SAME checkpoint: no new files -> no new batches
+    log2 = run_streaming_sitemap_crawl(
+        spark, eng, str(smdir), str(tmp_path / "ckpt"),
+        fetch_sitemap={child_url: child_xml}.get,
+    )
+    assert log2 == []
+
+
 def test_duplicate_entries_keep_max_priority(spark, corpus, tmp_path):
     """One URL advertised twice (0.9 and 0.2): the enqueue keeps the most
     important mapping (S1 9, not 2) deterministically."""
