@@ -137,15 +137,28 @@ class WorkflowOrchestrator:
                                            error=f"upstream not completed: {bad}")
                 continue
 
-            skip_if = step.get("skip_if")
-            if skip_if and evaluate_condition(skip_if, step_aggs):
-                results[name] = StepResult(name, "skipped")
-                step_aggs[name] = {"skipped": True}
-                continue
-            run_only_if = step.get("run_only_if")
-            if run_only_if and not evaluate_condition(run_only_if, step_aggs):
-                results[name] = StepResult(name, "skipped")
-                step_aggs[name] = {"skipped": True}
+            # condition evaluation inside the per-step error boundary: a
+            # malformed condition (unquoted YAML -> dict/int) fails THAT
+            # step, not the whole run (condition_evaluator.py:90-120 logs
+            # and continues; ConditionError from the kernel is already
+            # don't-skip, so only truly broken expressions land here)
+            try:
+                skip_if = step.get("skip_if")
+                if skip_if and evaluate_condition(skip_if, step_aggs):
+                    results[name] = StepResult(name, "skipped")
+                    step_aggs[name] = {"skipped": True}
+                    continue
+                run_only_if = step.get("run_only_if")
+                if run_only_if and not evaluate_condition(
+                    run_only_if, step_aggs
+                ):
+                    results[name] = StepResult(name, "skipped")
+                    step_aggs[name] = {"skipped": True}
+                    continue
+            except Exception as e:  # noqa: BLE001 — condition errors are data
+                results[name] = StepResult(
+                    name, "failed", error=f"condition error: {e}"[:500]
+                )
                 continue
 
             cfg = merge_config(self.global_config, step.get("config", {}))
@@ -169,7 +182,23 @@ class WorkflowOrchestrator:
                     name, "failed", error=f"no executor for type {step.get('type')!r}"
                 )
                 continue
-            inputs = {d: results[d].df for d in deps if results[d].df is not None}
+            # DATA inputs come only from input_from (the reference resolves
+            # step data solely from input_from, step_orchestrator.py:459) —
+            # graph deps also include condition {{refs}}, which gate
+            # execution but must NOT inject their DataFrames into the
+            # executor. List order (not set order) keeps multi-input
+            # executors deterministic.
+            input_from = step.get("input_from")
+            data_deps = (
+                [input_from]
+                if isinstance(input_from, str)
+                else list(input_from or [])
+            )
+            inputs = {
+                d: results[d].df
+                for d in data_deps
+                if d in results and results[d].df is not None
+            }
             # per-step timeout enforcement + timing metadata
             # (step_orchestrator.py:246-292): the timed region covers both
             # plan construction and the materializing count
@@ -190,8 +219,15 @@ class WorkflowOrchestrator:
                     "execution_time_seconds": round(time.time() - t0, 3),
                     "timeout_configured": timeout_s,
                 }
-                # W5: small aggregates (not data!) feed downstream conditions
-                res.aggregates = {"count": n, "success": (n or 0) > 0}
+                # W5: small aggregates (not data!) feed downstream
+                # conditions. With collect_counts=False there is no count to
+                # gate on: success reflects COMPLETION (the step ran), and
+                # count stays None so a condition referencing it surfaces as
+                # a condition error rather than silently comparing None
+                res.aggregates = {
+                    "count": n,
+                    "success": (n or 0) > 0 if collect_counts else True,
+                }
                 results[name] = res
                 step_aggs[name] = res.aggregates
             except StepTimeoutError:

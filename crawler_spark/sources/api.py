@@ -126,6 +126,24 @@ def _request_batch(
 
     with_attempts = bool(retry_config)
     fields = list(selectors)
+    reserved = ["status_code", "success", "error_category"] + (
+        ["attempts"] if with_attempts else []
+    )
+    clash = [f for f in fields if f in reserved or f == url_col]
+    if clash:
+        # a selector field named like a metadata column would collapse two
+        # outputs into one pandas column and desync from the schema — fail
+        # loudly at plan time instead of inside the task
+        raise ValueError(
+            f"selector field names collide with request metadata: {clash}"
+        )
+    # chained request steps: a prior step's metadata/extraction columns are
+    # REPLACED by this step's (the reference's per-step ExecutionResult),
+    # so drop same-named input columns instead of emitting duplicates that
+    # desync schema from data
+    drop = [c for c in urls.columns if c in reserved or c in fields]
+    if drop:
+        urls = urls.drop(*drop)
     schema = T.StructType(
         list(urls.schema.fields)
         + [

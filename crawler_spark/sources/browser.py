@@ -96,6 +96,7 @@ def make_browser_executor(fetcher: BrowserFetcher, render: Render | None = None)
         return browser_batch(
             src, fetcher, cfg.get("selectors", {}), cfg,
             cfg.get("url_col", "url"), render,
+            retry_config=cfg.get("retry"),
         )
 
     return browser_step
@@ -113,6 +114,8 @@ def browser_batch(
     step_config: dict[str, Any] | None = None,
     url_col: str = "url",
     render: Render | None = None,
+    retry_config: dict[str, Any] | None = None,
+    sleep=None,
 ) -> DataFrame:
     """Per-URL browser navigation + CSS/XPath extraction appended to the
     input frame; never raises. Output adds (status_code, success,
@@ -122,13 +125,36 @@ def browser_batch(
 
     ``selector_wait_hit`` records whether the awaited selector was present
     in the rendered DOM — the batch analogue of ``wait_for_selector``
-    succeeding vs timing out (either way the row proceeds, :192-205)."""
+    succeeding vs timing out (either way the row proceeds, :192-205).
+
+    With a ``retry_config``, navigation retries in-task per
+    executor_retry.py policy (the reference wraps browser navigation in
+    execute_with_retry, browser_executor.py:95-100) and an ``attempts``
+    column records attempts used."""
     step_config = step_config or {}
     page_load_ms, selector_wait_ms = resolve_browser_timeouts(step_config)
     wait_until = resolve_wait_until(step_config)
     selector_wait = step_config.get("selector_wait")
+    with_attempts = bool(retry_config)
 
     fields = list(selectors)
+    reserved = [
+        "status_code", "success", "error_category", "page_load_timeout_ms",
+        "selector_wait_timeout_ms", "wait_until", "selector_wait_hit",
+        "content_length", "final_url",
+    ] + (["attempts"] if with_attempts else [])
+    clash = [f for f in fields if f in reserved or f == url_col]
+    if clash:
+        # same contract as sources/api.py: a selector field named like a
+        # metadata column desyncs schema from data — fail at plan time
+        raise ValueError(
+            f"selector field names collide with browser metadata: {clash}"
+        )
+    # chained steps: this step's metadata/extraction REPLACES same-named
+    # upstream columns (per-step ExecutionResult semantics)
+    drop = [c for c in urls.columns if c in reserved or c in fields]
+    if drop:
+        urls = urls.drop(*drop)
     schema = T.StructType(
         list(urls.schema.fields)
         + [
@@ -142,10 +168,13 @@ def browser_batch(
             T.StructField("content_length", T.IntegerType()),
             T.StructField("final_url", T.StringType()),
         ]
+        + ([T.StructField("attempts", T.IntegerType())] if with_attempts else [])
         + [T.StructField(f, T.StringType()) for f in fields]
     )
 
     def _run(batches):
+        import time as _time
+
         from crawler_spark.kernels.dom import build_tree
         from crawler_spark.kernels.selectors import (
             css_select,
@@ -153,6 +182,9 @@ def browser_batch(
             process_selectors,
             xpath_select,
         )
+        from crawler_spark.sources.request_retry import execute_with_retry
+
+        _sleep = sleep if sleep is not None else _time.sleep
 
         def _wait_hit(tree) -> bool:
             # Playwright's wait_for_selector takes CSS or //-prefixed XPath;
@@ -168,6 +200,7 @@ def browser_batch(
             out: dict[str, list] = {
                 "status_code": [], "success": [], "error_category": [],
                 "selector_wait_hit": [], "content_length": [], "final_url": [],
+                **({"attempts": []} if with_attempts else {}),
                 **{f: [] for f in fields},
             }
             for url in pdf[url_col]:
@@ -178,8 +211,23 @@ def browser_batch(
                 final: str | None = None
                 extracted: dict[str, Any] = {}
                 ok = False
+                attempts: int | None = None
                 try:
-                    status, body, final_url = fetcher(url)
+                    if with_attempts:
+                        # pack (body, final_url) through the 2-tuple retry
+                        # wrapper; retryable statuses/exceptions re-navigate
+                        def _nav(u=url):
+                            s, b, f = fetcher(u)
+                            return s, (b, f)
+
+                        status, packed, attempts = execute_with_retry(
+                            _nav, retry_config, sleep=_sleep
+                        )
+                        body, final_url = (
+                            packed if packed is not None else (None, None)
+                        )
+                    else:
+                        status, body, final_url = fetcher(url)
                     if status is not None and not 200 <= status < 300:
                         # :183-189 — known bad status fails before any wait
                         category = classify_http_status(status)
@@ -205,6 +253,8 @@ def browser_batch(
                 out["selector_wait_hit"].append(waited)
                 out["content_length"].append(length)
                 out["final_url"].append(final)
+                if with_attempts:
+                    out["attempts"].append(attempts)
                 for f in fields:
                     out[f].append(_stringify(extracted.get(f)) if ok else None)
             pdf = pdf.copy()

@@ -60,7 +60,10 @@ def _read_table_stream(
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    # abspath: a relative sf_dir would resolve fine for the batch schema
+    # read below but leave a DANGLING symlink (symlink targets resolve
+    # against the link's own directory, not the caller's cwd)
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     d = _STREAM_DIRS.get((sf_dir, table))
     if d is None:
         d = tempfile.mkdtemp(prefix=f"{table}_stream_")
@@ -203,8 +206,6 @@ def run_span_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse UDF as the batch/engine path; spans aggregate per kind (complete
     mode). Proves the parse surface is streaming-transparent — the crawl
     pipeline could run as readStream -> parse -> writeStream unchanged."""
-    from pyspark.sql import functions as F
-
     from crawler_spark.functions.parse_udfs import parse_page_udf
 
     docs = read_documents_stream(spark, sf_dir)
@@ -259,7 +260,17 @@ def run_incremental_near_dup(
     if src_dir is None:
         docs = read_documents_stream(spark, sf_dir)
     else:
-        schema = spark.read.parquet(src_dir).schema
+        if any(f.endswith(".parquet") for f in os.listdir(src_dir)):
+            schema = spark.read.parquet(src_dir).schema
+        else:
+            # empty landing dir (first poll): the contract schema — batch
+            # inference would throw UNABLE_TO_INFER_SCHEMA on zero files
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            schema = StructType(
+                [StructField("doc_id", LongType()),
+                 StructField("text", StringType())]
+            )
         docs = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -307,4 +318,13 @@ def run_incremental_near_dup(
         .start()
     )
     q.awaitTermination()
+    has_pairs = os.path.isdir(pairs_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(pairs_dir)
+    )
+    if not has_pairs:
+        # zero micro-batches (e.g. first poll of an empty landing dir):
+        # the correct answer is an empty pairs frame, not a path error
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, distance int, similarity_pct double"
+        )
     return spark.read.parquet(pairs_dir)

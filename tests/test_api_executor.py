@@ -152,3 +152,27 @@ def test_orchestrator_api_step(spark):
          "config": {"selectors": {"title": "data.title"}}},
     ])
     assert res["fetch"].status == "completed" and res["fetch"].n_rows == 2
+
+
+class TestSchemaCollisions:
+    """Review findings: chained request steps and reserved-name selector
+    fields must not desync the output schema from the data."""
+
+    def test_chained_request_steps_replace_metadata(self, spark):
+        """Feeding one request step's output into another (the orchestrator
+        chains them wholesale) replaces status_code/success/error_category
+        instead of emitting duplicate columns."""
+        urls = spark.createDataFrame([("http://x/ok",)], "url string")
+        first = api_batch(urls, _make_fetcher(), {"t1": "data.title"})
+        second = api_batch(first, _make_fetcher(), {"t2": "data.n"})
+        rows = second.collect()
+        assert second.columns.count("status_code") == 1
+        assert rows[0]["t1"] == "T" and rows[0]["t2"] == "3"
+        assert rows[0]["success"] is True
+
+    def test_reserved_selector_name_rejected_at_plan_time(self, spark):
+        urls = spark.createDataFrame([("http://x/ok",)], "url string")
+        with pytest.raises(ValueError, match="collide"):
+            api_batch(urls, _make_fetcher(), {"success": "data.title"})
+        with pytest.raises(ValueError, match="collide"):
+            api_batch(urls, _make_fetcher(), {"url": "data.title"})

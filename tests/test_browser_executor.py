@@ -185,3 +185,38 @@ def test_orchestrator_browser_step(spark):
                     "timeout": {"page_load": 20}}},
     ])
     assert res["render"].status == "completed" and res["render"].n_rows == 2
+
+
+def test_browser_retry_config_retries_transient(spark):
+    """Review finding: the browser step must honor cfg retry like its
+    api/http siblings (the reference wraps navigation in execute_with_retry,
+    browser_executor.py:95-100). A 503-then-200 fetcher succeeds on attempt
+    2 with attempts recorded."""
+    def flaky():
+        calls = {"n": 0}
+
+        def fetcher(url):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return 503, None, url
+            return 200, "<html><body><h1>ok</h1></body></html>", url
+
+        return fetcher
+
+    urls = spark.createDataFrame([("http://x/a",)], "url string").coalesce(1)
+    rows = browser_batch(
+        urls, flaky(), {"h": "h1"},
+        retry_config={"max_attempts": 3, "initial_delay_seconds": 0,
+                      "max_delay_seconds": 0},
+        sleep=lambda s: None,
+    ).collect()
+    assert rows[0]["status_code"] == 200
+    assert rows[0]["success"] is True
+    assert rows[0]["attempts"] == 2
+    assert rows[0]["h"] == "ok"
+
+
+def test_browser_reserved_selector_rejected(spark):
+    urls = spark.createDataFrame([("http://x/a",)], "url string")
+    with pytest.raises(ValueError, match="collide"):
+        browser_batch(urls, _make_fetcher(), {"final_url": "h1"})

@@ -183,3 +183,60 @@ class TestStepTimeouts:
         assert timeout_for_step("browser", {"timeout": {"http_request": 7}}) == 30.0
         assert timeout_for_step("crawl", {"timeout": {"http_request": 5, "page_load": 9}}) == 5.0
         assert timeout_for_step("http", {"timeout": "bogus"}) == 30.0
+
+
+class TestReviewRegressions:
+    """Round-3 review findings on the orchestrator (fixed + gated here)."""
+
+    def test_condition_ref_does_not_inject_data_input(self, orch):
+        """A run_only_if {{ref}} to another step gates execution but must
+        NOT add that step's DataFrame to the executor inputs — the
+        reference resolves data solely from input_from
+        (step_orchestrator.py:459); single-input executors would crash on
+        the extra frame."""
+        steps = [
+            {"name": "a", "type": "load",
+             "config": {"path": f"{SF}/events.parquet"}},
+            {"name": "b", "type": "load",
+             "config": {"path": f"{SF}/documents.parquet"}},
+            {"name": "c", "type": "filter", "input_from": "a",
+             "run_only_if": "{{b.count}} > 0",
+             "config": {"predicate": "event_type = 'view'"}},
+        ]
+        res = orch.run(steps)
+        assert res["c"].status == "completed"
+        assert res["c"].n_rows > 0
+
+    def test_malformed_condition_fails_only_that_step(self, orch):
+        """An unquoted-YAML condition (non-string) fails THAT step and the
+        run continues (condition_evaluator.py:90-120 logs and continues) —
+        previously it aborted the whole run."""
+        steps = [
+            {"name": "a", "type": "load",
+             "config": {"path": f"{SF}/events.parquet"}},
+            {"name": "bad", "type": "filter", "input_from": "a",
+             "skip_if": {"not": "a string"},
+             "config": {"predicate": "event_type = 'view'"}},
+            {"name": "fine", "type": "filter", "input_from": "a",
+             "config": {"predicate": "event_type = 'click'"}},
+        ]
+        res = orch.run(steps)
+        assert res["bad"].status == "failed"
+        assert "condition error" in res["bad"].error
+        assert res["fine"].status == "completed"
+
+    def test_collect_counts_false_success_gate(self, spark):
+        """With collect_counts=False a completed step still gates
+        {{step.success}} == true downstream (previously success was
+        hard-False and the gate inverted)."""
+        orch2 = WorkflowOrchestrator(spark, _executors())
+        steps = [
+            {"name": "a", "type": "load",
+             "config": {"path": f"{SF}/events.parquet"}},
+            {"name": "b", "type": "filter", "input_from": "a",
+             "run_only_if": "{{a.success}} == true",
+             "config": {"predicate": "event_type = 'view'"}},
+        ]
+        res = orch2.run(steps, collect_counts=False)
+        assert res["a"].status == "completed"
+        assert res["b"].status == "completed"

@@ -197,3 +197,18 @@ def test_stateful_budget_multi_batch_replay(spark, tmp_path):
         assert (r.tokens_left, r.n_requests, r.n_throttled) == (
             tokens, n_seen, n_thr,
         ), host
+
+
+def test_incremental_near_dup_zero_batches_returns_empty(spark, tmp_path):
+    """Review finding: an existing-but-empty landing dir (first poll)
+    produced an AnalysisException from the unwritten pairs path; the
+    correct answer is an empty pairs frame."""
+    import os
+
+    from crawler_spark.streaming.ingest import run_incremental_near_dup
+
+    d = str(tmp_path / "empty_landing")
+    os.makedirs(d)
+    got = run_incremental_near_dup(spark, SF, src_dir=d)
+    assert got.columns == ["id_a", "id_b", "distance", "similarity_pct"]
+    assert got.count() == 0
