@@ -181,3 +181,46 @@ def test_conditional_without_ttl_is_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="conditional_recrawl"):
         CrawlEngine(spark, str(tmp_path / "x"), {}, {},
                     conditional_recrawl=True)
+
+
+class TestTrapWAPInteraction:
+    """The standing template table participates in write-audit-publish like
+    every chain table: a vetoed round leaves no template delta behind, a
+    published one carries its counts."""
+
+    def test_vetoed_round_leaves_template_table_untouched(self, spark,
+                                                          corpus, seeds,
+                                                          tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = CrawlEngine(spark, str(tmp_path / "wap"), corpus, {},
+                          per_host_budget=8, trap_max_urls=TRAP_CAP)
+        eng.init_frontier(seeds)
+        m0 = eng.run_round_audited(0, lambda e, r: True)  # publish
+        assert m0.get("published") is True
+        tbl = eng.store.read(spark, "url_templates")
+        before = {
+            (r["host"], r["path_template"]): r["n"]
+            for r in tbl.groupBy("host", "path_template")
+            .agg(F.sum("n").alias("n")).collect()
+        }
+        assert before, "published round must have committed template counts"
+        m1 = eng.run_round_audited(1, lambda e, r: False)  # veto
+        assert m1.get("published") is False
+        tbl2 = eng.store.read(spark, "url_templates")
+        after = {
+            (r["host"], r["path_template"]): r["n"]
+            for r in tbl2.groupBy("host", "path_template")
+            .agg(F.sum("n").alias("n")).collect()
+        }
+        assert after == before
+        # re-run of the vetoed round publishes and ADDS its delta
+        m2 = eng.run_round_audited(1, lambda e, r: True)
+        assert m2.get("published") is True
+        tbl3 = eng.store.read(spark, "url_templates")
+        final = {
+            (r["host"], r["path_template"]): r["n"]
+            for r in tbl3.groupBy("host", "path_template")
+            .agg(F.sum("n").alias("n")).collect()
+        }
+        assert sum(final.values()) > sum(before.values())
