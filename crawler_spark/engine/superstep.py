@@ -535,6 +535,19 @@ class CrawlEngine:
             self.spark.createDataFrame([(s,) for s in seeds], "url string")
         )
 
+    def discover_sitemaps(self) -> dict[str, list[str]]:
+        """`Sitemap:` URLs declared by each host's robots.txt (RFC 9309
+        §2.3 global lines, kernels/sitemap.py) — the discovery half of the
+        ingestion loop: the caller fetches these documents and feeds them to
+        enqueue_sitemaps. Driver-side dict comprehension: the robots map is
+        the same tiny per-host config the round plan broadcasts."""
+        from crawler_spark.kernels.sitemap import sitemap_urls
+
+        out = {
+            h: sitemap_urls(txt) for h, txt in self.robots.items()
+        }
+        return {h: urls for h, urls in out.items() if urls}
+
     def enqueue_sitemaps(
         self, sitemap_docs: DataFrame, xml_col: str = "xml"
     ) -> tuple[dict[str, Any], DataFrame]:

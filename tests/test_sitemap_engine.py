@@ -158,3 +158,19 @@ def test_duplicate_entries_keep_max_priority(spark, corpus, tmp_path):
         .collect()
     )
     assert [r["priority"] for r in row] == [9]
+
+
+def test_discover_sitemaps_from_robots(spark, corpus, tmp_path):
+    """Discovery half of the loop: robots Sitemap lines surface per host;
+    hosts without declarations are absent."""
+    robots = {
+        HOST: ("User-agent: *\nDisallow: /private/\n"
+               f"Sitemap: https://{HOST}/sitemap.xml\n"
+               f"sitemap: https://{HOST}/sitemap-2.xml\n"),
+        "other.go.id": "User-agent: *\nDisallow: /\n",
+    }
+    eng = CrawlEngine(spark, str(tmp_path / "disc"), corpus, robots,
+                      per_host_budget=8)
+    assert eng.discover_sitemaps() == {
+        HOST: [f"https://{HOST}/sitemap.xml", f"https://{HOST}/sitemap-2.xml"]
+    }
