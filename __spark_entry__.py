@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green stalwarts go last. Names absent from the current registry are
 # skipped, so this list may lead the code by a round.
 _CHECK_FIRST = [
+    # newest in r03-final (no driver signal yet): real stdlib-zlib PNG codec
+    "multimodal_decode_png",
     # newest in r03 (no driver signal yet): crawl-trap detection, host
     # circuit breaker, sitemap ingestion, conditional re-crawl
     "crawl_traps",

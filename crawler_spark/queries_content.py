@@ -1780,6 +1780,75 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end with only stdlib zlib (no PIL): a genuine
+    PNG byte stream — IHDR, a multi-chunk zlib-compressed IDAT stream whose
+    scanlines cycle through ALL FIVE filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6), CRC-32 per chunk — is encoded per doc and parsed back by
+    the spec-driven decoder in operators/multimodal.py, which verifies CRCs,
+    inflates, reverses the filters, and computes per-channel means. The
+    oracle re-derives the stats from the pixel formula alone, so a decoder
+    that botches the Paeth predictor, filter bytes, or row order fails the
+    hash. pixel(x, y) RGB = ((doc_id + 5x + 3y), (2*doc_id + 7x + y),
+    (3*doc_id + 2x + 9y)) % 256; w = 2 + doc_id%7, h = 1 + doc_id%6 (so
+    heights reach 6 rows — every filter type appears)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_png, encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def png_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = 2 + did % 7, 1 + did % 6
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (did + 5 * x + 3 * y) % 256,
+                    (2 * did + 7 * x + y) % 256,
+                    (3 * did + 2 * x + 9 * y) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(encode_png(w, h, px))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", png_payload(F.col("doc_id")).alias("payload")
+    )
+    return decode_png(docs).select(
+        "doc_id", "width", "height", "color_type",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+O_MULTIMODAL_DECODE_PNG = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id + 5*gx.x + 3*gy.y) % 256 AS r,
+         (2*doc_id + 7*gx.x + gy.y) % 256 AS g,
+         (3*doc_id + 2*gx.x + 9*gy.y) % 256 AS b
+  FROM d,
+       LATERAL unnest(generate_series(0, CAST(w - 1 AS INT))) AS gx(x),
+       LATERAL unnest(generate_series(0, CAST(h - 1 AS INT))) AS gy(y)
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(2 AS INT) AS color_type,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / count(*), 4) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------- training-data curation ops
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,6 +2483,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
+    "multimodal_decode_png": q_multimodal_decode_png,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
@@ -2455,6 +2525,7 @@ ORACLES = {
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
+    "multimodal_decode_png": O_MULTIMODAL_DECODE_PNG,
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,

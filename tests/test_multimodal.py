@@ -169,3 +169,77 @@ def test_decode_wav_dataframe(spark):
     assert r["n_samples"] == 4 and r["sample_rate"] == 8000
     assert r["mean_amp"] == pytest.approx(-0.5)
     assert r["rms"] == pytest.approx(np.sqrt((2 * 32768.0**2 + 2 * 32767.0**2) / 4))
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder cycles filter types y % 5, so a 10-row image exercises every
+    filter twice; the decoder must reconstruct the exact pixel array."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_png_bytes, encode_png
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (2, 10), (17, 6), (5, 12)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        w2, h2, ct, out = decode_png_bytes(encode_png(w, h, px))
+        assert (w2, h2, ct) == (w, h, 2)
+        assert np.array_equal(out, px), (w, h)
+
+
+def test_png_multi_idat_and_crc():
+    """The DEFLATE stream must be reassembled across IDAT chunk boundaries;
+    a flipped payload byte must fail the chunk CRC, not decode garbage."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_png_bytes, encode_png
+
+    px = np.arange(9 * 8 * 3, dtype=np.uint8).reshape(8, 9, 3) % 256
+    payload = encode_png(9, 8, px, idat_split=16)
+    assert payload.count(b"IDAT") > 1
+    assert np.array_equal(decode_png_bytes(payload)[3], px)
+
+    corrupt = bytearray(payload)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png_bytes(bytes(corrupt))
+
+
+def test_png_rejects_unsupported():
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_png_bytes, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_bytes(b"BM" + b"\x00" * 40)
+    # flip IHDR color type to greyscale (and fix its CRC) -> explicit refusal
+    import struct
+    import zlib
+
+    payload = bytearray(encode_png(3, 3, np.zeros((3, 3, 3), dtype=np.uint8)))
+    ihdr_off = 8
+    body = bytearray(payload[ihdr_off + 8 : ihdr_off + 8 + 13])
+    body[9] = 0  # color type: truecolor -> greyscale
+    crc = zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    payload[ihdr_off + 8 : ihdr_off + 8 + 13] = body
+    payload[ihdr_off + 21 : ihdr_off + 25] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png_bytes(bytes(payload))
+
+
+def test_decode_png_dataframe(spark):
+    """mapInPandas path: real decode of per-row synthesized PNGs with exact
+    channel means (RGB order — a BGR-confused decoder fails)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_png, encode_png
+
+    white = encode_png(2, 2, np.full((2, 2, 3), 255, dtype=np.uint8))
+    grad = encode_png(4, 1, np.arange(12, dtype=np.uint8).reshape(1, 4, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(white)), (2, bytearray(grad))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_png(df).collect()}
+    assert rows[1]["mean_r"] == 255.0 and rows[1]["width"] == 2
+    assert rows[2]["mean_r"] == pytest.approx((0 + 3 + 6 + 9) / 4)
+    assert rows[2]["mean_b"] == pytest.approx((2 + 5 + 8 + 11) / 4)
