@@ -543,10 +543,11 @@ class CrawlEngine:
         the same tiny per-host config the round plan broadcasts."""
         from crawler_spark.kernels.sitemap import sitemap_urls
 
-        out = {
-            h: sitemap_urls(txt) for h, txt in self.robots.items()
+        return {
+            h: urls
+            for h, txt in self.robots.items()
+            if (urls := sitemap_urls(txt))
         }
-        return {h: urls for h, urls in out.items() if urls}
 
     def enqueue_sitemaps(
         self, sitemap_docs: DataFrame, xml_col: str = "xml"

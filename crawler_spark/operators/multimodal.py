@@ -459,6 +459,10 @@ def decode_png_bytes(payload: bytes):
     idat = []
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # a lying length field (or truncation) must fail the documented
+            # contract, not leak struct.error from the CRC unpack below
+            raise ValueError("chunk length exceeds payload (truncated PNG?)")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -481,8 +485,16 @@ def decode_png_bytes(payload: bytes):
         )
     bpp = 3
     stride = width * bpp
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+    expect = height * (stride + 1)
+    # bound the inflate by the size IHDR promises — a crawled PNG is hostile
+    # input, and an unbounded zlib.decompress on a few-KB bomb would OOM the
+    # executor before the post-hoc size check could reject it
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expect + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt DEFLATE stream: {exc}") from exc
+    if len(raw) != expect or d.unconsumed_tail or not d.eof:
         raise ValueError("inflated stream size does not match dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)

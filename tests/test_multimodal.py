@@ -243,3 +243,45 @@ def test_decode_png_dataframe(spark):
     assert rows[1]["mean_r"] == 255.0 and rows[1]["width"] == 2
     assert rows[2]["mean_r"] == pytest.approx((0 + 3 + 6 + 9) / 4)
     assert rows[2]["mean_b"] == pytest.approx((2 + 5 + 8 + 11) / 4)
+
+
+def test_png_hostile_inputs_raise_valueerror():
+    """The documented contract is ValueError for any malformed payload: a
+    lying chunk length, a truncation, and an IDAT stream that inflates past
+    the IHDR-promised size (zlib bomb) must all be rejected cleanly — not
+    leak struct.error or allocate unbounded memory."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png_bytes, encode_png,
+    )
+
+    good = encode_png(4, 4, np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_bytes(good[:30])
+    # corrupt an IDAT length field to a huge value (CRC never reached)
+    idat_off = good.index(b"IDAT") - 4
+    lied = bytearray(good)
+    lied[idat_off : idat_off + 4] = struct.pack(">I", 0xFFFF)
+    with pytest.raises(ValueError, match="truncated|CRC"):
+        decode_png_bytes(bytes(lied))
+    # zlib bomb: IHDR promises 2x2 but IDAT inflates to ~1 MB; the bounded
+    # decompressobj must stop at the promised size + 1, not inflate it all
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb_stream = zlib.compress(b"\x00" * 1_000_000, 9)
+    bomb = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb_stream)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match dimensions"):
+        decode_png_bytes(bomb)
+    # non-DEFLATE IDAT bytes -> corrupt-stream ValueError, not zlib.error
+    junk = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", b"\xff" * 8)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt DEFLATE"):
+        decode_png_bytes(junk)
