@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # newest in r03-final (no driver signal yet): real stdlib-zlib PNG codec
     "multimodal_decode_png",
+    # newest in r03-final: registrable-domain politeness + adaptive re-crawl
+    "politeness_domain_group",
+    "recrawl_schedule",
     # newest in r03 (no driver signal yet): crawl-trap detection, host
     # circuit breaker, sitemap ingestion, conditional re-crawl
     "crawl_traps",

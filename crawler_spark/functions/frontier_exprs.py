@@ -107,3 +107,27 @@ def salt_col(host: Column, pending_count: Column, hot_threshold: int, n_salts: i
         pending_count > hot_threshold,
         F.pmod(F.xxhash64(url_hash), F.lit(n_salts)),
     ).otherwise(F.lit(0)).cast("int")
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registrable domain (public suffix + one label) as pure Catalyst —
+    mirrors kernels/urlnorm.registered_domain. The politeness GROUP key:
+    subdomain mirrors (www./m./arsip.) of one organization share one budget.
+    Suffix set = the .id registry's second-level zones (PSL slice; swap the
+    full PSL in for a world-wide crawl)."""
+    from crawler_spark.kernels.urlnorm import ID_SECOND_LEVEL_SUFFIXES
+
+    clean = F.regexp_replace(host, "\\.$", "")
+    labels = F.split(clean, "\\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_ip = F.regexp_replace(clean, "\\.", "").rlike("^[0-9]+$")
+    return (
+        F.when(is_ip | (n <= 2), clean)
+        .when(last2.isin(*sorted(ID_SECOND_LEVEL_SUFFIXES)), last3)
+        .otherwise(last2)
+    )

@@ -114,3 +114,34 @@ def canonical_host(url: str) -> str:
     """Lowercased hostname (without userinfo/port) — the politeness key."""
     host = urlparse(url.strip()).hostname
     return host.lower() if host else ""
+
+
+# Registrable-domain extraction (beyond-reference; the reference keys
+# politeness on the raw hostname only — rate_limiter.py keys on
+# website_id/host). Subdomain sharding (www./m./arsip. mirrors of one
+# portal) silently multiplies a host-keyed politeness budget; grouping by
+# the REGISTRABLE domain restores one budget per organization. The suffix
+# set is the Indonesian slice of the public-suffix list (the .id registry's
+# second-level zones) plus the generic TLD default rule; swap in the full
+# PSL snapshot for a world-wide crawl — the algorithm (longest matching
+# public suffix + one label) is the PSL's, unchanged.
+ID_SECOND_LEVEL_SUFFIXES = frozenset(
+    {
+        "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+        "net.id", "or.id", "ponpes.id", "sch.id", "web.id",
+    }
+)
+
+
+def registered_domain(host: str) -> str:
+    """Registrable domain of a lowercased hostname: public suffix + one
+    label. IP literals and single-label hosts pass through unchanged."""
+    if not host or host.replace(".", "").isdigit():
+        return host
+    labels = host.rstrip(".").split(".")
+    if len(labels) <= 2:
+        return host.rstrip(".")
+    last2 = ".".join(labels[-2:])
+    if last2 in ID_SECOND_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return last2

@@ -2956,7 +2956,173 @@ FROM cands c LEFT JOIN pages p ON c.doc_id = p.page_doc
 """
 
 
+def q_politeness_domain_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain politeness grouping (beyond-reference crawl-tier
+    op): the reference keys rate limits on the raw hostname (rate_limiter
+    per website), so www./m./arsip. mirrors of ONE portal each get a full
+    budget — at 10^10 URLs a subdomain-sharded site multiplies its crawl
+    rate by its mirror count. Grouping hosts by registrable domain (public
+    suffix + one label; kernels/urlnorm.registered_domain, suffix set = the
+    .id registry's PSL slice) restores one budget per organization and
+    splits it evenly across that organization's live hosts.
+
+    Shape: pure map (split + CASE on the suffix set, zero UDF) + ONE
+    map-side-combinable aggregation on registered_domain; output is
+    O(#organizations). Synthetic input: 4 subdomain variants x 72 base
+    hosts across go.id / co.id / ac.id / or.id / plain .id / .com — every
+    suffix-rule branch fires, incl. the bare-ccTLD default rule."""
+    from crawler_spark.functions.frontier_exprs import registered_domain_col
+
+    ev = _events(spark, sf_dir)
+    d = F.col("user_id") % 12
+    fam = F.col("user_id") % 6
+    base = (
+        F.when(fam == 0, F.concat(F.lit("mahkamah"), d.cast("string"), F.lit(".go.id")))
+        .when(fam == 1, F.concat(F.lit("firma"), d.cast("string"), F.lit(".co.id")))
+        .when(fam == 2, F.concat(F.lit("kampus"), d.cast("string"), F.lit(".ac.id")))
+        .when(fam == 3, F.concat(F.lit("komunitas"), d.cast("string"), F.lit(".or.id")))
+        .when(fam == 4, F.concat(F.lit("situs"), d.cast("string"), F.lit(".id")))
+        .otherwise(F.concat(F.lit("portal"), d.cast("string"), F.lit(".com")))
+    )
+    sub = F.col("event_id") % 4
+    host = (
+        F.when(sub == 0, base)
+        .when(sub == 1, F.concat(F.lit("www."), base))
+        .when(sub == 2, F.concat(F.lit("m."), base))
+        .otherwise(F.concat(F.lit("arsip.putusan."), base))
+    )
+    hosts = ev.select(host.alias("host"))
+    grouped = (
+        hosts.withColumn("registered_domain", registered_domain_col(F.col("host")))
+        .groupBy("registered_domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_requests"),
+        )
+    )
+    # one organization-level budget (2 rps, the reference's politeness
+    # default) split evenly across the organization's live hosts
+    return grouped.select(
+        "registered_domain", "n_hosts", "n_requests",
+        F.round(F.lit(2.0) / F.col("n_hosts"), 4).alias("per_host_rps"),
+        (F.col("n_hosts") > 1).cast("int").alias("is_sharded"),
+    )
+
+
+O_POLITENESS_DOMAIN_GROUP = """
+WITH h AS (
+  SELECT CASE WHEN event_id % 4 = 0 THEN ''
+              WHEN event_id % 4 = 1 THEN 'www.'
+              WHEN event_id % 4 = 2 THEN 'm.'
+              ELSE 'arsip.putusan.' END
+         || CASE WHEN user_id % 6 = 0 THEN 'mahkamah' || (user_id % 12) || '.go.id'
+                 WHEN user_id % 6 = 1 THEN 'firma' || (user_id % 12) || '.co.id'
+                 WHEN user_id % 6 = 2 THEN 'kampus' || (user_id % 12) || '.ac.id'
+                 WHEN user_id % 6 = 3 THEN 'komunitas' || (user_id % 12) || '.or.id'
+                 WHEN user_id % 6 = 4 THEN 'situs' || (user_id % 12) || '.id'
+                 ELSE 'portal' || (user_id % 12) || '.com' END AS host
+  FROM events
+),
+rd AS (
+  SELECT host,
+         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+              WHEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                   IN ('ac.id','biz.id','co.id','desa.id','go.id','mil.id',
+                       'my.id','net.id','or.id','ponpes.id','sch.id','web.id')
+              THEN string_split(host, '.')[-3] || '.'
+                   || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         END AS registered_domain
+  FROM h
+)
+SELECT registered_domain,
+       count(DISTINCT host) AS n_hosts,
+       count(*) AS n_requests,
+       round(2.0 / count(DISTINCT host), 4) AS per_host_rps,
+       CAST(count(DISTINCT host) > 1 AS INT) AS is_sharded
+FROM rd
+GROUP BY registered_domain
+"""
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-crawl scheduling (beyond-reference): the reference
+    re-crawls on a FIXED per-website cron (scheduled_job.cron_schedule);
+    conditional_recrawl makes an unchanged re-fetch cheap, but the visit
+    CADENCE stays static. The classic fix (Cho & Garcia-Molina, "Estimating
+    Frequency of Change", ACM TOIT 2003) estimates each page's Poisson
+    change rate from repeated observations — the published
+    incomplete-observation estimator lambda = -ln((n - X + 0.5)/(n + 0.5))
+    / dbar for n visits, X observed changes, mean inter-visit gap dbar —
+    and schedules the next visit at ~1/lambda. At 10^10 URLs this is what
+    moves crawl budget from static archives to hourly-changing dockets.
+
+    Shape: ONE map-side-combinable aggregation per URL (count/sum/avg) +
+    scalar math, zero UDF, zero window. Synthetic history: url u =
+    event_id % 149, per-visit gap 1 + event_id % 7 hours, change flag
+    (event_id % (2 + u % 9)) == 0 — per-URL change propensity spans
+    1/2 .. 1/10, so the schedule spread covers the clamp at both ends."""
+    ev = _events(spark, sf_dir)
+    u = (F.col("event_id") % 149).alias("url_id")
+    obs = ev.select(
+        u,
+        (F.lit(1) + F.col("event_id") % 7).cast("double").alias("gap_h"),
+        (F.col("event_id") % (F.lit(2) + F.col("event_id") % 149 % 9) == 0)
+        .cast("long")
+        .alias("changed"),
+    )
+    agg = obs.groupBy("url_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("changed").alias("n_changed"),
+        F.avg("gap_h").alias("avg_gap_h"),
+    )
+    # survival ratio is a pure division (bit-identical across engines);
+    # ln/division outputs are rounded to 4dp
+    ratio = (F.col("n_obs") - F.col("n_changed") + 0.5) / (F.col("n_obs") + 0.5)
+    lam = -F.log(ratio) / F.col("avg_gap_h")
+    # X == 0 gives lam == 0 exactly (ln(1)): the estimator is degenerate
+    # there, and ANSI mode would throw on 1/0 — schedule the max interval
+    interval = F.when(
+        lam > 0, F.least(F.lit(720.0), F.greatest(F.lit(1.0), F.lit(1.0) / lam))
+    ).otherwise(F.lit(720.0))
+    return agg.select(
+        "url_id", "n_obs", "n_changed",
+        F.round("avg_gap_h", 4).alias("avg_gap_h"),
+        F.round(lam, 6).alias("change_rate_per_h"),
+        F.round(interval, 4).alias("next_interval_h"),
+    )
+
+
+O_RECRAWL_SCHEDULE = """
+WITH obs AS (
+  SELECT event_id % 149 AS url_id,
+         CAST(1 + event_id % 7 AS DOUBLE) AS gap_h,
+         CAST(event_id % (2 + (event_id % 149) % 9) = 0 AS BIGINT) AS changed
+  FROM events
+),
+agg AS (
+  SELECT url_id, count(*) AS n_obs, sum(changed) AS n_changed,
+         avg(gap_h) AS avg_gap_h
+  FROM obs GROUP BY url_id
+),
+est AS (
+  SELECT url_id, n_obs, n_changed, avg_gap_h,
+         -ln((n_obs - n_changed + 0.5) / (n_obs + 0.5)) / avg_gap_h AS lam
+  FROM agg
+)
+SELECT url_id, n_obs, CAST(n_changed AS BIGINT) AS n_changed,
+       round(avg_gap_h, 4) AS avg_gap_h,
+       round(lam, 6) AS change_rate_per_h,
+       round(CASE WHEN lam > 0
+                  THEN least(720.0, greatest(1.0, 1.0 / lam))
+                  ELSE 720.0 END, 4) AS next_interval_h
+FROM est
+"""
+
+
 QUERIES = {
+    "politeness_domain_group": q_politeness_domain_group,
+    "recrawl_schedule": q_recrawl_schedule,
     "scheduled_job_tick": q_scheduled_job_tick,
     "crawl_traps": q_crawl_traps,
     "host_circuit_breaker": q_host_circuit_breaker,
@@ -3009,6 +3175,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "politeness_domain_group": O_POLITENESS_DOMAIN_GROUP,
+    "recrawl_schedule": O_RECRAWL_SCHEDULE,
     "crawl_traps": O_CRAWL_TRAPS,
     "host_circuit_breaker": O_HOST_CIRCUIT_BREAKER,
     "sitemap_expand": O_SITEMAP_EXPAND,

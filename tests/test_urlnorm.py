@@ -148,3 +148,47 @@ def test_parity_sweep_vs_reference():
                     assert hash_url(u) == ref.hash_url(u), u
                     n += 1
     assert n == len(hosts) * len(paths) * len(queries) * len(frags)
+
+
+class TestRegisteredDomain:
+    """Registrable-domain extraction (PSL algorithm over the .id slice)."""
+
+    CASES = {
+        "www.mahkamahagung.go.id": "mahkamahagung.go.id",
+        "arsip.putusan.mahkamahagung.go.id": "mahkamahagung.go.id",
+        "portal.co.id": "portal.co.id",
+        "m.kampus.ac.id": "kampus.ac.id",
+        "example.com": "example.com",
+        "www.example.com": "example.com",
+        "deep.sub.example.com": "example.com",
+        "situs.id": "situs.id",
+        "m.situs.id": "situs.id",
+        "localhost": "localhost",
+        "10.0.0.1": "10.0.0.1",
+        "www.example.com.": "example.com",  # trailing-dot FQDN
+        "go.id": "go.id",  # bare public suffix passes through
+    }
+
+    def test_kernel(self):
+        from crawler_spark.kernels.urlnorm import registered_domain
+
+        for host, want in self.CASES.items():
+            assert registered_domain(host) == want, host
+
+    def test_column_expr_matches_kernel(self, spark):
+        """The Catalyst expression and the Python spec must agree on every
+        branch (suffix rule, default rule, IP literal, short host)."""
+        from pyspark.sql import functions as F
+
+        from crawler_spark.functions.frontier_exprs import registered_domain_col
+        from crawler_spark.kernels.urlnorm import registered_domain
+
+        df = spark.createDataFrame([(h,) for h in self.CASES], "host string")
+        got = {
+            r["host"]: r["rd"]
+            for r in df.select(
+                "host", registered_domain_col(F.col("host")).alias("rd")
+            ).collect()
+        }
+        for host, want in self.CASES.items():
+            assert got[host] == want == registered_domain(host), host
