@@ -63,6 +63,13 @@ class SimResult:
     # the stored page; parse + merge skipped) — matches the engine's
     # n_not_modified metric per round
     not_modified: list[tuple[int, str]] = field(default_factory=list)
+    # adaptive re-crawl: (round, url_hash) for every candidate dropped
+    # because its change-rate interval had not elapsed — matches the
+    # engine's n_adaptive_deferred metric per round (one event per unique
+    # hash per round; the engine counts post-dedup rows). Final per-URL
+    # (n_obs, n_changed, last_obs_round) mirrors the change_stats table.
+    adaptive_deferrals: list[tuple[int, str]] = field(default_factory=list)
+    change_stats: dict[str, tuple[int, int, int]] = field(default_factory=dict)
     # hash -> LAST enqueue round (res.seen is cumulative ever-seen; under
     # TTL the engine's compacted table is the ACTIVE window — compare it to
     # {h: r >= last_active_round - ttl} over this dict)
@@ -98,6 +105,8 @@ def simulate(
     breaker: tuple[float, int, int] | None = None,
     trap_max_urls: int | None = None,
     conditional_recrawl: bool = False,
+    adaptive_ttl: int | None = None,
+    corpus_updates: dict[int, dict[str, tuple[int, str, str | None]]] | None = None,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
@@ -115,6 +124,15 @@ def simulate(
     # (the engine joins against the pages table read at round start);
     # within-round fetches buffer into a delta merged at round end
     page_body: dict[str, str] = {}
+    if adaptive_ttl is not None and not conditional_recrawl:
+        raise ValueError("adaptive_ttl requires conditional_recrawl")
+    # adaptive re-crawl: per-hash (n_obs, n_changed, last_obs_round) as of
+    # the LAST COMMITTED round (the engine reads the change_stats chain at
+    # candidate time); this round's observations buffer and merge at round
+    # end, mirroring the snapshot-commit boundary
+    change_stats: dict[str, tuple[int, int, int]] = {}
+    corpus = dict(corpus)
+    corpus_updates = corpus_updates or {}
     for u in seeds:
         norm = normalize_url(u)
         row = _mk_row(
@@ -132,6 +150,10 @@ def simulate(
         return seen_round[h] >= rnd - ttl_rounds
 
     for rnd in range(0, max_rounds):
+        if rnd in corpus_updates:
+            # round-boundary corpus churn (tests mutate engine.corpus at the
+            # same boundary between run(max_rounds=1) calls)
+            corpus.update(corpus_updates[rnd])
         if not frontier:
             break
         due = [r for r in frontier if r["not_before"] <= rnd]
@@ -179,6 +201,8 @@ def simulate(
             res.trap_flags_by_round[rnd] = set(trap_flags)
         trap_delta: dict[tuple[str, str], int] = {}
         body_delta: dict[str, str] = {}
+        obs_delta: dict[str, tuple[int, int]] = {}  # hash -> (obs, changed)
+        deferred_this_round: set[str] = set()
 
         # per-host selection: rank by (S1 score, url_hash), crawl-delay budget
         by_host: dict[str, list[dict]] = {}
@@ -221,6 +245,14 @@ def simulate(
                     page_links = None
                     if conditional_recrawl and ttl_rounds is not None:
                         stored = page_body.get(r["url_norm"])
+                        if adaptive_ttl is not None and stored is not None:
+                            # one change observation per re-fetch (304 or
+                            # modified) — the engine's obs_delta row
+                            n0, x0 = obs_delta.get(r["url_hash"], (0, 0))
+                            obs_delta[r["url_hash"]] = (
+                                n0 + 1,
+                                x0 + (0 if stored[0] == content else 1),
+                            )
                         if stored is not None and stored[0] == content:
                             # 304: parse and the page merge are skipped, but
                             # the STORED link set recirculates (body
@@ -267,6 +299,22 @@ def simulate(
                             # all copies share the template)
                             if tmpl_key in trap_flags:
                                 continue
+                        if adaptive_ttl is not None:
+                            # adaptive deferral: round-START stats (commits
+                            # <= rnd-1); all copies of a hash share the
+                            # decision, so order vs dedup is immaterial —
+                            # the deferral set counts unique hashes like the
+                            # engine's post-dedup metric
+                            st = change_stats.get(row["url_hash"])
+                            if st is not None:
+                                n0, x0, last = st
+                                iv = min(
+                                    adaptive_ttl,
+                                    max(1, (2 * n0 + 1) // (2 * x0 + 1)),
+                                )
+                                if rnd + 1 < last + iv:
+                                    deferred_this_round.add(row["url_hash"])
+                                    continue
                         prev = new_link_rows.get(row["url_hash"])
                         if prev is not None:
                             # within-round dup: min depth wins (engine's
@@ -304,5 +352,14 @@ def simulate(
         for key, n in trap_delta.items():
             res.template_counts[key] = res.template_counts.get(key, 0) + n
         page_body.update(body_delta)
+        # change stats commit with the round (next round's candidate checks
+        # see them, this round's did not)
+        for h, (dn, dx) in obs_delta.items():
+            n0, x0, _last = change_stats.get(h, (0, 0, -1))
+            change_stats[h] = (n0 + dn, x0 + dx, rnd)
+        res.adaptive_deferrals.extend(
+            (rnd, h) for h in sorted(deferred_this_round)
+        )
     res.seen_rounds = dict(seen_round)
+    res.change_stats = dict(change_stats)
     return res

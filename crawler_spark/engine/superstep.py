@@ -106,6 +106,7 @@ class CrawlEngine:
         breaker: tuple[float, int, int] | None = None,
         trap_max_urls: int | None = None,
         conditional_recrawl: bool = False,
+        adaptive_ttl: int | None = None,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -185,7 +186,27 @@ class CrawlEngine:
         dominant re-crawl economy at 100 TB). On real Iceberg the stored
         validator is its own tiny column; here it derives from raw_html at
         join time. Meaningful only with ttl_rounds (permanent membership
-        never re-fetches)."""
+        never re-fetches).
+
+        adaptive_ttl: adaptive re-crawl CADENCE on top of conditional_recrawl
+        (which it requires — the 304/modified signal is the change
+        observation), as the max deferral in rounds. A standing
+        `change_stats` table accumulates one (obs, changed) row per
+        re-fetch (O(delta) appends, read-time SUM, compaction-folded like
+        url_templates); a re-discovered candidate whose integer interval
+        `min(adaptive_ttl, max(1, (2n+1) div (2X+1)))` — the rounds-domain
+        surrogate of the Cho & Garcia-Molina estimator 1/lambda, exact
+        integer arithmetic so engine==simulator equivalence is ULP-free —
+        has not elapsed since its last observation is DROPPED at extraction
+        (after within-round dedup, before the seen probe, exactly like the
+        trap cutoff), so it is never seen-marked and re-enters via a later
+        hub recirculation once due. Static pages back off toward
+        adaptive_ttl while churning pages keep the ttl_rounds cadence;
+        fetch volume follows the change rate the way conditional_recrawl
+        makes parse/write volume follow it. The stats join keys on
+        url_hash; at scale change_stats is bucketed by url_hash
+        (operators/bucketing.py) so only the O(delta) candidate side
+        shuffles."""
         self.spark = spark
         self.store = SnapshotStore(store_root)
         self.corpus = corpus
@@ -210,6 +231,15 @@ class CrawlEngine:
                 " conditionally re-crawl)"
             )
         self.conditional_recrawl = conditional_recrawl
+        if adaptive_ttl is not None and not conditional_recrawl:
+            raise ValueError(
+                "adaptive_ttl requires conditional_recrawl — the 304/"
+                "modified outcome of the conditional re-fetch IS the change"
+                " observation the estimator feeds on"
+            )
+        if adaptive_ttl is not None and adaptive_ttl < 1:
+            raise ValueError("adaptive_ttl must be >= 1 round")
+        self.adaptive_ttl = adaptive_ttl
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -899,6 +929,7 @@ class CrawlEngine:
         # The join keys on (host, url_hash) — the pages MERGE key, bucketable
         # — and compares strong validators (sha256 of the raw body).
         not_modified: DataFrame | None = None
+        obs_delta: DataFrame | None = None
         if self.conditional_recrawl and self.ttl_rounds is not None:
             from crawler_spark.functions.parse_udfs import LINK_TYPE
 
@@ -933,6 +964,22 @@ class CrawlEngine:
                 F.col("__stored_etag").isNull()
                 | (F.col("__stored_etag") != fresh_etag)
             ).drop("__stored_etag", "__stored_links")
+            if self.adaptive_ttl is not None:
+                # one change OBSERVATION per re-fetch (stored page existed):
+                # the per-round delta of the standing change_stats table.
+                # First fetches observe nothing — the estimator needs a
+                # revisit. Recomputing okj here re-reads only the pages
+                # validator column (fetched is cached), the same tiny-column
+                # economics as the conditional join itself.
+                obs_delta = okj.filter(
+                    F.col("__stored_etag").isNotNull()
+                ).select(
+                    "url_hash",
+                    F.lit(1).cast("long").alias("obs"),
+                    (F.col("__stored_etag") != fresh_etag)
+                    .cast("long").alias("changed"),
+                    F.lit(round_no).cast("int").alias("round"),
+                )
         parsed = ok.withColumn(
             "p", parse_page_udf(F.col("content"))
         ).select(
@@ -1062,6 +1109,43 @@ class CrawlEngine:
                 cands = cands.join(
                     F.broadcast(trap_flags), ["host", "path_template"],
                     "left_anti",
+                )
+        # adaptive re-crawl deferral: candidates whose change-rate interval
+        # has not elapsed since their last observation are dropped here —
+        # after within-round dedup, BEFORE the seen probe (same slot as the
+        # trap cutoff) — so they are never seen-marked and re-enter via a
+        # later hub recirculation once due. Stats are the round-START table
+        # state (commits <= round-1), summed at read time over the delta
+        # chain. Integer arithmetic only: (2n+1) div (2X+1) is the
+        # rounds-domain 1/lambda surrogate, ULP-free vs the simulator.
+        adaptive_dropped: DataFrame | None = None
+        if self.adaptive_ttl is not None:
+            cs = self.store.read(spark, "change_stats")
+            if cs is not None:
+                stats = cs.groupBy("url_hash").agg(
+                    F.sum("obs").alias("__n_obs"),
+                    F.sum("changed").alias("__n_changed"),
+                    F.max("round").alias("__last_obs_round"),
+                )
+                interval = F.least(
+                    F.lit(self.adaptive_ttl).cast("long"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        # SQL DIV == Python // for the non-negative operands
+                        # here — true integer division, no double rounding
+                        F.expr(
+                            "(2 * __n_obs + 1) DIV (2 * __n_changed + 1)"
+                        ),
+                    ),
+                )
+                joined = cands.join(stats, "url_hash", "left")
+                not_due = F.col("__last_obs_round").isNotNull() & (
+                    F.lit(round_no + 1)
+                    < F.col("__last_obs_round") + interval
+                )
+                adaptive_dropped = joined.filter(not_due).cache()
+                cands = joined.filter(~not_due).drop(
+                    "__n_obs", "__n_changed", "__last_obs_round"
                 )
         cands = cands.cache()
         # two-layer seen dedup with the FILE-backed shard probe: candidates
@@ -1234,6 +1318,20 @@ class CrawlEngine:
                 if not_modified is not None
                 else spark.range(1).select(F.lit(0).alias("n_not_modified"))
             )
+            .crossJoin(
+                adaptive_dropped.agg(
+                    F.count("*").alias("n_adaptive_deferred")
+                )
+                if adaptive_dropped is not None
+                else spark.range(1).select(
+                    F.lit(0).alias("n_adaptive_deferred")
+                )
+            )
+            .crossJoin(
+                obs_delta.agg(F.count("*").alias("n_revisits"))
+                if obs_delta is not None
+                else spark.range(1).select(F.lit(0).alias("n_revisits"))
+            )
         ).first()
         metrics = {
             "n_due": int(stats["n_due"]),
@@ -1253,6 +1351,9 @@ class CrawlEngine:
             metrics["n_trap_templates"] = int(stats["n_trap_templates"])
         if not_modified is not None:
             metrics["n_not_modified"] = int(stats["n_not_modified"])
+        if self.adaptive_ttl is not None:
+            metrics["n_adaptive_deferred"] = int(stats["n_adaptive_deferred"])
+            metrics["n_revisits"] = int(stats["n_revisits"])
         # Iceberg-style commit: append-only tables write ONLY this round's
         # delta (fast-append) and the frontier commits merge-on-read (adds
         # delta + equality-delete keys) — per-round IO is O(delta)
@@ -1281,6 +1382,12 @@ class CrawlEngine:
             or (
                 self.trap_max_urls is not None
                 and self.store.chain_length("url_templates")
+                >= self.REBUILD_EVERY
+            )
+            # the change-stats table is a chain like url_templates: bound it
+            or (
+                self.adaptive_ttl is not None
+                and self.store.chain_length("change_stats")
                 >= self.REBUILD_EVERY
             )
         )
@@ -1442,6 +1549,34 @@ class CrawlEngine:
                 else:
                     full["url_templates"] = tmpl_delta
                 hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
+        if self.adaptive_ttl is not None:
+            # change_stats commits like url_templates: O(delta) appends of
+            # this round's observations, read-time SUM, compaction folds the
+            # chain to one (url_hash, obs, changed, last-round) row set —
+            # and folds even on rounds with no revisits, so quiet compaction
+            # slots cannot let the chain grow past REBUILD_EVERY
+            n_rev = metrics.get("n_revisits", 0)
+            cs_delta = obs_delta if n_rev > 0 else None
+            prev_cs = self.store.table_path("change_stats") is not None
+            if compaction and prev_cs:
+                prev_stats = self.store.read(spark, "change_stats")
+                merged = (
+                    prev_stats.unionByName(cs_delta)
+                    if cs_delta is not None
+                    else prev_stats
+                )
+                full["change_stats"] = merged.groupBy("url_hash").agg(
+                    F.sum("obs").alias("obs"),
+                    F.sum("changed").alias("changed"),
+                    F.max("round").cast("int").alias("round"),
+                )
+                hints["change_stats"] = max(1, n_rev // 64)
+            elif cs_delta is not None:
+                if prev_cs:
+                    delta["change_stats"] = cs_delta
+                else:
+                    full["change_stats"] = cs_delta
+                hints["change_stats"] = max(1, n_rev // 64)
         if self.log_feed and metrics["n_fetched"] > 0:
             import os
 
@@ -1470,6 +1605,8 @@ class CrawlEngine:
         fetched.unpersist()
         parsed.unpersist()
         cands.unpersist()
+        if adaptive_dropped is not None:
+            adaptive_dropped.unpersist()
         fresh.unpersist()
         if suppressed_dim is not None:
             suppressed_dim.unpersist()
