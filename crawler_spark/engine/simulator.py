@@ -126,6 +126,8 @@ def simulate(
     page_body: dict[str, str] = {}
     if adaptive_ttl is not None and not conditional_recrawl:
         raise ValueError("adaptive_ttl requires conditional_recrawl")
+    if adaptive_ttl is not None and adaptive_ttl < 1:
+        raise ValueError("adaptive_ttl must be >= 1 round")
     # adaptive re-crawl: per-hash (n_obs, n_changed, last_obs_round) as of
     # the LAST COMMITTED round (the engine reads the change_stats chain at
     # candidate time); this round's observations buffer and merge at round

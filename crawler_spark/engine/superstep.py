@@ -979,7 +979,7 @@ class CrawlEngine:
                     (F.col("__stored_etag") != fresh_etag)
                     .cast("long").alias("changed"),
                     F.lit(round_no).cast("int").alias("round"),
-                )
+                ).cache()  # consumed twice: metric count + commit write
         parsed = ok.withColumn(
             "p", parse_page_udf(F.col("content"))
         ).select(
@@ -1138,12 +1138,15 @@ class CrawlEngine:
                         ),
                     ),
                 )
-                joined = cands.join(stats, "url_hash", "left")
+                joined = cands.join(stats, "url_hash", "left").cache()
                 not_due = F.col("__last_obs_round").isNotNull() & (
                     F.lit(round_no + 1)
                     < F.col("__last_obs_round") + interval
                 )
-                adaptive_dropped = joined.filter(not_due).cache()
+                # one cache on the joined frame: the deferral metric and the
+                # kept branch both read it — without it the whole candidate
+                # dedup/trap/stats pipeline would materialize twice a round
+                adaptive_dropped = joined.filter(not_due)
                 cands = joined.filter(~not_due).drop(
                     "__n_obs", "__n_changed", "__last_obs_round"
                 )
@@ -1470,9 +1473,14 @@ class CrawlEngine:
         # would make chain reads slow as the crawl ages); at production
         # counts the same hints yield genuinely parallel writes
         n_failed = metrics["n_fetched"] - metrics["n_ok"]
+        standing = []
+        if self.trap_max_urls is not None:
+            standing.append("url_templates")
+        if self.adaptive_ttl is not None:
+            standing.append("change_stats")
         prev_rows = self.store.table_rows_many(
-            ["seen", "pages", "dlq", "fetch_log", "retry_history"]
-        )  # one manifest read for all five hints
+            ["seen", "pages", "dlq", "fetch_log", "retry_history", *standing]
+        )  # ONE manifest read for every hint, standing tables included
         hints = {
             "frontier": (
                 max(
@@ -1542,7 +1550,12 @@ class CrawlEngine:
                     .agg(F.sum("n").alias("n"))
                     .withColumn("round", F.lit(round_no).cast("int"))
                 )
-                hints["url_templates"] = max(1, metrics["n_new_urls"] // 64)
+                # the fold rewrites the WHOLE standing table: size its file
+                # count from the chain's row total (a quiet compaction slot
+                # must not funnel the table through one partition)
+                hints["url_templates"] = max(
+                    1, prev_rows["url_templates"] + metrics["n_new_urls"] // 64
+                )
             elif tmpl_delta is not None:
                 if prev_exists:
                     delta["url_templates"] = tmpl_delta
@@ -1570,13 +1583,16 @@ class CrawlEngine:
                     F.sum("changed").alias("changed"),
                     F.max("round").cast("int").alias("round"),
                 )
-                hints["change_stats"] = max(1, n_rev // 64)
+                # fold rewrites the whole table: size from chain rows
+                hints["change_stats"] = max(
+                    1, prev_rows["change_stats"] + n_rev
+                )
             elif cs_delta is not None:
                 if prev_cs:
                     delta["change_stats"] = cs_delta
                 else:
                     full["change_stats"] = cs_delta
-                hints["change_stats"] = max(1, n_rev // 64)
+                hints["change_stats"] = max(1, n_rev)  # one row per revisit
         if self.log_feed and metrics["n_fetched"] > 0:
             import os
 
@@ -1606,7 +1622,11 @@ class CrawlEngine:
         parsed.unpersist()
         cands.unpersist()
         if adaptive_dropped is not None:
-            adaptive_dropped.unpersist()
+            # adaptive_dropped/cands are filters over the cached joined
+            # frame; releasing the parent releases both branches
+            joined.unpersist()
+        if obs_delta is not None:
+            obs_delta.unpersist()
         fresh.unpersist()
         if suppressed_dim is not None:
             suppressed_dim.unpersist()

@@ -117,7 +117,7 @@ def registered_domain_col(host: Column) -> Column:
     full PSL in for a world-wide crawl)."""
     from crawler_spark.kernels.urlnorm import ID_SECOND_LEVEL_SUFFIXES
 
-    clean = F.regexp_replace(host, "\\.$", "")
+    clean = F.regexp_replace(host, "\\.+$", "")
     labels = F.split(clean, "\\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))

@@ -135,12 +135,15 @@ ID_SECOND_LEVEL_SUFFIXES = frozenset(
 
 def registered_domain(host: str) -> str:
     """Registrable domain of a lowercased hostname: public suffix + one
-    label. IP literals and single-label hosts pass through unchanged."""
+    label. IP literals and single-label hosts pass through unchanged
+    (minus any trailing FQDN dots — stripped FIRST, on every branch, so
+    the Catalyst twin registered_domain_col stays bit-identical)."""
+    host = host.rstrip(".")
     if not host or host.replace(".", "").isdigit():
         return host
-    labels = host.rstrip(".").split(".")
+    labels = host.split(".")
     if len(labels) <= 2:
-        return host.rstrip(".")
+        return host
     last2 = ".".join(labels[-2:])
     if last2 in ID_SECOND_LEVEL_SUFFIXES:
         return ".".join(labels[-3:])

@@ -2968,9 +2968,10 @@ def q_politeness_domain_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: pure map (split + CASE on the suffix set, zero UDF) + ONE
     map-side-combinable aggregation on registered_domain; output is
-    O(#organizations). Synthetic input: 4 subdomain variants x 72 base
-    hosts across go.id / co.id / ac.id / or.id / plain .id / .com — every
-    suffix-rule branch fires, incl. the bare-ccTLD default rule."""
+    O(#organizations). Synthetic input: 4 subdomain variants x 12 base
+    hosts (user_id%12 determines user_id%6, so each of the 6 families gets
+    2 bases) across go.id / co.id / ac.id / or.id / plain .id / .com —
+    every suffix-rule branch fires, incl. the bare-ccTLD default rule."""
     from crawler_spark.functions.frontier_exprs import registered_domain_col
 
     ev = _events(spark, sf_dir)
@@ -3009,7 +3010,14 @@ def q_politeness_domain_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_POLITENESS_DOMAIN_GROUP = """
+from crawler_spark.kernels.urlnorm import ID_SECOND_LEVEL_SUFFIXES as _ID_SUF
+
+# ONE source of truth for the suffix set: the oracle interpolates the same
+# frozenset the kernel and the Catalyst expr read, so editing the PSL slice
+# cannot silently drift the two engines apart
+_SUFFIX_IN = ", ".join(f"'{sfx}'" for sfx in sorted(_ID_SUF))
+
+O_POLITENESS_DOMAIN_GROUP = f"""
 WITH h AS (
   SELECT CASE WHEN event_id % 4 = 0 THEN ''
               WHEN event_id % 4 = 1 THEN 'www.'
@@ -3027,8 +3035,7 @@ rd AS (
   SELECT host,
          CASE WHEN len(string_split(host, '.')) <= 2 THEN host
               WHEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-                   IN ('ac.id','biz.id','co.id','desa.id','go.id','mil.id',
-                       'my.id','net.id','or.id','ponpes.id','sch.id','web.id')
+                   IN ({_SUFFIX_IN})
               THEN string_split(host, '.')[-3] || '.'
                    || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
               ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]

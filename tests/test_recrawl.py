@@ -13,15 +13,20 @@ def test_estimator_orders_by_change_rate(spark):
     df = q_recrawl_schedule(spark, "/root/testdata/sf0.001")
     rows = {r["url_id"]: r for r in df.collect()}
     assert rows, "no schedule rows"
-    always = [r for r in rows.values() if r["n_changed"] == r["n_obs"]]
     never = [r for r in rows.values() if r["n_changed"] == 0]
+    assert never, "fixture should produce never-changed URLs"
     for r in never:
         assert r["next_interval_h"] == 720.0 and r["change_rate_per_h"] == 0.0
-    for r in always:
-        assert r["next_interval_h"] < 720.0
-    # monotone within equal gap structure: more changes -> shorter interval
+    # gcd(149, divisor) == 1 sweeps every residue, so 'changed on every
+    # visit' is structurally unreachable in this fixture — the high-rate
+    # property is covered by the hand-built history below and by the
+    # partial-change spread here
     some = [r for r in rows.values() if 0 < r["n_changed"] < r["n_obs"]]
     assert some, "fixture should produce partial-change URLs"
+    # a frequently-changing URL schedules sooner than a rarely-changing one
+    # with the same visit structure
+    hi = min(some, key=lambda r: r["next_interval_h"])
+    assert hi["next_interval_h"] < 720.0
 
 
 def test_estimator_formula_exact(spark):
