@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # newest in r03-final (no driver signal yet): real stdlib-zlib PNG codec
     "multimodal_decode_png",
+    "multimodal_decode_gif",
     # newest in r03-final: registrable-domain politeness + adaptive re-crawl
     "politeness_domain_group",
     "recrawl_schedule",

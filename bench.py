@@ -79,6 +79,12 @@ HEADLINE = [
     "host_circuit_breaker",
     "sitemap_expand",
     "conditional_recrawl",
+    # r03-final: real PNG codec, registrable-domain politeness grouping,
+    # adaptive re-crawl scheduling
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "politeness_domain_group",
+    "recrawl_schedule",
 ]
 
 

@@ -548,3 +548,235 @@ def decode_png(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(_run, PNG_DECODED_SCHEMA)
+
+
+# GIF completes the image-codec set: the container needs no codec library at
+# all — LZW is specified in the GIF89a spec itself and implemented below in
+# full (variable-width codes, CLEAR/EOI, dictionary growth to 4096 with the
+# KwKwK corner case). The encoder is a REAL compressor (dictionary-building
+# LZW, not the fixed-width "uncompressed GIF" trick), so every decode walks
+# the same dictionary reconstruction a wild GIF demands, across 255-byte
+# data sub-block boundaries. 8-bit global-palette, single image,
+# non-interlaced; anything else raises.
+
+GIF_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_colors", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, grows codes 2^min+2 .. 4095 with
+    variable width, re-CLEARs on a full table, ends with EOI. LSB-first
+    bit packing per the spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []  # (code, width) flattened lazily below
+    codes: list[tuple[int, int]] = []
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    codes.append((clear, width))
+    w = b""
+    for idx in indices:
+        k = bytes([int(idx)])
+        if w + k in table:
+            w = w + k
+            continue
+        codes.append((table[w], width))
+        table[w + k] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            codes.append((clear, width))
+            table, next_code, width = reset()
+        w = k
+    if w:
+        codes.append((table[w], width))
+    codes.append((eoi, width))
+    acc = n = 0
+    buf = bytearray()
+    for code, cw in codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF LZW decode: variable-width codes LSB-first, CLEAR resets the
+    table, EOI ends, code == next_free is the KwKwK case (spec §Appendix F)."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    table: list[bytes] = []
+
+    def reset():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset()
+    acc = n = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n
+        n += 8
+        while n >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n -= width
+            if code == clear:
+                table, width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                if pos != n_pixels:
+                    raise ValueError("EOI before all pixels decoded")
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            if pos + len(entry) > n_pixels:
+                raise ValueError("LZW output exceeds image size")
+            out[pos : pos + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+            pos += len(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    raise ValueError("LZW stream ended without EOI")
+
+
+def encode_gif(width: int, height: int, indices, palette) -> bytes:
+    """Write a real GIF89a: logical screen descriptor + 256-entry global
+    color table + one non-interlaced image whose pixel data is genuinely
+    LZW-compressed and split into <=255-byte sub-blocks. `indices` is an
+    (h, w) uint8 array into `palette` ((256, 3) uint8 RGB)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8).reshape(height, width)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(256, 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 colors
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # no LCT
+    out.append(8)  # LZW min code size
+    data = _lzw_encode(idx.reshape(-1), 8)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_bytes(payload: bytes):
+    """Spec-driven GIF parse -> (w, h, n_colors, (h, w, 3) uint8 RGB array).
+    Walks the block stream (extensions skipped by their sub-block framing),
+    reassembles the LZW stream across sub-blocks, and runs the full
+    variable-width LZW decode. Supports the global-palette non-interlaced
+    subset; anything else raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    n_colors = 2 << (packed & 0x07)
+    if pos + 3 * n_colors > len(payload):
+        raise ValueError("truncated global color table")
+    palette = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * n_colors, offset=pos
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if ipacked & 0x80:
+            raise ValueError("local color table unsupported")
+        if (left, top, iw, ih) != (0, 0, width, height):
+            raise ValueError("partial-frame GIF unsupported")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode(b"".join(chunks), min_code, width * height)
+        if (idx >= n_colors).any():
+            raise ValueError("pixel index beyond palette")
+        return width, height, n_colors, palette[idx].reshape(height, width, 3)
+    raise ValueError("no image descriptor in GIF")
+
+
+def decode_gif(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Real GIF decode via mapInPandas (shuffle-free map stage): block walk +
+    LZW + palette mapping + per-channel pixel means."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, nc, px = decode_gif_bytes(bytes(payload))
+                means = px.reshape(-1, 3).mean(axis=0, dtype="float64")
+                rows.append((int(did), w, h, nc,
+                             float(means[0]), float(means[1]), float(means[2])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_DECODED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, GIF_DECODED_SCHEMA)

@@ -1849,6 +1849,74 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end with zero codec libraries: a genuine GIF89a
+    stream — logical screen descriptor, 256-entry global color table, and an
+    image whose pixel data is REALLY LZW-compressed (dictionary-building
+    encoder, variable-width codes, CLEAR/EOI, 255-byte sub-block framing) —
+    is encoded per doc and parsed back by the spec-driven decoder in
+    operators/multimodal.py, which reassembles sub-blocks, runs the full
+    variable-width LZW decode (incl. the KwKwK case), maps indices through
+    the palette, and computes per-channel means. The oracle re-derives the
+    stats from the index/palette formulas alone. idx(x, y) =
+    (doc_id + 3x + 5y) % 256; palette[i] = (i, 2i%256, 3i%256);
+    w = 2 + doc_id%8, h = 1 + doc_id%7."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_gif, encode_gif
+
+    @F.pandas_udf(T.BinaryType())
+    def gif_payload(doc_id: pd.Series) -> pd.Series:
+        pal = np.stack(
+            [
+                np.arange(256),
+                (2 * np.arange(256)) % 256,
+                (3 * np.arange(256)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = 2 + did % 8, 1 + did % 7
+            y, x = np.mgrid[0:h, 0:w]
+            idx = ((did + 3 * x + 5 * y) % 256).astype(np.uint8)
+            out.append(encode_gif(w, h, idx, pal))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", gif_payload(F.col("doc_id")).alias("payload")
+    )
+    return decode_gif(docs).select(
+        "doc_id", "width", "height", "n_colors",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+O_MULTIMODAL_DECODE_GIF = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 8 AS w, 1 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3*gx.x + 5*gy.y) % 256 AS i
+  FROM d,
+       LATERAL unnest(generate_series(0, CAST(w - 1 AS INT))) AS gx(x),
+       LATERAL unnest(generate_series(0, CAST(h - 1 AS INT))) AS gy(y)
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(256 AS INT) AS n_colors,
+       round(CAST(sum(i) AS DOUBLE) / count(*), 4) AS mean_r,
+       round(CAST(sum((2*i) % 256) AS DOUBLE) / count(*), 4) AS mean_g,
+       round(CAST(sum((3*i) % 256) AS DOUBLE) / count(*), 4) AS mean_b
+FROM px GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------- training-data curation ops
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,6 +2552,7 @@ QUERIES = {
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
@@ -2526,6 +2595,7 @@ ORACLES = {
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
     "multimodal_decode_png": O_MULTIMODAL_DECODE_PNG,
+    "multimodal_decode_gif": O_MULTIMODAL_DECODE_GIF,
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,

@@ -285,3 +285,79 @@ def test_png_hostile_inputs_raise_valueerror():
     )
     with pytest.raises(ValueError, match="corrupt DEFLATE"):
         decode_png_bytes(junk)
+
+
+def _std_palette():
+    import numpy as np
+
+    return np.stack(
+        [np.arange(256), (2 * np.arange(256)) % 256, (3 * np.arange(256)) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_gif_roundtrip_lzw():
+    """Real LZW compression round-trips exactly, including the KwKwK corner
+    (immediately repeated pattern), multi-sub-block streams (>255 bytes of
+    codes), and dictionary overflow + re-CLEAR (>4095 entries)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_gif_bytes, encode_gif
+
+    pal = _std_palette()
+    rng = np.random.RandomState(5)
+    for w, h in [(1, 1), (9, 4), (61, 33)]:
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        W, H, nc, px = decode_gif_bytes(encode_gif(w, h, idx, pal))
+        assert (W, H, nc) == (w, h, 256)
+        assert np.array_equal(px, pal[idx]), (w, h)
+    # KwKwK: runs of one symbol force code == next_free on decode
+    idx = np.zeros((20, 30), dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif_bytes(encode_gif(30, 20, idx, pal))[3], pal[idx]
+    )
+    # dictionary overflow: large low-entropy image crosses 4095 codes
+    idx = (rng.randint(0, 3, (150, 200)) * 80).astype(np.uint8)
+    assert np.array_equal(
+        decode_gif_bytes(encode_gif(200, 150, idx, pal))[3], pal[idx]
+    )
+
+
+def test_gif_skips_extensions_and_rejects_unsupported():
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_gif_bytes, encode_gif
+
+    pal = _std_palette()
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = encode_gif(4, 3, idx, pal)
+    # splice a graphics-control extension after the GCT (13 + 768 bytes in)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = payload[: 13 + 768] + gce + payload[13 + 768 :]
+    assert np.array_equal(decode_gif_bytes(spliced)[3], pal[idx])
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_bytes(b"PNG" + b"\x00" * 30)
+    # interlace flag set (and nothing else changed) -> explicit refusal
+    bad = bytearray(payload)
+    desc = 13 + 768  # image descriptor offset
+    assert bad[desc] == 0x2C
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif_bytes(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_gif_bytes(payload[:40])  # truncated
+
+
+def test_decode_gif_dataframe(spark):
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = _std_palette()
+    solid = encode_gif(2, 2, np.full((2, 2), 10, dtype=np.uint8), pal)
+    df = spark.createDataFrame([(1, bytearray(solid))],
+                               "doc_id long, payload binary")
+    r = decode_gif(df).collect()[0]
+    assert (r["width"], r["height"], r["n_colors"]) == (2, 2, 256)
+    assert r["mean_r"] == 10.0 and r["mean_g"] == 20.0 and r["mean_b"] == 30.0
