@@ -107,6 +107,7 @@ def simulate(
     conditional_recrawl: bool = False,
     adaptive_ttl: int | None = None,
     corpus_updates: dict[int, dict[str, tuple[int, str, str | None]]] | None = None,
+    domain_politeness: bool = False,
 ) -> SimResult:
     policies: dict[str, RobotsPolicy] = {
         h: parse_robots(t) for h, t in robots_by_host.items()
@@ -212,6 +213,17 @@ def simulate(
             by_host.setdefault(r["host"], []).append(r)
         new_rows: list[dict] = []
         new_link_rows: dict[str, dict] = {}  # this round's link discoveries
+        # organization-level budget split (mirrors superstep.py): live-host
+        # counts per registrable domain from the due-and-allowed set AFTER
+        # breaker suppression
+        domain_hosts: dict[str, int] = {}
+        if domain_politeness:
+            from crawler_spark.kernels.urlnorm import registered_domain
+
+            for host in by_host:
+                if host not in suppressed:
+                    rd = registered_domain(host)
+                    domain_hosts[rd] = domain_hosts.get(rd, 0) + 1
         for host in by_host:
             if host in suppressed:
                 res.breaker_events.append((rnd, host))
@@ -223,6 +235,11 @@ def simulate(
                 if cd and cd > 0
                 else per_host_budget
             )
+            if domain_politeness:
+                from crawler_spark.kernels.urlnorm import registered_domain
+
+                nh = domain_hosts[registered_domain(host)]
+                budget = min(budget, max(1, per_host_budget // nh))
             rows = sorted(
                 by_host[host],
                 key=lambda r: (

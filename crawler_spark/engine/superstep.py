@@ -107,6 +107,7 @@ class CrawlEngine:
         trap_max_urls: int | None = None,
         conditional_recrawl: bool = False,
         adaptive_ttl: int | None = None,
+        domain_politeness: bool = False,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -240,6 +241,7 @@ class CrawlEngine:
         if adaptive_ttl is not None and adaptive_ttl < 1:
             raise ValueError("adaptive_ttl must be >= 1 round")
         self.adaptive_ttl = adaptive_ttl
+        self.domain_politeness = domain_politeness
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -883,6 +885,34 @@ class CrawlEngine:
                 F.broadcast(tripped), "host", "left_semi"
             ).cache()
             budgets = budgets.join(F.broadcast(tripped), "host", "left_anti")
+        if self.domain_politeness:
+            from crawler_spark.functions.frontier_exprs import registered_domain_col
+
+            # organization grouping: split the org budget across its live
+            # hosts (budgets dim is post-breaker, O(hosts) rows — the
+            # group-count join is a broadcast of O(#organizations))
+            with_rd = budgets.withColumn(
+                "__rd", registered_domain_col(F.col("host"))
+            )
+            counts = with_rd.groupBy("__rd").agg(
+                F.count(F.lit(1)).alias("__nh")
+            )
+            budgets = (
+                with_rd.join(F.broadcast(counts), "__rd")
+                .withColumn(
+                    "budget",
+                    F.least(
+                        F.col("budget"),
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            F.expr(
+                                f"CAST({self.budget} AS BIGINT) DIV __nh"
+                            ),
+                        ),
+                    ),
+                )
+                .drop("__rd", "__nh")
+            )
         if self.hot_host_threshold is not None:
             from crawler_spark.operators.frontier import salted_budget_selection
 
