@@ -21,7 +21,12 @@ from dataclasses import dataclass, field
 from crawler_spark.kernels.htmlparse import extract_page
 from crawler_spark.kernels.pagination import StopDetector
 from crawler_spark.kernels.robots import RobotsPolicy, parse_robots
-from crawler_spark.kernels.urlnorm import canonical_host, normalize_url, resolve_relative
+from crawler_spark.kernels.urlnorm import (
+    canonical_host,
+    normalize_url,
+    registered_domain,
+    resolve_relative,
+)
 
 PRIORITY_LISTING = 7
 PRIORITY_DETAIL = 5
@@ -218,8 +223,6 @@ def simulate(
         # breaker suppression
         domain_hosts: dict[str, int] = {}
         if domain_politeness:
-            from crawler_spark.kernels.urlnorm import registered_domain
-
             for host in by_host:
                 if host not in suppressed:
                     rd = registered_domain(host)
@@ -236,8 +239,6 @@ def simulate(
                 else per_host_budget
             )
             if domain_politeness:
-                from crawler_spark.kernels.urlnorm import registered_domain
-
                 nh = domain_hosts[registered_domain(host)]
                 budget = min(budget, max(1, per_host_budget // nh))
             rows = sorted(

@@ -893,7 +893,7 @@ class CrawlEngine:
             # group-count join is a broadcast of O(#organizations))
             with_rd = budgets.withColumn(
                 "__rd", registered_domain_col(F.col("host"))
-            )
+            ).cache()  # read twice: the org-count agg and the join left side
             counts = with_rd.groupBy("__rd").agg(
                 F.count(F.lit(1)).alias("__nh")
             )

