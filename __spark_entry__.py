@@ -37,6 +37,7 @@ _CHECK_FIRST = [
     # newest in r03-final (no driver signal yet): real stdlib-zlib PNG codec
     "multimodal_decode_png",
     "multimodal_decode_gif",
+    "warc_ingest",
     # newest in r03-final: registrable-domain politeness + adaptive re-crawl
     "politeness_domain_group",
     "recrawl_schedule",

@@ -83,6 +83,7 @@ HEADLINE = [
     # adaptive re-crawl scheduling
     "multimodal_decode_png",
     "multimodal_decode_gif",
+    "warc_ingest",
     "politeness_domain_group",
     "recrawl_schedule",
 ]

@@ -1,0 +1,189 @@
+"""WARC (ISO 28500 / WARC/1.1) read + write: the standard container for
+web-crawl archives (Common Crawl, Internet Archive, Heritrix all speak it).
+
+The reference persists pages to Postgres + GCS blobs (crawler/services/
+storage.py) and has no archive format; at 100 TB the crawl's interchange
+format IS WARC — fetched pages land in .warc.gz segments, and training-data
+ingestion starts by parsing them. Both directions are implemented here from
+the published spec with stdlib only:
+
+  * `build_warc_record` / `build_warc` — WARC/1.1 records (named headers,
+    exact Content-Length framing, sha-256-labelled payload digests per
+    spec §5.9's open algorithm label) with optional PER-RECORD gzip
+    members (the Common Crawl layout: a .warc.gz is a concatenation of
+    independently-gzipped records, so a reader can seek to any member).
+  * `parse_warc_bytes` — record walk over plain OR multi-member-gzip
+    archives (member-wise inflate via zlib wbits=31 + unused_data — no
+    temp files), strict \\r\\n framing, Content-Length-driven payload
+    slicing, 4-byte record separator check.
+  * `warc_records(df)` — mapInPandas: one archive blob per input row ->
+    one output row per contained record (shuffle-free map; archives are
+    independently parseable, the property that makes WARC ingestion
+    embarrassingly parallel — at scale each executor task takes whole
+    .warc.gz segments).
+
+Scale notes: a real ingest points spark.read.format("binaryFile") (or a
+manifest of segment paths) at the archive store and feeds this same
+mapInPandas; per-record gzip means NO cross-task coupling. HTTP payload
+parsing here covers the status line + header/body split — enough to feed
+the span-parse pipeline with the body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def build_warc_record(rec_type: str, headers: dict[str, str],
+                      payload: bytes) -> bytes:
+    """One WARC/1.1 record: version line, named headers (Content-Length and
+    WARC-Type always derived here — callers cannot desync them from the
+    actual payload), blank line, payload, and the two-CRLF separator."""
+    import hashlib
+
+    lines = [b"WARC/1.1"]
+    lines.append(b"WARC-Type: " + rec_type.encode())
+    for k, v in headers.items():
+        if k.lower() in ("warc-type", "content-length", "warc-payload-digest"):
+            raise ValueError(f"derived header {k} must not be caller-supplied")
+        lines.append(k.encode() + b": " + v.encode())
+    digest = hashlib.sha256(payload).hexdigest()
+    lines.append(b"WARC-Payload-Digest: sha-256:" + digest.encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return CRLF.join(lines) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def build_warc(records: list[bytes], gzip_per_record: bool = False) -> bytes:
+    """Concatenate records into an archive; gzip_per_record emits one gzip
+    member per record (the seekable Common Crawl .warc.gz layout)."""
+    if not gzip_per_record:
+        return b"".join(records)
+    import gzip
+
+    return b"".join(gzip.compress(r, 6, mtime=0) for r in records)
+
+
+def _inflate_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (zlib wbits=31 walks one
+    member; unused_data carries the rest)."""
+    import zlib
+
+    out = []
+    rest = data
+    while rest:
+        d = zlib.decompressobj(31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member in WARC: {exc}") from exc
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Walk a WARC archive (plain or per-record-gzip) into record dicts:
+    {rec_type, headers, payload}. Strict framing: version line, CRLF
+    header block, Content-Length payload slice, CRLFCRLF separator."""
+    if data[:2] == b"\x1f\x8b":
+        data = _inflate_members(data)
+    records = []
+    pos = 0
+    while pos < len(data):
+        head_end = data.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            raise ValueError("unterminated WARC header block")
+        head_lines = data[pos:head_end].split(CRLF)
+        if not head_lines[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"bad WARC version line: {head_lines[0][:30]!r}"
+            )
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, sep, v = line.partition(b": ")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            headers[k.decode().lower()] = v.decode()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/invalid Content-Length") from exc
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        sep = data[body_start + length : body_start + length + 4]
+        if sep != CRLF + CRLF:
+            raise ValueError("missing WARC record separator")
+        records.append(
+            {
+                "rec_type": headers.get("warc-type", ""),
+                "headers": headers,
+                "payload": payload,
+            }
+        )
+        pos = body_start + length + 4
+    return records
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
+    """HTTP response payload -> (status, body). Non-HTTP payloads return
+    (None, payload) — warcinfo/metadata records flow through unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    head_end = payload.find(CRLF + CRLF)
+    if head_end < 0:
+        return None, payload
+    status_line = payload[: payload.find(CRLF)].split(b" ")
+    try:
+        status = int(status_line[1])
+    except (IndexError, ValueError):
+        return None, payload
+    return status, payload[head_end + 4 :]
+
+
+def warc_records(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Explode WARC archives into per-record rows via mapInPandas
+    (shuffle-free; archives parse independently)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                for i, rec in enumerate(parse_warc_bytes(bytes(blob))):
+                    status, body = split_http_payload(rec["payload"])
+                    rows.append((
+                        int(did), i, rec["rec_type"],
+                        rec["headers"].get("warc-target-uri"),
+                        len(rec["payload"]),
+                        rec["headers"].get("warc-payload-digest"),
+                        status,
+                        body.decode("utf-8", "replace"),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, WARC_RECORD_SCHEMA)

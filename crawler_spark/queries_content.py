@@ -1917,6 +1917,80 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC archive round-trip (ISO 28500 — the interchange format of
+    web-scale crawls; Common Crawl ships .warc.gz): per doc, a genuine
+    WARC/1.1 archive (warcinfo + HTTP response record, exact
+    Content-Length framing, sha-256-labelled payload digests; odd doc_ids
+    use PER-RECORD gzip members — the seekable Common Crawl layout) is
+    built and parsed back by the spec-driven reader in operators/warc.py
+    (member-wise inflate, strict CRLF framing, Content-Length slicing,
+    HTTP status/body split). The oracle reconstructs every field —
+    lengths, sha-256 digests, status, body — constructively, so a parser
+    that misframes a record, miscounts a length, or mangles the gzip
+    member walk fails the hash."""
+    import gzip as _gzip
+
+    from crawler_spark.operators.warc import (
+        build_warc, build_warc_record, warc_records,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def warc_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, txt in zip(doc_id, text):
+            did = int(did)
+            part = (txt or "")[:120]
+            uri = f"https://portal{did % 20}.go.id/arsip/{did}"
+            info = build_warc_record(
+                "warcinfo", {"WARC-Record-ID": f"<urn:uuid:{did}>"},
+                b"software: lexi-spark",
+            )
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + part.encode("utf-8")
+            )
+            resp = build_warc_record(
+                "response", {"WARC-Target-URI": uri}, http
+            )
+            out.append(build_warc([info, resp], gzip_per_record=did % 2 == 1))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", warc_payload(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+    return warc_records(docs).select(
+        "doc_id", "rec_idx", "rec_type", "target_uri", "content_length",
+        "payload_digest", "http_status",
+        F.length("body").alias("body_chars"),
+    )
+
+
+O_WARC_INGEST = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 120) AS part FROM documents
+)
+SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(20 AS BIGINT) AS content_length,
+       'sha-256:' || sha256('software: lexi-spark') AS payload_digest,
+       CAST(NULL AS INT) AS http_status,
+       CAST(20 AS INT) AS body_chars
+FROM d
+UNION ALL
+SELECT doc_id, 1 AS rec_idx, 'response' AS rec_type,
+       'https://portal' || (doc_id % 20) || '.go.id/arsip/' || doc_id
+         AS target_uri,
+       CAST(44 + octet_length(encode(part)) AS BIGINT) AS content_length,
+       'sha-256:' || sha256('HTTP/1.1 200 OK' || chr(13) || chr(10)
+           || 'Content-Type: text/html' || chr(13) || chr(10)
+           || chr(13) || chr(10) || part) AS payload_digest,
+       CAST(200 AS INT) AS http_status,
+       CAST(length(part) AS INT) AS body_chars
+FROM d
+"""
+
+
 # ----------------------------------------------- training-data curation ops
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,6 +2627,7 @@ QUERIES = {
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
@@ -2596,6 +2671,7 @@ ORACLES = {
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
     "multimodal_decode_png": O_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": O_MULTIMODAL_DECODE_GIF,
+    "warc_ingest": O_WARC_INGEST,
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,
