@@ -187,3 +187,139 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(_run, WARC_RECORD_SCHEMA)
+
+
+def export_warc_segments(
+    df: DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    url_col: str = "url_norm",
+    body_col: str = "raw_html",
+    round_col: str = "fetched_round",
+) -> dict:
+    """Archive crawled pages as seekable `.warc.gz` segments + a manifest —
+    the full circle: crawl -> WARC -> (warc_records) -> training pipeline.
+
+    Deterministic end to end: segment membership is a hash bucket of the
+    URL, records sort by URL within a segment, gzip members carry mtime=0 —
+    so re-exporting the same pages is BYTE-IDENTICAL (the property that
+    makes archive diffs and dedup-by-digest meaningful). Each task writes
+    its own segment (shuffle = the one repartition on segment id); the
+    driver commits `_WARC_MANIFEST.json` LAST with per-segment record
+    counts + file digests — the verifiable _SUCCESS marker, same contract
+    as operators/export.py. Driver-reachable out_dir required (the
+    SnapshotStore boundary; object stores need the cluster FS API)."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not df.filter(F.col(url_col).isNull()).isEmpty():
+        raise ValueError(
+            f"url column {url_col!r} contains NULLs — a null URL has no"
+            " deterministic segment; filter or repair the rows first"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    seg = (F.abs(F.xxhash64(F.col(url_col))) % n_segments).cast("int")
+    slim = df.select(
+        seg.alias("__seg"),
+        F.col(url_col).alias("url"),
+        F.col(body_col).cast("string").alias("body"),
+        F.col(round_col).cast("long").alias("rnd"),
+    ).repartition(n_segments, "__seg")
+
+    def _write(it):
+        rows = sorted(it, key=lambda r: (r["__seg"], r["url"]))
+        if not rows:
+            return
+        by_seg: dict[int, list] = {}
+        for r in rows:
+            by_seg.setdefault(r["__seg"], []).append(r)
+        for s, part in by_seg.items():
+            recs = [
+                build_warc_record(
+                    "warcinfo",
+                    {"WARC-Date": "1970-01-01T00:00:00Z"},
+                    f"software: lexi-spark\r\nsegment: {s}".encode(),
+                )
+            ]
+            for r in part:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + (r["body"] or "").encode("utf-8")
+                )
+                recs.append(
+                    build_warc_record(
+                        "response",
+                        {
+                            "WARC-Target-URI": r["url"],
+                            "WARC-Date": f"1970-01-01T00:00:{r['rnd'] % 60:02d}Z",
+                        },
+                        http,
+                    )
+                )
+            blob = build_warc(recs, gzip_per_record=True)
+            path = os.path.join(out_dir, f"segment-{s:05d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, path)
+            yield (s, len(recs), hashlib.sha256(blob).hexdigest())
+
+    stats = sorted(slim.rdd.mapPartitions(_write).collect())
+    manifest = {
+        "n_segments": n_segments,
+        "total_records": sum(n for _s, n, _d in stats),
+        "segments": [
+            {"segment": s, "records": n, "sha256": d} for s, n, d in stats
+        ],
+    }
+    tmp = os.path.join(out_dir, "_WARC_MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_WARC_MANIFEST.json"))
+    return manifest
+
+
+def verify_warc_export(spark, out_dir: str) -> dict:
+    """Re-parse every manifested segment with the real reader and check
+    record counts + file digests — detects truncated, tampered, or
+    unmanifested segments from the archive bytes alone."""
+    import hashlib
+    import json
+    import os
+
+    man_path = os.path.join(out_dir, "_WARC_MANIFEST.json")
+    if not os.path.exists(man_path):
+        raise ValueError(f"no _WARC_MANIFEST.json in {out_dir} — incomplete export")
+    with open(man_path) as fh:
+        manifest = json.load(fh)
+    listed = {e["segment"]: e for e in manifest["segments"]}
+    problems = []
+    on_disk = {
+        int(f[len("segment-"):-len(".warc.gz")])
+        for f in os.listdir(out_dir)
+        if f.startswith("segment-") and f.endswith(".warc.gz")
+    }
+    for s in sorted(on_disk - set(listed)):
+        problems.append(f"segment {s} on disk but not in manifest")
+    for s, entry in sorted(listed.items()):
+        path = os.path.join(out_dir, f"segment-{s:05d}.warc.gz")
+        if not os.path.exists(path):
+            problems.append(f"segment {s} missing")
+            continue
+        blob = open(path, "rb").read()
+        if hashlib.sha256(blob).hexdigest() != entry["sha256"]:
+            problems.append(f"segment {s} digest mismatch")
+            continue
+        n = len(parse_warc_bytes(blob))
+        if n != entry["records"]:
+            problems.append(
+                f"segment {s}: {n} records != manifest {entry['records']}"
+            )
+    return {
+        "ok": not problems,
+        "problems": problems,
+        "total_records": manifest["total_records"],
+    }

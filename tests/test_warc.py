@@ -80,3 +80,80 @@ def test_warc_records_dataframe(spark):
         (1, 0, "warcinfo", None), (1, 1, "response", 404),
         (2, 0, "warcinfo", None), (2, 1, "response", 404),
     ]
+
+
+class TestWarcExport:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        rows = [
+            (f"https://portal{i % 3}.go.id/putusan/{i}",
+             f"<html><body>putusan {i}</body></html>", i % 5)
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "url_norm string, raw_html string, fetched_round int"
+        )
+
+    def test_export_verify_and_roundtrip(self, spark, pages, tmp_path):
+        from crawler_spark.operators.warc import (
+            export_warc_segments, verify_warc_export,
+        )
+
+        out = str(tmp_path / "warc")
+        man = export_warc_segments(pages, out, n_segments=4)
+        assert man["total_records"] == 40 + len(man["segments"])  # + warcinfo
+        v = verify_warc_export(spark, out)
+        assert v["ok"], v["problems"]
+        # every page body comes back intact through the real reader
+        import glob
+
+        got = {}
+        for path in glob.glob(f"{out}/segment-*.warc.gz"):
+            for rec in parse_warc_bytes(open(path, "rb").read()):
+                if rec["rec_type"] == "response":
+                    st, body = split_http_payload(rec["payload"])
+                    assert st == 200
+                    got[rec["headers"]["warc-target-uri"]] = body.decode()
+        want = {r["url_norm"]: r["raw_html"] for r in pages.collect()}
+        assert got == want
+
+    def test_reexport_is_byte_identical(self, spark, pages, tmp_path):
+        import glob
+        import hashlib
+
+        from crawler_spark.operators.warc import export_warc_segments
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        export_warc_segments(pages, a, n_segments=4)
+        export_warc_segments(pages, b, n_segments=4)
+        da = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+              for p in glob.glob(f"{a}/segment-*")}
+        db = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+              for p in glob.glob(f"{b}/segment-*")}
+        assert da == db and da
+
+    def test_verify_detects_tampering(self, spark, pages, tmp_path):
+        import glob
+
+        from crawler_spark.operators.warc import (
+            export_warc_segments, verify_warc_export,
+        )
+
+        out = str(tmp_path / "w")
+        export_warc_segments(pages, out, n_segments=2)
+        victim = sorted(glob.glob(f"{out}/segment-*.warc.gz"))[0]
+        blob = bytearray(open(victim, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF
+        open(victim, "wb").write(bytes(blob))
+        v = verify_warc_export(spark, out)
+        assert not v["ok"] and any("digest" in p for p in v["problems"])
+
+    def test_null_url_refused(self, spark, tmp_path):
+        from crawler_spark.operators.warc import export_warc_segments
+
+        df = spark.createDataFrame(
+            [(None, "x", 0)],
+            "url_norm string, raw_html string, fetched_round int",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            export_warc_segments(df, str(tmp_path / "n"))
