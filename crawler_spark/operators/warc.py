@@ -60,12 +60,23 @@ def build_warc_record(rec_type: str, headers: dict[str, str],
     actual payload), blank line, payload, and the two-CRLF separator."""
     import hashlib
 
+    def _clean(label: str, value: str) -> str:
+        # CR/LF in a name or value is header injection: a crafted value
+        # could append a second WARC-Type line (parse is last-wins) or
+        # truncate the header block; refuse instead of emitting it
+        if "\r" in value or "\n" in value:
+            raise ValueError(f"CR/LF in WARC {label}: {value[:40]!r}")
+        return value
+
     lines = [b"WARC/1.1"]
-    lines.append(b"WARC-Type: " + rec_type.encode())
+    lines.append(b"WARC-Type: " + _clean("record type", rec_type).encode())
     for k, v in headers.items():
         if k.lower() in ("warc-type", "content-length", "warc-payload-digest"):
             raise ValueError(f"derived header {k} must not be caller-supplied")
-        lines.append(k.encode() + b": " + v.encode())
+        _clean("header name", k)
+        if ":" in k:
+            raise ValueError(f"':' in WARC header name: {k!r}")
+        lines.append(k.encode() + b": " + _clean("header value", v).encode())
     digest = hashlib.sha256(payload).hexdigest()
     lines.append(b"WARC-Payload-Digest: sha-256:" + digest.encode())
     lines.append(b"Content-Length: " + str(len(payload)).encode())
@@ -82,19 +93,32 @@ def build_warc(records: list[bytes], gzip_per_record: bool = False) -> bytes:
     return b"".join(gzip.compress(r, 6, mtime=0) for r in records)
 
 
-def _inflate_members(data: bytes) -> bytes:
+MAX_INFLATED_BYTES = 1 << 30  # 1 GiB per archive blob — gzip-bomb ceiling
+
+
+def _inflate_members(data: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
     """Decompress a concatenation of gzip members (zlib wbits=31 walks one
-    member; unused_data carries the rest)."""
+    member; unused_data carries the rest). Output is BOUNDED: a crafted
+    .warc.gz inflating past max_bytes raises instead of OOMing the task —
+    third-party archives are hostile input, same policy as the PNG codec's
+    bounded IDAT inflate."""
     import zlib
 
     out = []
+    total = 0
     rest = data
     while rest:
         d = zlib.decompressobj(31)
         try:
-            out.append(d.decompress(rest))
+            chunk = d.decompress(rest, max_bytes - total + 1)
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member in WARC: {exc}") from exc
+        total += len(chunk)
+        if total > max_bytes or d.unconsumed_tail:
+            raise ValueError(
+                f"WARC archive inflates past {max_bytes} bytes (gzip bomb?)"
+            )
+        out.append(chunk)
         out.append(d.flush())
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
@@ -215,12 +239,23 @@ def export_warc_segments(
 
     from pyspark.sql import functions as F
 
-    if not df.filter(F.col(url_col).isNull()).isEmpty():
+    if not df.filter(
+        F.col(url_col).isNull() | F.col(body_col).isNull()
+    ).isEmpty():
         raise ValueError(
-            f"url column {url_col!r} contains NULLs — a null URL has no"
-            " deterministic segment; filter or repair the rows first"
+            f"{url_col!r}/{body_col!r} contain NULLs — a null URL has no"
+            " deterministic segment and a null body would silently archive"
+            " as an empty 200 response; filter or repair the rows first"
         )
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics (mode("overwrite") parity with export.py): stale
+    # segments from a previous export with more partitions would otherwise
+    # survive, fail verification, and leak old records to glob consumers
+    for f in os.listdir(out_dir):
+        if (f.startswith("segment-") and f.endswith(".warc.gz")) or f.startswith(
+            "_WARC_MANIFEST.json"
+        ):
+            os.remove(os.path.join(out_dir, f))
     seg = (F.abs(F.xxhash64(F.col(url_col))) % n_segments).cast("int")
     slim = df.select(
         seg.alias("__seg"),
@@ -230,7 +265,12 @@ def export_warc_segments(
     ).repartition(n_segments, "__seg")
 
     def _write(it):
-        rows = sorted(it, key=lambda r: (r["__seg"], r["url"]))
+        # FULL-row sort key: ties on url (same page captured twice) must
+        # not fall back to shuffle arrival order, or re-export stops being
+        # byte-identical
+        rows = sorted(
+            it, key=lambda r: (r["__seg"], r["url"], r["rnd"], r["body"] or "")
+        )
         if not rows:
             return
         by_seg: dict[int, list] = {}
@@ -261,7 +301,15 @@ def export_warc_segments(
                 )
             blob = build_warc(recs, gzip_per_record=True)
             path = os.path.join(out_dir, f"segment-{s:05d}.warc.gz")
-            tmp = path + ".tmp"
+            # attempt-unique tmp: a speculative/retried attempt must never
+            # share a tmp file with a racing attempt (os.replace then only
+            # ever publishes a COMPLETE file; contents are deterministic,
+            # so whichever attempt wins publishes identical bytes)
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            suffix = ctx.taskAttemptId() if ctx is not None else os.getpid()
+            tmp = f"{path}.tmp-{suffix}"
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, path)
@@ -282,7 +330,7 @@ def export_warc_segments(
     return manifest
 
 
-def verify_warc_export(spark, out_dir: str) -> dict:
+def verify_warc_export(out_dir: str) -> dict:
     """Re-parse every manifested segment with the real reader and check
     record counts + file digests — detects truncated, tampered, or
     unmanifested segments from the archive bytes alone."""
@@ -296,12 +344,14 @@ def verify_warc_export(spark, out_dir: str) -> dict:
     with open(man_path) as fh:
         manifest = json.load(fh)
     listed = {e["segment"]: e for e in manifest["segments"]}
-    problems = []
-    on_disk = {
-        int(f[len("segment-"):-len(".warc.gz")])
-        for f in os.listdir(out_dir)
-        if f.startswith("segment-") and f.endswith(".warc.gz")
-    }
+    problems: list[str] = []
+    on_disk = set()
+    for f in os.listdir(out_dir):
+        if f.startswith("segment-") and f.endswith(".warc.gz"):
+            try:
+                on_disk.add(int(f[len("segment-"):-len(".warc.gz")]))
+            except ValueError:
+                problems.append(f"unrecognized segment filename {f!r}")
     for s in sorted(on_disk - set(listed)):
         problems.append(f"segment {s} on disk but not in manifest")
     for s, entry in sorted(listed.items()):

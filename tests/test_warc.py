@@ -102,7 +102,7 @@ class TestWarcExport:
         out = str(tmp_path / "warc")
         man = export_warc_segments(pages, out, n_segments=4)
         assert man["total_records"] == 40 + len(man["segments"])  # + warcinfo
-        v = verify_warc_export(spark, out)
+        v = verify_warc_export(out)
         assert v["ok"], v["problems"]
         # every page body comes back intact through the real reader
         import glob
@@ -145,7 +145,7 @@ class TestWarcExport:
         blob = bytearray(open(victim, "rb").read())
         blob[len(blob) // 2] ^= 0xFF
         open(victim, "wb").write(bytes(blob))
-        v = verify_warc_export(spark, out)
+        v = verify_warc_export(out)
         assert not v["ok"] and any("digest" in p for p in v["problems"])
 
     def test_null_url_refused(self, spark, tmp_path):
@@ -157,3 +157,77 @@ class TestWarcExport:
         )
         with pytest.raises(ValueError, match="NULL"):
             export_warc_segments(df, str(tmp_path / "n"))
+
+
+def test_header_injection_refused():
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_warc_record(
+            "response", {"X": "v\r\nWARC-Type: warcinfo"}, b"p"
+        )
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_warc_record("res\r\nponse", {}, b"p")
+
+
+def test_gzip_bomb_bounded():
+    """A small .warc.gz inflating past the cap raises, never OOMs."""
+    import gzip
+
+    from crawler_spark.operators.warc import _inflate_members
+
+    bomb = gzip.compress(b"\x00" * 4_000_000, 9)
+    with pytest.raises(ValueError, match="bomb"):
+        _inflate_members(bomb, max_bytes=1_000_000)
+    # under the cap: inflates fine
+    assert len(_inflate_members(bomb, max_bytes=8_000_000)) == 4_000_000
+
+
+def test_reexport_overwrites_stale_segments(spark, tmp_path):
+    """Fewer segments on re-export must not leave stale files behind."""
+    from crawler_spark.operators.warc import (
+        export_warc_segments, verify_warc_export,
+    )
+
+    rows = [(f"https://p.go.id/d/{i}", f"<html>{i}</html>", 0)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url_norm string, raw_html string, fetched_round int"
+    )
+    out = str(tmp_path / "re")
+    export_warc_segments(df, out, n_segments=8)
+    export_warc_segments(df.limit(4), out, n_segments=2)
+    v = verify_warc_export(out)
+    assert v["ok"], v["problems"]
+
+
+def test_duplicate_urls_export_deterministically(spark, tmp_path):
+    """Same URL captured twice (different rounds/bodies): byte-identical
+    re-export must hold — full-row sort key, not arrival order."""
+    import glob
+    import hashlib
+
+    from crawler_spark.operators.warc import export_warc_segments
+
+    rows = [("https://p.go.id/a", f"<html>rev{i}</html>", i)
+            for i in range(6)] * 2
+    df = spark.createDataFrame(
+        rows, "url_norm string, raw_html string, fetched_round int"
+    ).repartition(6)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    export_warc_segments(df, a, n_segments=2)
+    export_warc_segments(df, b, n_segments=2)
+    da = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+          for p in glob.glob(f"{a}/segment-*")}
+    db = {p.split("/")[-1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+          for p in glob.glob(f"{b}/segment-*")}
+    assert da == db and da
+
+
+def test_null_body_refused(spark, tmp_path):
+    from crawler_spark.operators.warc import export_warc_segments
+
+    df = spark.createDataFrame(
+        [("https://p.go.id/x", None, 0)],
+        "url_norm string, raw_html string, fetched_round int",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        export_warc_segments(df, str(tmp_path / "nb"))
