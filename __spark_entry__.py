@@ -34,33 +34,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green stalwarts go last. Names absent from the current registry are
 # skipped, so this list may lead the code by a round.
 _CHECK_FIRST = [
-    # newest in r03-final (no driver signal yet): real stdlib-zlib PNG codec
-    "multimodal_decode_png",
-    "multimodal_decode_gif",
-    "warc_ingest",
-    # newest in r03-final: registrable-domain politeness + adaptive re-crawl
+    # --- r04 priority 1: the 7 entries NO driver board has ever reached
+    # (green in the r03 judge's own sf0.01 sweep, but the cross-round union
+    # needs a driver row — VERDICT r03 "Next round" item 2)
+    "request_retry",
+    "website_statistics",
+    "stratified_split",
+    "curation_pipeline",
+    "config_history_versions",
+    "dlq_stats_category",
+    "log_level_stats",
+    # --- r04 priority 2: implementation or oracle changed in r04
+    "multimodal_decode_jpg",      # new this round: real baseline JFIF codec
+    "browser_executor",           # static-DOM render layer replaced identity
+    "warc_ingest",                # header parse relaxed to WARC/1.1 "name:value"
+    "multimodal_decode_png",      # absolute pixel-ceiling guard added
+    "multimodal_decode_gif",      # absolute pixel-ceiling guard added
+    "seen_probe_exact",           # TTL-mode tombstone delta chain
+    "frontier_crawl_pages",       # hard-gated vs exported simulator tables
+    "frontier_round_metrics",     # hard-gated vs exported simulator tables
+    # --- r04 priority 3: newest r03 features with only one green row
     "politeness_domain_group",
     "recrawl_schedule",
-    # newest in r03 (no driver signal yet): crawl-trap detection, host
-    # circuit breaker, sitemap ingestion, conditional re-crawl
     "crawl_traps",
     "host_circuit_breaker",
     "sitemap_expand",
     "conditional_recrawl",
-    # r03 (no driver signal yet): scheduled-job processor tick
-    # (orphan repair + timezone backfill + catch-up classification),
-    # boilerplate line dedup (+ its incremental index maintenance), PII scrub
     "scheduled_job_tick",
     "line_dedup",
     "line_dedup_incremental",
     "pii_scrub",
-    # red in r02 (oracle typing, fixed) — must re-prove
     "scrape_batch",
-    # new in r03 (no driver signal yet)
     "metrics_export",
     "retry_failure_rates",
     "log_trace_scan",
-    # r02 driver budget never reached these (new oracles with no hard signal)
     "content_normalize",
     "multimodal_resize",
     "multimodal_frames",
@@ -68,9 +75,6 @@ _CHECK_FIRST = [
     "stream_dedup_counts",
     "stream_host_budget",
     "stream_span_extract",
-    "frontier_crawl_pages",
-    "frontier_round_metrics",
-    # round-3 additions
     "robots_gate",
     "workflow_toposort",
     "cron_next_run",
@@ -82,28 +86,17 @@ _CHECK_FIRST = [
     "duplicate_components",
     "api_executor",
     "http_executor",
-    "browser_executor",
     "config_merge",
     "data_attr_extract",
     "ann_ivf_train",
     "simhash_incremental",
     "minhash_incremental",
     "stream_near_dup",
-    "seen_probe_exact",
     "depth_priority_frontier",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    # round-3 late additions: training-data curation ops
     "decontaminate",
     "gopher_quality",
-    "stratified_split",
-    "curation_pipeline",
-    # round-3 admin/reporting surface (sqlc stats + audit parity)
-    "request_retry",
-    "website_statistics",
-    "log_level_stats",
-    "dlq_stats_category",
-    "config_history_versions",
 ]
 
 

@@ -861,6 +861,7 @@ class CrawlEngine:
         # rows flow untouched into not_selected (still in the frontier next
         # round). Window stats read O(cooldown) pruned fetch_log files.
         suppressed_dim: DataFrame | None = None
+        with_rd: DataFrame | None = None
         if self.breaker is not None and round_no > 0:
             thr, min_att, cooldown = self.breaker
             wlog = self.fetch_log_range(
@@ -1660,6 +1661,8 @@ class CrawlEngine:
         fresh.unpersist()
         if suppressed_dim is not None:
             suppressed_dim.unpersist()
+        if with_rd is not None:
+            with_rd.unpersist()
         if trap_flags is not None:
             trap_flags.unpersist()
         if not_modified is not None:

@@ -48,6 +48,25 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+# Absolute decode ceiling, independent of what the (attacker-controlled)
+# header claims: a crawled image is hostile input, and the per-format bounds
+# below are all *derived from header fields* (PNG IHDR width/height, GIF
+# logical-screen dims), so a payload lying about its dimensions could still
+# demand a huge allocation before any pixel data is validated.  64 Mpixel is
+# ~192 MB of RGB — far above any sane crawled image, far below executor OOM.
+# Mirrors MAX_INFLATED_BYTES in warc.py.
+MAX_DECODE_PIXELS = 1 << 26  # 64 Mpixel
+
+
+def _check_decode_dims(width: int, height: int, fmt: str) -> None:
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive {fmt} dimensions {width}x{height}")
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} dimensions {width}x{height} exceed the "
+            f"{MAX_DECODE_PIXELS}-pixel decode ceiling"
+        )
+
 
 def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed metadata derived JVM-side (no UDF): size + digest; format sniffed
@@ -483,6 +502,7 @@ def decode_png_bytes(payload: bytes):
             "only 8-bit truecolor non-interlaced PNG supported, got "
             f"depth={depth} color={color_type} interlace={interlace}"
         )
+    _check_decode_dims(width, height, "PNG")
     bpp = 3
     stride = width * bpp
     expect = height * (stride + 1)
@@ -719,6 +739,7 @@ def decode_gif_bytes(payload: bytes):
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
     width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _check_decode_dims(width, height, "GIF")
     pos = 13
     if not packed & 0x80:
         raise ValueError("GIF without a global color table unsupported")

@@ -145,10 +145,14 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             )
         headers: dict[str, str] = {}
         for line in head_lines[1:]:
-            k, sep, v = line.partition(b": ")
+            # WARC/1.1 §4: field-name ":" [whitespace] field-value — the
+            # space after the colon is optional, so split on b":" alone and
+            # strip surrounding whitespace (third-party Common Crawl
+            # archives legally emit "name:value")
+            k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
-            headers[k.decode().lower()] = v.decode()
+            headers[k.strip().decode().lower()] = v.strip().decode()
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:

@@ -287,6 +287,45 @@ def test_png_hostile_inputs_raise_valueerror():
         decode_png_bytes(junk)
 
 
+def test_decode_dimension_ceiling():
+    """Header-claimed dimensions are attacker-controlled: a PNG whose IHDR
+    (u32 fields) claims e.g. 100k x 100k would demand a ~30 GB inflate, and
+    a GIF logical screen of 65535x65535 a ~4.3 GB allocation — both before
+    any pixel data is validated. The absolute MAX_DECODE_PIXELS ceiling must
+    reject them without allocating."""
+    import struct
+    import zlib
+
+    from crawler_spark.operators.multimodal import (
+        _png_chunk, _PNG_SIG, decode_gif_bytes, decode_png_bytes,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode ceiling"):
+        decode_png_bytes(bomb)
+    # zero-dim PNG is rejected too (guard precedes the inflate)
+    zhdr = struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0)
+    zero = (
+        _PNG_SIG + _png_chunk(b"IHDR", zhdr)
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_png_bytes(zero)
+    # GIF: logical screen 65535x65535 with a global palette flag set
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+        + b"\x00" * 6  # 2-entry global color table
+    )
+    with pytest.raises(ValueError, match="decode ceiling"):
+        decode_gif_bytes(gif)
+
+
 def _std_palette():
     import numpy as np
 

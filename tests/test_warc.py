@@ -49,6 +49,26 @@ def test_payload_containing_crlf_crlf_is_sliced_by_length():
     assert parse_warc_bytes(rec)[0]["payload"] == tricky
 
 
+def test_header_without_space_after_colon_parses():
+    """WARC/1.1 §4 makes the whitespace after the field colon optional;
+    third-party archives legally emit "name:value" (and "name : value"),
+    so the parser must split on the colon alone and strip OWS."""
+    rec = build_warc_record("resource", {}, b"payload!")
+    # rewrite every "k: v" header line to "k:v" (payload is length-framed
+    # and contains no CRLF, so the header block is everything before the
+    # first CRLFCRLF)
+    head, sep, rest = rec.partition(b"\r\n\r\n")
+    lines = head.split(b"\r\n")
+    squeezed = [lines[0]] + [ln.replace(b": ", b":", 1) for ln in lines[1:]]
+    recs = parse_warc_bytes(b"\r\n".join(squeezed) + sep + rest)
+    assert recs[0]["payload"] == b"payload!"
+    assert recs[0]["headers"]["content-length"] == "8"
+    # and padded whitespace around the value is stripped
+    padded = [lines[0]] + [ln.replace(b": ", b":   ", 1) + b"  " for ln in lines[1:]]
+    recs = parse_warc_bytes(b"\r\n".join(padded) + sep + rest)
+    assert recs[0]["headers"]["content-length"] == "8"
+
+
 def test_hostile_inputs_raise_valueerror():
     info, resp = _two_records()
     arc = build_warc([info, resp])
