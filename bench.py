@@ -86,6 +86,8 @@ HEADLINE = [
     "warc_ingest",
     "politeness_domain_group",
     "recrawl_schedule",
+    # r04 additions: real baseline JFIF codec
+    "multimodal_decode_jpg",
 ]
 
 

@@ -451,12 +451,12 @@ class CrawlEngine:
         )
         out_dir = self.store.blob_dir_for(round_no)
         # same compaction contract as _run_round: fresh store / expired
-        # blobs / over-long chain / TTL-over-chain all force a full rebuild;
-        # permanent mode otherwise appends an O(batch) delta dir
+        # blobs / over-long chain force a full rebuild; otherwise BOTH
+        # modes append an O(batch) immutable delta dir (TTL deltas carry
+        # the expiring cohort as tombstone pair files)
         rebuild = (
             enq_chain is None
             or len(enq_chain) >= self.REBUILD_EVERY
-            or (self.ttl_rounds is not None and len(enq_chain) != 1)
         )
         if rebuild:
             # fresh store OR expired blobs: authoritative rebuild from the
@@ -473,13 +473,16 @@ class CrawlEngine:
             ).collect()
             blob_chain = [out_dir]
         elif self.ttl_rounds is not None:
-            # TTL in-place rewrite (cuckoo retirement mutates history)
+            # TTL merge-on-read: fresh keys become a delta element, the
+            # expiring cohort its tombstone pair files — O(batch + cohort)
+            # bytes, never O(window) (the old path rewrote every shard's
+            # full filter in place each commit)
             update_seen_shards(
-                fresh.select("host", "url_hash"), blob_dir=enq_chain[-1],
+                fresh.select("host", "url_hash"), blob_dir=None,
                 deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir,
-                with_exact=True,
+                with_exact=True, delta_build=True,
             ).collect()
-            blob_chain = [out_dir]
+            blob_chain = enq_chain + [out_dir]
         else:
             # n_fresh > 0 here: permanent-mode n_fresh == 0 with no TTL
             # deletes already took the metrics-only early return above
@@ -814,13 +817,33 @@ class CrawlEngine:
                 idle_dels = seen.filter(
                     F.col("seen_round") == round_no - self.ttl_rounds
                 ).select("host", "url_hash")
-                prev = self.store.latest_blob_dir()
+                prev = self.store.latest_blob_chain()
                 if prev is not None and idle_dels.limit(1).count() > 0:
                     out_dir = self.store.blob_dir_for(round_no)
-                    update_seen_shards(
-                        idle_dels.limit(0), blob_dir=prev, deletes=idle_dels,
-                        n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
-                    ).collect()
+                    if len(prev) >= self.REBUILD_EVERY:
+                        # chain-length backstop: an idle streak can append
+                        # one tombstone delta per populated cohort; fold to
+                        # a fresh base once the fan-in bound is hit (same
+                        # contract as the active-round compaction)
+                        update_seen_shards(
+                            seen.filter(
+                                F.col("seen_round")
+                                >= round_no + 1 - self.ttl_rounds
+                            ).select("host", "url_hash"),
+                            blob_dir=None, n_shards=N_SHARDS,
+                            out_dir=out_dir, with_exact=True,
+                        ).collect()
+                        blob_kw["blob_chain"] = [out_dir]
+                    else:
+                        # tombstone-only delta element (no adds): O(cohort)
+                        # bytes appended to the chain, no filter rewritten
+                        update_seen_shards(
+                            idle_dels.limit(0), blob_dir=None,
+                            deletes=idle_dels, n_shards=N_SHARDS,
+                            out_dir=out_dir, with_exact=True,
+                            delta_build=True,
+                        ).collect()
+                        blob_kw["blob_chain"] = prev + [out_dir]
                     blob_kw["blob_dir"] = out_dir
             entry = self.store.commit_round(
                 round_no, {},
@@ -1407,10 +1430,6 @@ class CrawlEngine:
             or self.store.chain_length("frontier") >= self.REBUILD_EVERY
             or prev_chain is None
             or len(prev_chain) >= self.REBUILD_EVERY
-            # TTL's in-place rewrite needs a single authoritative dir; a
-            # longer chain (left by a permanent-mode run of this store)
-            # would silently drop the base membership
-            or (self.ttl_rounds is not None and len(prev_chain) != 1)
             # the standing template table is a chain like any other: bound
             # its length even when compaction slots land on quiet rounds
             or (
@@ -1425,44 +1444,53 @@ class CrawlEngine:
                 >= self.REBUILD_EVERY
             )
         )
-        # driver action 3: shard maintenance. Permanent mode appends a
-        # DELTA blob dir holding only this round's fresh keys (merge-on-read
-        # chain, probe ORs across elements) — per-round blob IO is O(delta),
-        # not O(|filter store|). TTL mode rewrites in place (cuckoo deletes
-        # mutate historical state, which immutable chain elements cannot
-        # express). On compaction rounds a full rebuild from the exact seen
-        # table re-sizes the blooms and resets the chain to one base.
+        # driver action 3: shard maintenance. BOTH modes append a DELTA blob
+        # dir holding only this round's fresh keys (merge-on-read chain,
+        # newest-first probe walk) — per-round blob IO is O(delta), not
+        # O(|filter store|). TTL deltas additionally carry the expiring
+        # cohort as immutable `tomb-<s>` tombstone pair files (probe
+        # resolves a tombstoned key definitely-unseen), so TTL's per-round
+        # write is O(fresh + cohort), never O(active window) — the old
+        # in-place full-shard rewrite was the last standing-state-sized
+        # per-round cost. On compaction rounds a full rebuild from the
+        # exact seen table re-sizes the blooms, folds tombstones away, and
+        # resets the chain to one base.
         # prev_chain None with a non-empty seen table (e.g. an external
         # actor expired every blob dir) lands in compaction: building from
         # this round's fresh keys alone and committing them as
         # authoritative would break the seen-set invariant.
         out_dir = self.store.blob_dir_for(round_no)
-        if compaction or self.ttl_rounds is not None:
-            if compaction:
-                base = (
-                    next_seen.filter(
-                        F.col("seen_round") >= round_no + 1 - self.ttl_rounds
-                    )
-                    if self.ttl_rounds is not None
-                    else next_seen
+        if compaction:
+            base = (
+                next_seen.filter(
+                    F.col("seen_round") >= round_no + 1 - self.ttl_rounds
                 )
-                update_seen_shards(
-                    base.select("host", "url_hash"), blob_dir=None,
-                    n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
-                ).collect()
-            else:
-                # TTL incremental rewrite: needs a SINGLE authoritative
-                # previous dir (len-1 chain; compaction above catches longer
-                # chains left by a permanent-mode run of the same store)
-                deletes = seen.filter(
-                    F.col("seen_round") == round_no - self.ttl_rounds
-                ).select("host", "url_hash")
-                update_seen_shards(
-                    fresh.select("host", "url_hash"), blob_dir=prev_chain[-1],
-                    deletes=deletes, n_shards=N_SHARDS, out_dir=out_dir,
-                    with_exact=True,
-                ).collect()
+                if self.ttl_rounds is not None
+                else next_seen
+            )
+            update_seen_shards(
+                base.select("host", "url_hash"), blob_dir=None,
+                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+            ).collect()
             blob_chain = [out_dir]
+        elif self.ttl_rounds is not None:
+            deletes = seen.filter(
+                F.col("seen_round") == round_no - self.ttl_rounds
+            ).select("host", "url_hash")
+            has_dels = deletes.limit(1).count() > 0
+            if metrics["n_new_urls"] == 0 and not has_dels:
+                # nothing fresh, nothing expiring: an empty delta would
+                # grow the chain (and probe fan-in) for no membership change
+                blob_chain = prev_chain
+                out_dir = None
+            else:
+                update_seen_shards(
+                    fresh.select("host", "url_hash"), blob_dir=None,
+                    deletes=deletes if has_dels else None,
+                    n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                    delta_build=True,
+                ).collect()
+                blob_chain = prev_chain + [out_dir]
         elif metrics["n_new_urls"] == 0:
             # nothing fresh: appending an empty delta would grow the chain
             # (and the probe fan-in) without adding any membership

@@ -321,17 +321,30 @@ def probe_seen_files(
 
     ``blob_dir`` may be a CHAIN (list of dirs, oldest first): a full base
     plus per-round delta blobs, the LSM/Iceberg merge-on-read shape applied
-    to the filter store. Membership = OR across elements — chain elements
-    partition the key population by first-seen round, so a key is present
-    in exactly one element and false negatives remain impossible. Chains
-    let the engine write O(delta) blob bytes per round instead of
-    rewriting every shard's full filter; the REBUILD_EVERY full rebuild is
-    the compaction that bounds chain length (and probe fan-in).
+    to the filter store. The walk is NEWEST element first and the key's most
+    recent event wins: an exact hit in an element's `tomb-<s>` tombstone pair
+    file (TTL expiry — written by delta commits whose cohort retired that
+    round) resolves the key DEFINITELY UNSEEN, an exact-verified filter hit
+    resolves it SEEN, and an unresolved key falls through to older elements.
+    Within one element adds and tombstones are disjoint by construction (a
+    key expiring in round R is still seen during R's dedup probe, so it can
+    only re-enter as a fresh add in a LATER element), which makes first-
+    event-wins well defined. Permanent chains have no tombstones and their
+    elements partition keys by first-seen round, so the walk degenerates to
+    the plain OR and false negatives remain impossible. Chains let the
+    engine write O(delta) blob bytes per round instead of rewriting every
+    shard's full filter; the REBUILD_EVERY full rebuild is the compaction
+    that bounds chain length (and probe fan-in) and folds tombstones away.
 
     ``exact=True``: rows the filter flags are then verified IN-TASK against
     the same element's `exact-<s>` pair file (loaded only when the batch has
     filter hits, executor-cached), so `maybe_seen` becomes an EXACT seen
-    verdict — the caller needs no anti-join against the seen table at all."""
+    verdict — the caller needs no anti-join against the seen table at all.
+    Tombstone subtraction requires the pair identity, so it only runs under
+    ``exact=True``; the non-exact path ignores tombstones, which errs
+    conservatively (expired keys may probe maybe_seen=True) and stays
+    correct because that path's final arbiter is the caller's anti-join
+    against the active seen table."""
     chain = [blob_dir] if isinstance(blob_dir, str) else list(blob_dir)
     routed = with_shard_and_key(candidates, host_col, hash_col, n_shards)
     if exact:
@@ -356,13 +369,29 @@ def probe_seen_files(
                     else None
                 )
                 hits = np.zeros(len(skeys), dtype=bool)
-                for d in chain:
-                    # probe only still-unresolved rows: within a chain a key
-                    # lives in exactly one element, so a row resolved by an
-                    # earlier element never needs the later ones
-                    todo = ~hits
+                # newest element first, first event wins: resolved tracks
+                # rows already decided (seen via an exact-verified add, or
+                # definitely-unseen via a tombstone) so older elements never
+                # overturn a newer event. In non-exact mode a filter hit is
+                # the only resolution (tombstones need the pair identity),
+                # which keeps the old early-termination behavior.
+                resolved = np.zeros(len(skeys), dtype=bool)
+                for d in reversed(chain):
+                    todo = ~resolved
                     if not todo.any():
                         break
+                    if exact:
+                        tomb = _load_exact(os.path.join(d, f"tomb-{int(s)}"))
+                        if tomb is not None:
+                            dead = _pairs_contains(
+                                tomb[0], tomb[1], skeys[todo], vks[todo]
+                            )
+                            if dead.any():
+                                idx = np.flatnonzero(todo)
+                                resolved[idx[dead]] = True  # stays unseen
+                                todo = ~resolved
+                                if not todo.any():
+                                    break
                     flt = _load_filter(os.path.join(d, f"{layer}-{int(s)}"))
                     if flt is None:
                         if os.path.exists(os.path.join(d, f"bloom-{int(s)}")):
@@ -389,7 +418,9 @@ def probe_seen_files(
                             skeys[todo][sub], vks[todo][sub],
                         )
                         sub = verified
-                    hits[todo] = sub
+                    idx = np.flatnonzero(todo)
+                    hits[idx[sub]] = True
+                    resolved[idx[sub]] = True
                 out[m] = hits
             pdf = pdf.copy()
             pdf["maybe_seen"] = out
@@ -424,6 +455,15 @@ def update_seen_shards(
     under TTL the file tracks the active window on the same cadence as the
     cuckoo layer.
 
+    ``delta_build=True`` with ``deletes`` is the TTL merge-on-read shape:
+    instead of mutating any previous blob (there is none — ``blob_dir`` must
+    be None in delta mode), the expiring cohort's (filter_key, verify_key)
+    pairs are written as an immutable `tomb-<s>` TOMBSTONE pair file next to
+    the delta's add filters; the chain probe resolves a tombstoned key as
+    definitely-unseen from that element forward (newest-first walk). Requires
+    ``with_exact`` — tombstone subtraction needs the exact pair identity.
+    Per-round blob bytes are then O(adds + expiring cohort), never O(window).
+
     With ``out_dir`` set, each TASK writes its shard's blob files directly to
     the (shared) store directory and only a tiny (shard, n_items) stat row
     returns — blobs never transit the driver. Blob files land before the
@@ -438,6 +478,16 @@ def update_seen_shards(
     always complete. Raises on cuckoo overflow instead of dropping keys."""
     if with_exact and out_dir is None:
         raise ValueError("with_exact=True requires out_dir (task-side writes)")
+    if delta_build and deletes is not None:
+        if not with_exact:
+            raise ValueError(
+                "delta_build with deletes (tombstones) requires with_exact "
+                "— tombstone subtraction needs the exact pair identity"
+            )
+        if blob_dir is not None:
+            raise ValueError(
+                "delta_build writes immutable elements; blob_dir must be None"
+            )
     spark = adds.sparkSession
 
     def _routed(df: DataFrame, op: int) -> DataFrame:
@@ -509,7 +559,12 @@ def update_seen_shards(
                         "blobs exist — store predates the exact layer; run "
                         "a full rebuild (blob_dir=None) first"
                     )
-            if len(del_keys):
+            tomb_blob = None
+            if len(del_keys) and delta_build:
+                # tombstone mode: deletes become an immutable pair file, not
+                # a mutation — the chain probe subtracts them newest-first
+                tomb_blob = _exact_to_bytes(del_keys, del_vk)
+            elif len(del_keys):
                 order = np.lexsort((del_vk, del_keys))
                 drop = _pairs_contains(
                     del_keys[order], del_vk[order], k1, k2
@@ -571,7 +626,11 @@ def update_seen_shards(
         bloom.add_many(add_keys)
         cuckoo_blob = None
         if with_cuckoo:
-            cuckoo.delete_many(del_keys)
+            if not delta_build:
+                # tombstoned deletes never touch the filters: deleting keys
+                # absent from this fresh delta's cuckoo could evict a
+                # colliding fingerprint of an ADDED key (false negative)
+                cuckoo.delete_many(del_keys)
             inserted = cuckoo.add_many(add_keys)
             if inserted != len(add_keys):
                 # incremental rebuild is impossible (fingerprints are lossy);
@@ -592,6 +651,13 @@ def update_seen_shards(
             if with_exact:
                 with open(os.path.join(out_dir, f"exact-{shard}"), "wb") as fh:
                     fh.write(exact_blob)
+                if tomb_blob is not None:
+                    # only shards whose cohort actually expired get a file;
+                    # the probe treats a missing tomb-<s> as empty
+                    with open(
+                        os.path.join(out_dir, f"tomb-{shard}"), "wb"
+                    ) as fh:
+                        fh.write(tomb_blob)
             bloom_blob = cuckoo_blob = None  # stats only back to the driver
         return pd.DataFrame(
             {

@@ -1849,6 +1849,70 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_multimodal_decode_jpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JFIF decode end-to-end with stdlib + numpy (no PIL):
+    a genuine JPEG byte stream — SOI/APP0/DQT/SOF0/DHT/SOS segments, DCT +
+    quantization + zigzag + DC-diff/AC-run Huffman entropy coding, byte
+    stuffing — is encoded per doc (kernels/jpeg.py) and parsed back by the
+    full baseline decoder (marker walk, canonical Huffman decode, dequant,
+    exact float IDCT, level shift). The fixture images are grayscale with a
+    CONSTANT value per 8x8 block, which round-trips EXACTLY at the all-ones
+    quantization table (a constant block's DCT has the single integer
+    coefficient 8*(v-128); q=1 preserves it), so the oracle re-derives the
+    decoded stats from the block-value formula alone — a decoder that
+    botches the Huffman tables, DC prediction chain, dequant, zigzag, or
+    IDCT scaling fails the hash. block(bx, by) value = (doc_id + 17*bx +
+    29*by) % 256; w = 8*(1 + doc_id%3), h = 8*(1 + doc_id%2)."""
+    import numpy as np
+
+    from crawler_spark.kernels.jpeg import encode_jpeg
+    from crawler_spark.operators.multimodal import decode_jpeg
+
+    @F.pandas_udf(T.BinaryType())
+    def jpg_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            bw, bh = 1 + did % 3, 1 + did % 2
+            by, bx = np.mgrid[0:bh, 0:bw]
+            vals = ((did + 17 * bx + 29 * by) % 256).astype(np.uint8)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            out.append(encode_jpeg(img))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", jpg_payload(F.col("doc_id")).alias("payload")
+    )
+    return decode_jpeg(docs).select(
+        "doc_id", "width", "height", "n_components",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+O_MULTIMODAL_DECODE_JPG = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents
+),
+blocks AS (
+  SELECT doc_id, bw, bh,
+         (doc_id + 17*gx.x + 29*gy.y) % 256 AS v
+  FROM d,
+       LATERAL unnest(generate_series(0, CAST(bw - 1 AS INT))) AS gx(x),
+       LATERAL unnest(generate_series(0, CAST(bh - 1 AS INT))) AS gy(y)
+)
+SELECT doc_id,
+       CAST(8 * any_value(bw) AS INT) AS width,
+       CAST(8 * any_value(bh) AS INT) AS height,
+       CAST(1 AS INT) AS n_components,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_r,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_g,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_b
+FROM blocks GROUP BY doc_id
+"""
+
+
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end with zero codec libraries: a genuine GIF89a
     stream — logical screen descriptor, 256-entry global color table, and an
@@ -2626,6 +2690,7 @@ QUERIES = {
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_jpg": q_multimodal_decode_jpg,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "warc_ingest": q_warc_ingest,
     "decontaminate": q_decontaminate,
@@ -2670,6 +2735,7 @@ ORACLES = {
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,
     "multimodal_decode_png": O_MULTIMODAL_DECODE_PNG,
+    "multimodal_decode_jpg": O_MULTIMODAL_DECODE_JPG,
     "multimodal_decode_gif": O_MULTIMODAL_DECODE_GIF,
     "warc_ingest": O_WARC_INGEST,
     "decontaminate": O_DECONTAMINATE,

@@ -11,7 +11,13 @@ crawl and prints one JSON line per blob-writing round: dir bytes, exact-
 layer pairs (16 B/key, floor-free — the honest delta measure), chain
 length, and mode.
 
-Usage: python scripts/bench_blob_chain.py [rounds]
+TTL mode (`--ttl N`): the round-4 claim — TTL retirement appends an
+immutable adds+tombstones delta element (O(fresh + expiring cohort) bytes)
+instead of the old in-place full-shard rewrite (O(active window) bytes every
+round). The per-round `written_bytes` line must stay flat as the window
+ages; `tomb_pairs` tracks the expiring cohort (16 B/key, floor-free).
+
+Usage: python scripts/bench_blob_chain.py [rounds] [--ttl N]
 """
 
 from __future__ import annotations
@@ -33,18 +39,24 @@ from crawler_spark.engine.superstep import CrawlEngine
 from crawler_spark.session import get_spark
 
 
-def _dir_stats(d: str) -> tuple[int, int]:
-    total = pairs = 0
+def _dir_stats(d: str) -> tuple[int, int, int]:
+    total = pairs = tombs = 0
     for f in os.listdir(d):
         sz = os.path.getsize(os.path.join(d, f))
         total += sz
         if f.startswith("exact-"):
             pairs += (sz - 12) // 16
-    return total, pairs
+        elif f.startswith("tomb-"):
+            tombs += (sz - 12) // 16
+    return total, pairs, tombs
 
 
 def main() -> None:
-    max_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    max_rounds = int(args[0]) if args else 12
+    ttl = None
+    if "--ttl" in sys.argv:
+        ttl = int(sys.argv[sys.argv.index("--ttl") + 1])
     spec = CorpusSpec(
         n_hosts=24,
         listing_pages=max_rounds + 4,
@@ -55,7 +67,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as root:
         eng = CrawlEngine(
             spark, root, build_corpus(spec), robots_map(spec),
-            per_host_budget=4,
+            per_host_budget=4, ttl_rounds=ttl,
         )
         eng.run(seeds=seed_urls(spec), max_rounds=max_rounds)
         rounds = eng.store.manifest()["rounds"]
@@ -65,13 +77,14 @@ def main() -> None:
             chain = r.get("blob_chain") or ([bd] if bd else [])
             if not bd:
                 continue
-            total, pairs = _dir_stats(bd)
+            total, pairs, tombs = _dir_stats(bd)
             store_bytes = sum(_dir_stats(d)[0] for d in chain)
             print(json.dumps({
                 "round": r["round"],
                 "mode": "base" if len(chain) == 1 else "delta",
                 "written_bytes": total,
                 "exact_pairs_written": pairs,
+                "tomb_pairs_written": tombs,
                 "chain_len": len(chain),
                 "store_bytes": store_bytes,
                 "write_amplification": round(total / max(store_bytes, 1), 3),
@@ -86,6 +99,7 @@ def main() -> None:
             lb = _dir_stats(last["blob_dir"])
             print(json.dumps({
                 "summary": "blob-chain flatness",
+                "ttl_rounds": ttl,
                 "first_delta_round": first["round"],
                 "first_written_bytes": fb[0],
                 "first_pairs": fb[1],

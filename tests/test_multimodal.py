@@ -41,12 +41,21 @@ def test_metadata_sniffing(media):
     assert len(shas) == 4 and all(len(s) == 64 for s in shas)
 
 
-def test_decode_stub_raises_without_fake(media):
+def test_decode_real_rejects_corrupt_and_unknown(media):
+    """fake=False dispatches to the real codecs now: the fixture's payloads
+    are either corrupt (magic bytes + junk -> codec ValueError) or unknown
+    formats (-> honest NotImplementedError); either way the decode fails
+    loudly instead of fabricating output."""
     from py4j.protocol import Py4JJavaError
 
     with pytest.raises(Exception) as ei:
         decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+    msg = str(ei.value)
+    assert (
+        "NotImplementedError" in msg
+        or "ValueError" in msg
+        or isinstance(ei.value, Py4JJavaError)
+    )
 
 
 def test_fake_decode_contract(media):

@@ -73,10 +73,12 @@ def test_ttl_recrawl_replaces_page_row_not_duplicates(spark, tmp_path):
 
 def test_enqueue_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
     """An enqueue_seeds commit advances the round counter, so it must also
-    retire its round's expiring cohort from the cuckoo layer — previously it
+    retire its round's expiring cohort from the filter store — previously it
     skipped the delete and those keys sat in the filter until the next full
     rebuild (found by review). Uses a duplicate-seed enqueue (n_fresh == 0)
-    so the early-return path is the one exercised."""
+    so the early-return path is the one exercised. Retirement is now a
+    tombstone delta element appended to the chain (merge-on-read), so the
+    probe must walk the CHAIN with exact resolution."""
     from pyspark.sql import functions as F
 
     from crawler_spark.engine.superstep import N_SHARDS
@@ -114,9 +116,9 @@ def test_enqueue_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
 
     eng.add_seeds([seeds[0]])  # already-seen -> n_fresh == 0 path
     assert eng.store.latest_round() == enqueue_round
-    blob_dir = eng.store.latest_blob_dir()
-    assert blob_dir.endswith(f"{enqueue_round:05d}"), (
-        "enqueue must commit a new blob dir carrying its cohort retirement"
+    chain = eng.store.latest_blob_chain()
+    assert chain[-1].endswith(f"{enqueue_round:05d}"), (
+        "enqueue must append a delta element carrying its cohort retirement"
     )
 
     def probes(rows):
@@ -124,11 +126,11 @@ def test_enqueue_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
         return {
             (r["host"], r["url_hash"]): r["maybe_seen"]
             for r in probe_seen_files(
-                df, blob_dir, n_shards=N_SHARDS, layer="cuckoo"
+                df, chain, n_shards=N_SHARDS, layer="cuckoo", exact=True
             ).collect()
         }
 
-    assert not any(probes(cohort).values()), "expired cohort still in cuckoo"
+    assert not any(probes(cohort).values()), "expired cohort still probes seen"
     assert all(probes(active).values()), "active window keys must stay present"
 
 
@@ -177,16 +179,16 @@ def test_idle_round_retires_expiring_cohort_from_cuckoo(spark, tmp_path):
 
     m = eng.run_round(idle_round)
     assert m["n_due"] == 0 and not m.get("done")
-    blob_dir = eng.store.latest_blob_dir()
-    assert blob_dir.endswith(f"{idle_round:05d}"), (
-        "idle round must commit a blob dir carrying its cohort retirement"
+    chain = eng.store.latest_blob_chain()
+    assert chain[-1].endswith(f"{idle_round:05d}"), (
+        "idle round must append a delta element carrying its cohort retirement"
     )
     probed = probe_seen_files(
         spark.createDataFrame(cohort, "host string, url_hash string"),
-        blob_dir, n_shards=N_SHARDS, layer="cuckoo",
+        chain, n_shards=N_SHARDS, layer="cuckoo", exact=True,
     )
     assert not any(r["maybe_seen"] for r in probed.collect()), (
-        "expired cohort still in cuckoo after the idle round"
+        "expired cohort still probes seen after the idle round"
     )
 
 
