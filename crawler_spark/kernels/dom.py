@@ -94,6 +94,45 @@ def iter_text_nodes(node: Node):
             yield child
 
 
+def serialize(node: Node) -> str:
+    """Serialize a Node tree back to HTML: attributes double-quoted in
+    insertion order, void tags without end tags, text re-escaped (& < >).
+    For simple well-formed input (quoted attributes, no entities) the
+    parse -> serialize round-trip is byte-identical, which the render layer
+    (kernels/render.py) relies on so an un-transformed page passes through
+    unchanged. Only the characters that MUST be escaped are (& < > in text;
+    & < " in double-quoted attributes) — html.escape would also rewrite
+    quotes the input legally left bare, breaking the round-trip."""
+
+    def esc_text(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def esc_attr(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+
+    parts: list[str] = []
+
+    def emit(n) -> None:
+        if isinstance(n, str):
+            parts.append(esc_text(n))
+            return
+        if n.tag == "__root__":
+            for c in n.children:
+                emit(c)
+            return
+        attrs = "".join(
+            f' {k}="{esc_attr(v)}"' for k, v in n.attrs.items()
+        )
+        parts.append(f"<{n.tag}{attrs}>")
+        if n.tag not in VOID_TAGS:
+            for c in n.children:
+                emit(c)
+            parts.append(f"</{n.tag}>")
+
+    emit(node)
+    return "".join(parts)
+
+
 def text_bs4(node: Node) -> str:
     """BeautifulSoup ``get_text(strip=True)``: each text node stripped,
     empties dropped, joined with no separator (html_parser.py:126-129)."""

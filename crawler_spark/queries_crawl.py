@@ -1512,20 +1512,48 @@ FROM r
 def q_browser_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 browser step executor (browser_executor.py): per-URL browser
     navigation + CSS/XPath extraction as one mapInPandas batch map
-    (sources/browser.py) with the render honestly stubbed to identity.
-    Three config variants (event_id % 3) exercise the full timeout ladder
-    (:55-80) and the wait_for > wait_until > 'load' precedence (:151-152);
-    the fetcher's sha256-derived branches cover 404 / 503 / response-None /
-    redirect final_url; selector_wait hit/miss varies with the case number's
-    parity (the span is only rendered for even cases)."""
+    (sources/browser.py) through the STATIC-DOM RENDER layer
+    (kernels/render.py — the deterministic half of Playwright rendering;
+    JS execution remains the honest hook boundary). Three config variants
+    (event_id % 3) exercise the full timeout ladder (:55-80) and the
+    wait_for > wait_until > 'load' precedence (:151-152); the fetcher's
+    sha256-derived branches cover 404 / 503 / response-None / redirect
+    final_url / META-REFRESH navigation (h=4: the raw DOM is a refresh stub
+    with NO extractable fields — only the rendered target has them) /
+    IFRAME inlining (h=5: the nomor span lives in the frame document, so
+    raw-DOM extraction would return NULL); selector_wait hit/miss varies
+    with the case number's parity on the plain branch (h=6)."""
     import hashlib
     import re
 
+    from crawler_spark.kernels.render import static_dom_render
     from crawler_spark.sources.browser import browser_batch
 
     urls = synth_frontier(spark, sf_dir).select(
         "event_id", "url", (F.col("event_id") % 3).cast("int").alias("variant")
     )
+
+    def _pages(url: str) -> str | None:
+        """The render layer's corpus: refresh targets + frame documents.
+        Relative srcs resolve against the RAW frontier URL (uppercase
+        host form), so the match is case-insensitive on host."""
+        m = re.search(r"(?i)^https://portal(\d+)\.go\.id/rendered/(\d+)$", url)
+        if m:
+            case = m.group(2)
+            return (
+                f'<html><body><h1 class="t">Case {case}</h1>'
+                f'<a class="dl" href="/f/{case}.pdf">d</a></body></html>'
+            )
+        m = re.search(r"(?i)^https://portal(\d+)\.go\.id/frame/(\d+)$", url)
+        if m:
+            case = m.group(2)
+            return (
+                f'<html><body><div id="m"><span class="nomor">NO-{case}'
+                f"</span></div></body></html>"
+            )
+        return None
+
+    render = static_dom_render(_pages)
 
     def fetcher(url: str) -> tuple[int | None, str | None, str]:
         h = int(hashlib.sha256(url.encode()).hexdigest()[:2], 16) % 7
@@ -1537,6 +1565,20 @@ def q_browser_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None, "<html><body></body></html>", url
         case = re.search(r"/cases/(\d+)", url).group(1)
         hostnum = re.search(r"Portal(\d+)", url).group(1)
+        if h == 4:  # legacy refresh-redirect portal page
+            body = (
+                '<html><head><meta http-equiv="refresh" content="0; '
+                f'url=/rendered/{case}"></head><body></body></html>'
+            )
+            # the raw stub resolves relative to the canonical host form
+            return 200, body, f"https://portal{hostnum}.go.id/cases/{case}"
+        if h == 5:  # detail page whose metadata block is an iframe
+            body = (
+                f'<html><body><h1 class="t">Case {case}</h1>'
+                f'<iframe src="/frame/{case}"></iframe>'
+                f'<a class="dl" href="/f/{case}.pdf">d</a></body></html>'
+            )
+            return 200, body, f"https://portal{hostnum}.go.id/cases/{case}"
         body = (
             f'<html><body><h1 class="t">Case {case}</h1>'
             + (
@@ -1573,7 +1615,8 @@ def q_browser_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = [
         browser_batch(
-            urls.filter(F.col("variant") == i), fetcher, selectors, cfg
+            urls.filter(F.col("variant") == i), fetcher, selectors, cfg,
+            render=render,
         )
         for i, cfg in enumerate(configs)
     ]
@@ -1602,12 +1645,27 @@ WITH raw AS (
 r AS (
   SELECT *,
          ('0x' || substr(sha256(url), 1, 2))::INT % 7 AS h,
-         '<html><body><h1 class="t">Case ' || case_n || '</h1>'
-           || CASE WHEN case_n % 2 = 0
-                   THEN '<div id="m"><span class="nomor">NO-' || case_n
-                        || '</span></div>' ELSE '' END
-           || '<a class="dl" href="/f/' || case_n || '.pdf">d</a></body></html>'
-           AS body
+         -- h=6 / h=3 plain page (parity nomor); h=4 RENDERED refresh
+         -- target; h=5 RENDERED page with the frame document inlined
+         -- under its iframe element (kernels/render.py semantics)
+         CASE
+           WHEN h = 4 THEN
+             '<html><body><h1 class="t">Case ' || case_n
+             || '</h1><a class="dl" href="/f/' || case_n
+             || '.pdf">d</a></body></html>'
+           WHEN h = 5 THEN
+             '<html><body><h1 class="t">Case ' || case_n
+             || '</h1><iframe src="/frame/' || case_n
+             || '"><div id="m"><span class="nomor">NO-' || case_n
+             || '</span></div></iframe><a class="dl" href="/f/' || case_n
+             || '.pdf">d</a></body></html>'
+           ELSE
+             '<html><body><h1 class="t">Case ' || case_n || '</h1>'
+             || CASE WHEN case_n % 2 = 0
+                     THEN '<div id="m"><span class="nomor">NO-' || case_n
+                          || '</span></div>' ELSE '' END
+             || '<a class="dl" href="/f/' || case_n || '.pdf">d</a></body></html>'
+         END AS body
   FROM raw
 )
 SELECT event_id, variant,
@@ -1623,15 +1681,20 @@ SELECT event_id, variant,
        CASE variant WHEN 0 THEN 'domcontentloaded' WHEN 1 THEN 'networkidle'
                     ELSE 'load' END AS wait_until,
        CASE WHEN variant = 2 OR h IN (0, 1) THEN NULL
-            WHEN h = 2 THEN FALSE ELSE case_n % 2 = 0 END AS selector_wait_hit,
+            WHEN h = 2 THEN FALSE
+            WHEN h = 4 THEN FALSE   -- rendered refresh target has no #m
+            WHEN h = 5 THEN TRUE    -- inlined frame carries the span
+            ELSE case_n % 2 = 0 END AS selector_wait_hit,
        CAST(CASE WHEN h IN (0, 1) THEN NULL
                  WHEN h = 2 THEN length('<html><body></body></html>')
                  ELSE length(body) END AS INT) AS content_length,
        CASE WHEN h IN (0, 1) THEN NULL
-            WHEN h = 3 THEN 'https://portal' || hostnum || '.go.id/cases/' || case_n
+            WHEN h IN (3, 4, 5)
+              THEN 'https://portal' || hostnum || '.go.id/cases/' || case_n
             ELSE url END AS final_url,
        CASE WHEN h NOT IN (0, 1, 2) THEN 'Case ' || case_n END AS title,
-       CASE WHEN h NOT IN (0, 1, 2) AND case_n % 2 = 0
+       CASE WHEN h = 5 THEN 'NO-' || case_n
+            WHEN h IN (3, 6) AND case_n % 2 = 0
             THEN 'NO-' || case_n END AS nomor,
        CASE WHEN h NOT IN (0, 1, 2)
             THEN '/f/' || case_n || '.pdf' END AS link,

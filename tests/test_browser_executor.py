@@ -161,6 +161,47 @@ def test_render_hook_is_applied(spark):
     )
 
 
+def test_static_dom_render_end_to_end(spark):
+    """The real render layer behind the hook: a refresh-stub page and an
+    iframe page both extract fields the RAW fetched DOM does not carry —
+    the browser_executor oracle's h=4/h=5 semantics in miniature."""
+    from crawler_spark.kernels.render import static_dom_render
+
+    corpus = {
+        "http://x/target": (
+            '<html><body><h1 class="t">Rendered</h1></body></html>'
+        ),
+        "http://x/frame": (
+            '<html><body><span class="nomor">NO-7</span></body></html>'
+        ),
+    }
+
+    def fetcher(url):
+        if url == "http://x/refresh":
+            return 200, (
+                '<html><head><meta http-equiv="refresh" content="0; '
+                'url=/target"></head><body></body></html>'
+            ), url
+        return 200, (
+            '<html><body><iframe src="/frame"></iframe></body></html>'
+        ), url
+
+    urls = spark.createDataFrame(
+        [("http://x/refresh",), ("http://x/framed",)], "url string"
+    )
+    rows = {
+        r["url"]: r
+        for r in browser_batch(
+            urls, fetcher, {"title": "h1.t", "nomor": "span.nomor"}, {},
+            render=static_dom_render(corpus.get),
+        ).collect()
+    }
+    assert rows["http://x/refresh"]["title"] == "Rendered"
+    assert rows["http://x/refresh"]["nomor"] is None
+    assert rows["http://x/framed"]["nomor"] == "NO-7"
+    assert rows["http://x/framed"]["title"] is None
+
+
 def test_xpath_selector_wait(spark):
     urls = spark.createDataFrame([("http://x/ok",)], "url string")
     cfg = {"selector_wait": "//span[@class='nomor']"}
