@@ -22,6 +22,11 @@ from crawler_spark.streaming.ingest import (
 
 _ENGINE_CACHE: dict[str, object] = {}
 
+_FIXTURE = dict(n_hosts=2, listing_pages=2, details_per_page=3,
+                hosts_with_robots=1)
+_BUDGET = 4
+_ROUNDS = 8
+
 
 def _engine(spark: SparkSession):
     """One tiny end-to-end crawl per process (cached): fixture corpus, robots,
@@ -35,21 +40,54 @@ def _engine(spark: SparkSession):
         )
         from crawler_spark.engine.superstep import CrawlEngine
 
-        spec = CorpusSpec(n_hosts=2, listing_pages=2, details_per_page=3,
-                          hosts_with_robots=1)
+        spec = CorpusSpec(**_FIXTURE)
         eng = CrawlEngine(
             spark, tempfile.mkdtemp(prefix="crawl_store_"),
-            build_corpus(spec), robots_map(spec), per_host_budget=4,
+            build_corpus(spec), robots_map(spec), per_host_budget=_BUDGET,
         )
-        eng.run(seeds=seed_urls(spec), max_rounds=8)
+        eng.run(seeds=seed_urls(spec), max_rounds=_ROUNDS)
         _ENGINE_CACHE["eng"] = eng
     return _ENGINE_CACHE["eng"]
 
 
+def _sim(spark: SparkSession):
+    """The single-threaded reference simulator over the SAME fixture — the
+    in-query expectation the engine entries hard-gate against."""
+    if "sim" not in _ENGINE_CACHE:
+        from crawler_spark.engine.corpus import (
+            CorpusSpec,
+            build_corpus,
+            robots_map,
+            seed_urls,
+        )
+        from crawler_spark.engine.simulator import simulate
+
+        spec = CorpusSpec(**_FIXTURE)
+        _ENGINE_CACHE["sim"] = simulate(
+            build_corpus(spec), robots_map(spec), seed_urls(spec),
+            per_host_budget=_BUDGET, max_rounds=_ROUNDS,
+        )
+    return _ENGINE_CACHE["sim"]
+
+
 def q_frontier_crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the crawled pages table after a full fixture crawl —
-    deterministic order columns included (the simulator-checked invariant)."""
+    """HARD-GATED rows check (was rows-only): before returning the crawled
+    pages table, the query re-runs the single-threaded simulator on the
+    same fixture and asserts the engine's (round, host, fetch_order, url)
+    crawl order is IDENTICAL — a drifted engine raises in-query, so the
+    driver records err instead of a green row count. The comparison is a
+    fixture-scale driver action (a few hundred tuples), not a production
+    path."""
     eng = _engine(spark)
+    sim = _sim(spark)
+    got = eng.crawl_order()
+    want = sorted(sim.crawl_order)
+    if got != want:
+        raise AssertionError(
+            f"engine crawl order diverged from simulator: {len(got)} vs "
+            f"{len(want)} rows; first diff: "
+            f"{next((a, b) for a, b in zip(got, want) if a != b)}"
+        )
     return (
         eng.store.read(spark, "pages")
         .select("url_hash", "url_norm", "host", "content_sha256",
@@ -59,9 +97,16 @@ def q_frontier_crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frontier_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: per-round fetch/parse/dedup metrics from the snapshot
-    manifest (the lineage + metrics requirement)."""
+    """HARD-GATED rows check (was rows-only): per-round fetch/parse/dedup
+    metrics from the snapshot manifest, gated in-query against the
+    simulator's replay of the same fixture — per-round n_fetched/n_ok must
+    match the simulator's attempt/success streams exactly, and the dlq /
+    retry totals its decision lists. A metrics regression raises, turning
+    the driver row red (err) instead of silently green."""
+    from collections import Counter
+
     eng = _engine(spark)
+    sim = _sim(spark)
     rows = [
         (
             int(m["round"]),
@@ -77,6 +122,22 @@ def q_frontier_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in eng.store.round_metrics()
         if m.get("n_selected") is not None
     ]
+    want_fetched = Counter(r for (r, _, _, _) in sim.fetch_attempts)
+    want_ok = Counter(r for (r, _, _, _) in sim.crawl_order)
+    for (rnd, _sel, n_fetched, n_ok, *_rest) in rows:
+        if n_fetched != want_fetched.get(rnd, 0) or n_ok != want_ok.get(rnd, 0):
+            raise AssertionError(
+                f"round {rnd} metrics diverged from simulator: "
+                f"fetched {n_fetched} vs {want_fetched.get(rnd, 0)}, "
+                f"ok {n_ok} vs {want_ok.get(rnd, 0)}"
+            )
+    n_retry_total = sum(r[7] for r in rows)
+    n_dlq_total = sum(r[8] for r in rows)
+    if n_retry_total != len(sim.retries) or n_dlq_total != len(sim.dlq):
+        raise AssertionError(
+            f"retry/dlq totals diverged: retries {n_retry_total} vs "
+            f"{len(sim.retries)}, dlq {n_dlq_total} vs {len(sim.dlq)}"
+        )
     return spark.createDataFrame(
         rows,
         "round int, n_selected int, n_fetched int, n_ok int, n_new_urls int,"
