@@ -821,6 +821,14 @@ class SnapshotStore:
         (shared storage on a cluster) before the manifest flips."""
         return os.path.join(self.root, "_blobs", f"snap-{round_no:05d}")
 
+    def blob_fold_dir_for(self, round_no: int) -> str:
+        """Where a round's staggered shard-cohort FOLD element lives —
+        separate from the delta dir so per-round delta bytes stay an exact
+        measure of the round's fresh keys (the byte gates) while the fold
+        carries the cohort's full membership + `full-<s>` markers. The
+        `snap-` prefix keeps it under remove_orphans' jurisdiction."""
+        return os.path.join(self.root, "_blobs", f"snap-{round_no:05d}-fold")
+
     def commit_round(
         self,
         round_no: int,

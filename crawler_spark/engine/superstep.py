@@ -48,6 +48,7 @@ from crawler_spark.operators.dedup import first_by_order
 from crawler_spark.operators.frontier import per_host_budget_selection
 from crawler_spark.operators.seenset import (
     seen_filter_pipeline_files,
+    trim_blob_chain,
     update_seen_shards,
 )
 from crawler_spark.sources.fetch import fetch_against_corpus
@@ -310,7 +311,7 @@ class CrawlEngine:
         out_dir = self.store.blob_dir_for(-1)
         update_seen_shards(
             seen, blob_dir=None, n_shards=N_SHARDS, out_dir=out_dir,
-            with_exact=True,
+            with_exact=True, full_markers=True,
         ).collect()  # tiny (shard, n_items) stat rows only
         self.store.commit_round(
             -1,
@@ -456,7 +457,7 @@ class CrawlEngine:
         # the expiring cohort as tombstone pair files)
         rebuild = (
             enq_chain is None
-            or len(enq_chain) >= self.REBUILD_EVERY
+            or len(enq_chain) >= 3 * self.REBUILD_EVERY
         )
         if rebuild:
             # fresh store OR expired blobs: authoritative rebuild from the
@@ -470,6 +471,7 @@ class CrawlEngine:
             update_seen_shards(
                 base.select("host", "url_hash"), blob_dir=None,
                 n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                full_markers=True,
             ).collect()
             blob_chain = [out_dir]
         elif self.ttl_rounds is not None:
@@ -482,7 +484,7 @@ class CrawlEngine:
                 deletes=ttl_deletes, n_shards=N_SHARDS, out_dir=out_dir,
                 with_exact=True, delta_build=True,
             ).collect()
-            blob_chain = enq_chain + [out_dir]
+            blob_chain = trim_blob_chain(enq_chain + [out_dir], N_SHARDS)
         else:
             # n_fresh > 0 here: permanent-mode n_fresh == 0 with no TTL
             # deletes already took the metrics-only early return above
@@ -491,7 +493,7 @@ class CrawlEngine:
                 n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
                 delta_build=True,
             ).collect()
-            blob_chain = enq_chain + [out_dir]
+            blob_chain = trim_blob_chain(enq_chain + [out_dir], N_SHARDS)
         if not fresh_store and n_fresh == 0:
             # TTL retirement only: blob-dir commit with no table writes
             entry = self.store.commit_round(
@@ -820,11 +822,11 @@ class CrawlEngine:
                 prev = self.store.latest_blob_chain()
                 if prev is not None and idle_dels.limit(1).count() > 0:
                     out_dir = self.store.blob_dir_for(round_no)
-                    if len(prev) >= self.REBUILD_EVERY:
+                    if len(prev) >= 3 * self.REBUILD_EVERY:
                         # chain-length backstop: an idle streak can append
                         # one tombstone delta per populated cohort; fold to
                         # a fresh base once the fan-in bound is hit (same
-                        # contract as the active-round compaction)
+                        # contract as the active-round backstop)
                         update_seen_shards(
                             seen.filter(
                                 F.col("seen_round")
@@ -832,6 +834,7 @@ class CrawlEngine:
                             ).select("host", "url_hash"),
                             blob_dir=None, n_shards=N_SHARDS,
                             out_dir=out_dir, with_exact=True,
+                            full_markers=True,
                         ).collect()
                         blob_kw["blob_chain"] = [out_dir]
                     else:
@@ -843,7 +846,9 @@ class CrawlEngine:
                             out_dir=out_dir, with_exact=True,
                             delta_build=True,
                         ).collect()
-                        blob_kw["blob_chain"] = prev + [out_dir]
+                        blob_kw["blob_chain"] = trim_blob_chain(
+                            prev + [out_dir], N_SHARDS
+                        )
                     blob_kw["blob_dir"] = out_dir
             entry = self.store.commit_round(
                 round_no, {},
@@ -1417,50 +1422,71 @@ class CrawlEngine:
         # regardless of crawl age for EVERY table. The remaining full-write
         # exceptions are TTL mode only: seen (row-level expiry) + pages
         # (latest-wins MERGE), both native row-level ops on real Iceberg.
-        # On the shard-rebuild cadence every table compacts to a full
-        # snapshot, bounding chain length to REBUILD_EVERY files per table
-        # (rewrite_data_files analogue). The chain-length trigger is the
-        # backstop: enqueue_seeds and drain rounds consume round numbers
-        # without compacting, so the modulo slot alone could be skipped
-        # for a full cadence — the bound must hold on the CHAIN, not the
-        # round number. The FILTER store compacts on the same flag: a
-        # missing/over-long blob chain forces it exactly like the frontier's.
-        compaction = (
-            round_no % self.REBUILD_EVERY == self.REBUILD_EVERY - 1
-            or self.store.chain_length("frontier") >= self.REBUILD_EVERY
-            or prev_chain is None
-            or len(prev_chain) >= self.REBUILD_EVERY
-            # the standing template table is a chain like any other: bound
-            # its length even when compaction slots land on quiet rounds
-            or (
-                self.trap_max_urls is not None
-                and self.store.chain_length("url_templates")
-                >= self.REBUILD_EVERY
-            )
-            # the change-stats table is a chain like url_templates: bound it
-            or (
-                self.adaptive_ttl is not None
-                and self.store.chain_length("change_stats")
-                >= self.REBUILD_EVERY
-            )
-        )
+        #
+        # STAGGERED compaction (rewrite_data_files spread over rounds):
+        # folding every chain on the modulo round made that round's wall
+        # time O(store) while its neighbours wrote O(delta). Instead each
+        # round folds at most ONE table chain (the longest; chains <= 1
+        # have nothing to fold) and ONE cohort of filter shards
+        # (least-recently-folded, tracked by `full-<s>` markers in the
+        # chain elements), so per-round maintenance is O(store /
+        # REBUILD_EVERY) and max-round wall ~= median. The chain-length
+        # backstop is unchanged in spirit: any table chain reaching
+        # REBUILD_EVERY folds THIS round regardless of rotation (quiet
+        # rounds can starve a slot; the bound holds on the chain itself).
+        rotation = ["frontier", "pages", "fetch_log", "dlq", "retry_history"]
+        if self.ttl_rounds is None:
+            # TTL mode rewrites seen (row expiry) + pages (latest-wins
+            # MERGE) in full every round — nothing to rotate there
+            rotation.insert(1, "seen")
+        if (
+            self.trap_max_urls is not None
+            and self.store.table_path("url_templates") is not None
+        ):
+            rotation.append("url_templates")
+        if (
+            self.adaptive_ttl is not None
+            and self.store.table_path("change_stats") is not None
+        ):
+            rotation.append("change_stats")
+        chain_lens = {t: self.store.chain_length(t) for t in rotation}
+        # the forced-fold bound must exceed the rotation length or the
+        # one-per-round cadence can't keep up and every table hits the
+        # backstop in the same round — the exact mass-fold spike staggering
+        # removes. In steady state chains cycle 1..len(rotation) and at
+        # most one table per round touches the bound.
+        fold_bound = max(self.REBUILD_EVERY, len(rotation) + 1)
+        fold_tables = {
+            t for t, n in chain_lens.items() if n >= fold_bound
+        }
+        if not fold_tables:
+            longest = max(rotation, key=lambda t: chain_lens[t])
+            if chain_lens[longest] > 1:
+                fold_tables = {longest}
         # driver action 3: shard maintenance. BOTH modes append a DELTA blob
         # dir holding only this round's fresh keys (merge-on-read chain,
         # newest-first probe walk) — per-round blob IO is O(delta), not
         # O(|filter store|). TTL deltas additionally carry the expiring
         # cohort as immutable `tomb-<s>` tombstone pair files (probe
         # resolves a tombstoned key definitely-unseen), so TTL's per-round
-        # write is O(fresh + cohort), never O(active window) — the old
-        # in-place full-shard rewrite was the last standing-state-sized
-        # per-round cost. On compaction rounds a full rebuild from the
-        # exact seen table re-sizes the blooms, folds tombstones away, and
-        # resets the chain to one base.
+        # write is O(fresh + cohort), never O(active window). Alongside the
+        # delta, the round writes a FOLD element rebuilding one shard
+        # cohort (1/REBUILD_EVERY of the store) from the seen table with
+        # authoritative `full-<s>` markers; trim_blob_chain drops elements
+        # older than full marker coverage, so the chain stays bounded —
+        # steady state is 2*REBUILD_EVERY elements (one fold + one delta
+        # per round, trimmed at cohort coverage); the full-rebuild
+        # backstop sits ABOVE that (3*REBUILD_EVERY) so it only fires for
+        # genuinely starved chains (enqueue-only streaks), never on the
+        # steady-state cadence — no periodic O(store) blob round.
         # prev_chain None with a non-empty seen table (e.g. an external
-        # actor expired every blob dir) lands in compaction: building from
-        # this round's fresh keys alone and committing them as
-        # authoritative would break the seen-set invariant.
+        # actor expired every blob dir) forces the one remaining full
+        # rebuild: building from this round's fresh keys alone and
+        # committing them as authoritative would break the seen-set
+        # invariant. An over-long chain (folds starved by enqueue-only
+        # rounds) is the other full-rebuild backstop.
         out_dir = self.store.blob_dir_for(round_no)
-        if compaction:
+        if prev_chain is None or len(prev_chain) >= 3 * self.REBUILD_EVERY:
             base = (
                 next_seen.filter(
                     F.col("seen_round") >= round_no + 1 - self.ttl_rounds
@@ -1471,41 +1497,66 @@ class CrawlEngine:
             update_seen_shards(
                 base.select("host", "url_hash"), blob_dir=None,
                 n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                full_markers=True,
             ).collect()
             blob_chain = [out_dir]
-        elif self.ttl_rounds is not None:
-            deletes = seen.filter(
-                F.col("seen_round") == round_no - self.ttl_rounds
-            ).select("host", "url_hash")
-            has_dels = deletes.limit(1).count() > 0
-            if metrics["n_new_urls"] == 0 and not has_dels:
-                # nothing fresh, nothing expiring: an empty delta would
-                # grow the chain (and probe fan-in) for no membership change
-                blob_chain = prev_chain
+        else:
+            from crawler_spark.operators.seenset import with_shard_and_key
+
+            # (a) the staggered cohort fold: full membership of the
+            # least-recently-folded cohort, as of round START (this round's
+            # fresh keys stay in the newer delta element)
+            cohort = self._next_fold_cohort(prev_chain)
+            fold_dir = self.store.blob_fold_dir_for(round_no)
+            fold_src = (
+                seen.filter(
+                    F.col("seen_round") >= round_no + 1 - self.ttl_rounds
+                )
+                if self.ttl_rounds is not None
+                else seen
+            )
+            fold_src = (
+                with_shard_and_key(fold_src, n_shards=N_SHARDS)
+                .filter(F.col("shard").isin(cohort))
+                .select("host", "url_hash")
+            )
+            update_seen_shards(
+                fold_src, blob_dir=None, n_shards=N_SHARDS,
+                out_dir=fold_dir, with_exact=True, delta_build=True,
+                full_markers=True, shards=cohort,
+            ).collect()
+            chain = prev_chain + [fold_dir]
+            # (b) the round's delta element (fresh keys + TTL tombstones)
+            if self.ttl_rounds is not None:
+                deletes = seen.filter(
+                    F.col("seen_round") == round_no - self.ttl_rounds
+                ).select("host", "url_hash")
+                has_dels = deletes.limit(1).count() > 0
+                if metrics["n_new_urls"] == 0 and not has_dels:
+                    out_dir = None
+                else:
+                    update_seen_shards(
+                        fresh.select("host", "url_hash"), blob_dir=None,
+                        deletes=deletes if has_dels else None,
+                        n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
+                        delta_build=True,
+                    ).collect()
+                    chain = chain + [out_dir]
+            elif metrics["n_new_urls"] == 0:
+                # nothing fresh: an empty delta would grow the chain (and
+                # the probe fan-in) without adding any membership
                 out_dir = None
             else:
                 update_seen_shards(
                     fresh.select("host", "url_hash"), blob_dir=None,
-                    deletes=deletes if has_dels else None,
                     n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
                     delta_build=True,
                 ).collect()
-                blob_chain = prev_chain + [out_dir]
-        elif metrics["n_new_urls"] == 0:
-            # nothing fresh: appending an empty delta would grow the chain
-            # (and the probe fan-in) without adding any membership
-            blob_chain = prev_chain
-            out_dir = None
-        else:
-            update_seen_shards(
-                fresh.select("host", "url_hash"), blob_dir=None,
-                n_shards=N_SHARDS, out_dir=out_dir, with_exact=True,
-                delta_build=True,
-            ).collect()
-            blob_chain = prev_chain + [out_dir]
+                chain = chain + [out_dir]
+            blob_chain = trim_blob_chain(chain, N_SHARDS)
         full: dict[str, DataFrame] = {}
         delta: dict[str, DataFrame] = {}
-        if compaction:
+        if "frontier" in fold_tables:
             # resolve the merge-on-read chains to one full snapshot + empty
             # delete set (rewrite_data_files + delete-file compaction)
             full["frontier"] = next_frontier
@@ -1547,11 +1598,11 @@ class CrawlEngine:
                     metrics["n_due"] - metrics["n_selected"]
                     + metrics["n_retry"] + metrics["n_new_urls"],
                 )
-                if compaction
+                if "frontier" in fold_tables
                 else max(1, metrics["n_retry"] + metrics["n_new_urls"])
             ),
             "frontier_dels": (
-                1 if compaction
+                1 if "frontier" in fold_tables
                 else max(1, metrics["n_selected"] + metrics["n_robots_excluded"])
             ),
             "seen": prev_rows["seen"] + metrics["n_new_urls"],
@@ -1560,28 +1611,34 @@ class CrawlEngine:
             "fetch_log": prev_rows["fetch_log"] + metrics["n_fetched"],
             "retry_history": prev_rows["retry_history"] + n_failed,
         }
-        if self.ttl_rounds is not None or compaction:
+        if self.ttl_rounds is not None or "seen" in fold_tables:
             full["seen"] = next_seen
-            full["pages"] = next_pages
         else:
             delta["seen"] = seen_delta
-            delta["pages"] = new_pages
             hints["seen"] = metrics["n_new_urls"]
+        if self.ttl_rounds is not None or "pages" in fold_tables:
+            full["pages"] = next_pages
+        else:
+            delta["pages"] = new_pages
             hints["pages"] = metrics["n_ok"]
-        if compaction:
+        if "dlq" in fold_tables:
             full["dlq"] = dlq.unionByName(to_dlq)
+        else:
+            delta["dlq"] = to_dlq
+            hints["dlq"] = metrics["n_dlq"]
+        if "fetch_log" in fold_tables:
             full["fetch_log"] = fetch_log.unionByName(log_delta)
+        else:
+            delta["fetch_log"] = log_delta
+            hints["fetch_log"] = metrics["n_fetched"]
+        if "retry_history" in fold_tables:
             prev_hist = self.store.read(spark, "retry_history")
             full["retry_history"] = (
                 prev_hist.unionByName(new_history)
                 if prev_hist is not None else new_history
             )
         else:
-            delta["dlq"] = to_dlq
-            delta["fetch_log"] = log_delta
             delta["retry_history"] = new_history
-            hints["dlq"] = metrics["n_dlq"]
-            hints["fetch_log"] = metrics["n_fetched"]
             hints["retry_history"] = n_failed
         if self.trap_max_urls is not None:
             # standing template counts: one O(#templates-in-delta) append per
@@ -1597,7 +1654,7 @@ class CrawlEngine:
                 else None
             )
             prev_exists = self.store.table_path("url_templates") is not None
-            if compaction and prev_exists:
+            if "url_templates" in fold_tables and prev_exists:
                 prev_tmpl = self.store.read(spark, "url_templates")
                 merged = (
                     prev_tmpl.unionByName(tmpl_delta)
@@ -1630,7 +1687,7 @@ class CrawlEngine:
             n_rev = metrics.get("n_revisits", 0)
             cs_delta = obs_delta if n_rev > 0 else None
             prev_cs = self.store.table_path("change_stats") is not None
-            if compaction and prev_cs:
+            if "change_stats" in fold_tables and prev_cs:
                 prev_stats = self.store.read(spark, "change_stats")
                 merged = (
                     prev_stats.unionByName(cs_delta)
@@ -1777,6 +1834,29 @@ class CrawlEngine:
                 f"{name}() is a driver-collect reporting path and must never "
                 "run inside run_round() — use the snapshot tables instead"
             )
+
+    def _next_fold_cohort(self, chain: list[str]) -> list[int]:
+        """The least-recently-folded shard cohort (shards s with s %
+        REBUILD_EVERY == c), derived statelessly from the chain's
+        `full-<s>` markers: for each cohort, the newest element index that
+        marked it; the cohort whose newest marker is oldest folds next.
+        Robust to round-number gaps (enqueue/drain rounds consume numbers
+        without folding), unlike a round-modulo slot."""
+        import os as _os
+
+        k = self.REBUILD_EVERY
+        age = {c: -1 for c in range(k)}
+        for i, d in enumerate(chain):  # oldest .. newest
+            try:
+                names = _os.listdir(d)
+            except OSError:
+                continue
+            for f in names:
+                if f.startswith("full-"):
+                    c = int(f[5:]) % k
+                    age[c] = max(age[c], i)
+        cohort_id = min(age, key=lambda c: (age[c], c))
+        return [s for s in range(N_SHARDS) if s % k == cohort_id]
 
     def crawl_order(self) -> list[tuple[int, str, int, str]]:
         """(round, host, fetch_order, url_norm) for every successfully

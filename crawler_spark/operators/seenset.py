@@ -421,12 +421,40 @@ def probe_seen_files(
                     idx = np.flatnonzero(todo)
                     hits[idx[sub]] = True
                     resolved[idx[sub]] = True
+                    if os.path.exists(os.path.join(d, f"full-{int(s)}")):
+                        # this element is AUTHORITATIVE for shard s (full
+                        # rebuild or staggered cohort fold): older elements
+                        # hold only superseded copies — stop; still-
+                        # unresolved keys are definitely unseen
+                        break
                 out[m] = hits
             pdf = pdf.copy()
             pdf["maybe_seen"] = out
             yield pdf
 
     return routed.repartition(n_shards, "shard").mapInPandas(_probe, schema)
+
+
+def trim_blob_chain(chain: list[str], n_shards: int = 64) -> list[str]:
+    """Drop chain elements older than full-marker coverage: walking newest
+    to oldest, once every shard has seen a ``full-<s>`` marker the probe can
+    never consult anything older (the marker stops its walk), so those
+    elements are dead weight — trimming them is what keeps the staggered
+    per-cohort fold's chain bounded without a global compaction round."""
+    covered: set[int] = set()
+    kept: list[str] = []
+    for d in reversed(chain):
+        kept.append(d)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            names = []
+        covered.update(
+            int(f[5:]) for f in names if f.startswith("full-")
+        )
+        if len(covered) >= n_shards:
+            break
+    return list(reversed(kept))
 
 
 def update_seen_shards(
@@ -441,6 +469,8 @@ def update_seen_shards(
     out_dir: str | None = None,
     with_exact: bool = False,
     delta_build: bool = False,
+    full_markers: bool = False,
+    shards: list[int] | None = None,
 ) -> DataFrame:
     """INCREMENTAL shard maintenance: per shard, load the previous round's
     blobs from ``blob_dir`` (None == build fresh), add the new keys, delete
@@ -454,6 +484,16 @@ def update_seen_shards(
     anti-join shuffle against the seen table. Deletes remove pairs, so
     under TTL the file tracks the active window on the same cadence as the
     cuckoo layer.
+
+    ``full_markers=True`` additionally writes an empty ``full-<s>`` MARKER
+    file per emitted shard, declaring this element AUTHORITATIVE for that
+    shard: the chain probe stops its newest-first walk at the marker (an
+    unresolved key is then definitely unseen for that shard). Full rebuilds
+    mark every shard; the staggered per-cohort fold elements
+    (``shards=[...]`` restricts the build to the cohort — carrier rows and
+    all) mark only their cohort, which is what lets compaction spread
+    1/REBUILD_EVERY of the store per round instead of spiking all of it on
+    the modulo round.
 
     ``delta_build=True`` with ``deletes`` is the TTL merge-on-read shape:
     instead of mutating any previous blob (there is none — ``blob_dir`` must
@@ -502,26 +542,39 @@ def update_seen_shards(
     parts = [_routed(adds, 1)]
     if deletes is not None:
         parts.append(_routed(deletes, -1))
-    # carrier rows: every shard appears even with no delta this round.
-    # filter_key is 0, NOT NULL — a null would make Arrow hand pandas a
-    # float64 column and silently corrupt full-range 64-bit keys (> 2^53).
+    # carrier rows: every shard (or every shard of the restricted cohort)
+    # appears even with no delta this round. filter_key is 0, NOT NULL — a
+    # null would make Arrow hand pandas a float64 column and silently
+    # corrupt full-range 64-bit keys (> 2^53).
     carrier_cols = [
         F.col("id").cast("int").alias("shard"),
         F.lit(0).cast("long").alias("filter_key"),
     ]
     if with_exact:
         carrier_cols.append(F.lit(0).cast("long").alias("verify_key"))
-    parts.append(
-        spark.range(n_shards).select(*carrier_cols, F.lit(0).alias("op"))
+    carrier_src = (
+        spark.range(n_shards)
+        if shards is None
+        else spark.createDataFrame([(int(s),) for s in shards], "id long")
     )
+    parts.append(carrier_src.select(*carrier_cols, F.lit(0).alias("op")))
     routed = parts[0]
     for p in parts[1:]:
         routed = routed.unionByName(p)
+
+    shard_set = frozenset(int(s) for s in shards) if shards is not None else None
 
     def _update(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         shard = int(pdf["shard"].iloc[0])
+        if shard_set is not None and shard not in shard_set:
+            # a row routed outside the declared cohort means the caller's
+            # source filter and the shard routing disagree — failing loudly
+            # beats silently committing an unmarked partial shard
+            raise RuntimeError(
+                f"shard {shard} outside the declared cohort {sorted(shard_set)}"
+            )
         real = pdf[pdf["op"] != 0]
         add_keys = (
             real.loc[real["op"] == 1, "filter_key"]
@@ -658,6 +711,11 @@ def update_seen_shards(
                         os.path.join(out_dir, f"tomb-{shard}"), "wb"
                     ) as fh:
                         fh.write(tomb_blob)
+            if full_markers:
+                # authoritative-for-this-shard marker: the probe's chain
+                # walk stops here for shard s (see probe_seen_files)
+                with open(os.path.join(out_dir, f"full-{shard}"), "wb"):
+                    pass
             bloom_blob = cuckoo_blob = None  # stats only back to the driver
         return pd.DataFrame(
             {

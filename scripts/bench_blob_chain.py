@@ -78,11 +78,16 @@ def main() -> None:
             if not bd:
                 continue
             total, pairs, tombs = _dir_stats(bd)
+            fold_dir = eng.store.blob_fold_dir_for(r["round"])
+            fold_bytes = (
+                _dir_stats(fold_dir)[0] if os.path.isdir(fold_dir) else 0
+            )
             store_bytes = sum(_dir_stats(d)[0] for d in chain)
             print(json.dumps({
                 "round": r["round"],
                 "mode": "base" if len(chain) == 1 else "delta",
                 "written_bytes": total,
+                "fold_bytes": fold_bytes,  # staggered 1/REBUILD_EVERY cohort
                 "exact_pairs_written": pairs,
                 "tomb_pairs_written": tombs,
                 "chain_len": len(chain),

@@ -128,9 +128,19 @@ class TestEngineChains:
         rounds = engine.store.manifest()["rounds"]
         chains = [r["blob_chain"] for r in rounds if r.get("blob_chain")]
         assert chains, "no chain commits recorded"
-        assert all(len(c) <= engine.REBUILD_EVERY for c in chains)
+        # staggered folding appends up to TWO elements per round (cohort
+        # fold + delta) and trim_blob_chain keeps elements back to full
+        # marker coverage, so the steady-state bound is 2*REBUILD_EVERY —
+        # the fan-in the probe-flatness bench measured flat
+        assert all(len(c) <= 2 * engine.REBUILD_EVERY for c in chains)
         # delta mode actually exercised (some chain grew past the base)
         assert any(len(c) > 1 for c in chains)
+        # the staggered fold actually trims: late chains must not retain
+        # the bootstrap base once cohort folds cover every shard
+        base = chains[0][0]
+        assert any(base not in c for c in chains[-3:]), (
+            "trim never dropped the bootstrap base — fold coverage broken"
+        )
 
     def test_delta_dirs_hold_only_the_rounds_fresh_keys(self, engine):
         """Per-round blob bytes scale with the round's fresh keys, not the

@@ -144,7 +144,9 @@ class TestTTLByteGate:
         rounds = engine.store.manifest()["rounds"]
         chains = [r["blob_chain"] for r in rounds if r.get("blob_chain")]
         assert chains
-        assert all(len(c) <= engine.REBUILD_EVERY for c in chains)
+        # up to two elements per round (staggered cohort fold + delta),
+        # trimmed back to full marker coverage — see test_seen_chain
+        assert all(len(c) <= 2 * engine.REBUILD_EVERY for c in chains)
         # TTL delta mode actually exercised (chain grew past the base)
         assert any(len(c) > 1 for c in chains), (
             "TTL rounds must append delta elements, not rewrite in place"
