@@ -533,6 +533,75 @@ class SnapshotStore:
         _, io = self._pruned_chain_paths(chain, predicates)
         return io
 
+    # ------------------------------------------------ read-side merge policy
+
+    def set_read_policy(
+        self, table: str, keys: list[str], order_cols: list[str]
+    ) -> None:
+        """Register a LATEST-WINS read policy for `table` (the Iceberg
+        MERGE INTO analogue read-side): chain deltas may carry newer
+        VERSIONS of existing keys (e.g. TTL re-crawled pages), and read()
+        resolves one row per key — greatest `order_cols` (descending,
+        newest chain element first) wins. Persisted in the manifest so any
+        reader of the store resolves identically. Idempotent."""
+        man = self.manifest()
+        pol = man.setdefault("read_policies", {})
+        want = {"keys": list(keys), "order": list(order_cols)}
+        if pol.get(table) != want:
+            pol[table] = want
+            self._flip_manifest(man)
+
+    def _latest_wins_window(self, policy: dict):
+        from pyspark.sql import Window
+
+        return Window.partitionBy(*policy["keys"]).orderBy(
+            *[F.col(c).desc() for c in policy["order"]]
+        )
+
+    def _resolve_latest_wins_chain(
+        self, spark: SparkSession, chain: list[tuple[int, dict]], policy: dict
+    ) -> DataFrame:
+        """Latest-wins resolution WITHOUT shuffling the base: walk chain
+        elements newest-first; each element dedups within itself (a window
+        over that element only — delta-sized), then anti-joins the keys
+        already claimed by newer elements (broadcast — the claimed set is
+        bounded by the rounds-since-fold delta volume, the same budget
+        argument as the frontier's equality-delete broadcast). The terminal
+        full snapshot is engine-resolved (unique keys) so it skips the
+        in-element window and never shuffles; order across elements needs
+        no tiebreak because a round's delta only carries that round's
+        order-column values."""
+        keys = policy["keys"]
+        w = self._latest_wins_window(policy)
+        # oldest-first element list: folded base_paths, then chain paths
+        elements: list[tuple[str, bool]] = []  # (path, known_unique)
+        for p in chain[-1][1].get("base_paths", []):
+            elements.append((p, False))
+        for _, info in reversed(chain):
+            elements.append(
+                (info["path"], info.get("mode", "full") != "delta")
+            )
+        out = None
+        claimed = None
+        for path, unique in reversed(elements):  # newest-first
+            el = spark.read.option("mergeSchema", "true").parquet(path)
+            if not unique:
+                el = (
+                    el.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            if claimed is not None:
+                el = el.join(F.broadcast(claimed), keys, "left_anti")
+            out = (
+                el
+                if out is None
+                else out.unionByName(el, allowMissingColumns=True)
+            )
+            k = el.select(*keys)
+            claimed = k if claimed is None else claimed.unionByName(k)
+        return out
+
     def _resolve_read(
         self,
         spark: SparkSession,
@@ -548,7 +617,25 @@ class SnapshotStore:
         all_paths = self._chain_paths(chain)
         if not all_paths:
             return None
+        policy = (
+            self.manifest().get("read_policies", {}).get(table)
+            if resolve
+            else None
+        )
         if prune:
+            if policy is not None:
+                bad = [c for c, _, _ in prune if c not in policy["keys"]]
+                if bad:
+                    # pruning on a non-key column is not version-preserving
+                    # for a latest-wins table: a file holding the WINNING
+                    # version of a key could be skipped while an older
+                    # version's file survives the predicate — the read
+                    # would resolve to stale data. Keys are safe (every
+                    # file holding the key is kept).
+                    raise ValueError(
+                        f"prune on non-key columns {bad} is unsafe for "
+                        f"latest-wins table {table!r}"
+                    )
             paths, _ = self._pruned_chain_paths(chain, prune)
             if not paths:
                 # every file provably excluded: an empty frame with the
@@ -560,6 +647,10 @@ class SnapshotStore:
                 )
         else:
             paths = all_paths
+            if policy is not None and len(paths) > 1:
+                # unpruned latest-wins read: per-element resolution, base
+                # never shuffles (see _resolve_latest_wins_chain)
+                return self._resolve_latest_wins_chain(spark, chain, policy)
         # mergeSchema: a chain may mix schema versions (add-column evolution
         # — e.g. pre-depth full base + post-upgrade deltas); without it the
         # reader picks one file's schema and silently DROPS the new column
@@ -568,6 +659,20 @@ class SnapshotStore:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if prune:
             df = self._align_pruned_schema(df, chain)
+            if policy is not None and len(all_paths) > 1:
+                # pruned latest-wins read: the kept file set is small (the
+                # whole point of pruning), so a plain window resolves it —
+                # and pruning is key-preserving for equality/bloom prune on
+                # the policy keys (every file holding the key is kept), so
+                # the winning version is always present
+                df = (
+                    df.withColumn(
+                        "__rn",
+                        F.row_number().over(self._latest_wins_window(policy)),
+                    )
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
         dels_name = self.MERGE_ON_READ.get(table)
         if resolve and dels_name is not None:
             dels_chain = self._live_chain(rounds, dels_name)
@@ -682,6 +787,18 @@ class SnapshotStore:
         df = spark.read.option("mergeSchema", "true").parquet(
             *list(reversed(paths))
         )
+        policy = self.manifest().get("read_policies", {}).get(table)
+        if resolve and policy is not None and len(paths) > 1:
+            # time travel is a reporting path: the plain window resolution
+            # is fine here (no per-round hot loop to keep shuffle-free)
+            df = (
+                df.withColumn(
+                    "__rn",
+                    F.row_number().over(self._latest_wins_window(policy)),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         dels_name = self.MERGE_ON_READ.get(table)
         if resolve and dels_name is not None:
             # the delete keys AS OF the same round — recursing through

@@ -216,6 +216,18 @@ class CrawlEngine:
         self.budget = per_host_budget
         self.user_agent = user_agent
         self.ttl_rounds = ttl_rounds
+        if ttl_rounds is not None:
+            # TTL re-crawls REPLACE page rows (Q1 latest-wins MERGE); with
+            # the read policy registered, pages commit O(new pages) deltas
+            # and every reader resolves one latest row per key — the same
+            # merge-on-read treatment the frontier got, ending the last
+            # corpus-sized per-round table rewrite in TTL mode. Precedence
+            # matches merge_latest_wins (fetched_round desc, fetch_order
+            # desc; cross-round ties impossible — a round's delta only
+            # carries its own fetched_round).
+            self.store.set_read_policy(
+                "pages", ["host", "url_hash"], ["fetched_round", "fetch_order"]
+            )
         self.selector_configs = selector_configs or {}
         self.hot_host_threshold = hot_host_threshold
         self.n_salts = n_salts
@@ -1417,11 +1429,14 @@ class CrawlEngine:
             metrics["n_adaptive_deferred"] = int(stats["n_adaptive_deferred"])
             metrics["n_revisits"] = int(stats["n_revisits"])
         # Iceberg-style commit: append-only tables write ONLY this round's
-        # delta (fast-append) and the frontier commits merge-on-read (adds
-        # delta + equality-delete keys) — per-round IO is O(delta)
-        # regardless of crawl age for EVERY table. The remaining full-write
-        # exceptions are TTL mode only: seen (row-level expiry) + pages
-        # (latest-wins MERGE), both native row-level ops on real Iceberg.
+        # delta (fast-append), the frontier commits merge-on-read (adds
+        # delta + equality-delete keys), and TTL-mode pages commit
+        # merge-on-read too (version-append deltas + the latest-wins read
+        # policy) — per-round IO is O(delta) regardless of crawl age for
+        # EVERY corpus-sized table. The one remaining full write is TTL
+        # mode's seen table (row-level expiry): it is WINDOW-bounded by
+        # construction, and on real Iceberg it is a row-delete touching
+        # matched files only.
         #
         # STAGGERED compaction (rewrite_data_files spread over rounds):
         # folding every chain on the modulo round made that round's wall
@@ -1436,8 +1451,11 @@ class CrawlEngine:
         # rounds can starve a slot; the bound holds on the chain itself).
         rotation = ["frontier", "pages", "fetch_log", "dlq", "retry_history"]
         if self.ttl_rounds is None:
-            # TTL mode rewrites seen (row expiry) + pages (latest-wins
-            # MERGE) in full every round — nothing to rotate there
+            # TTL mode rewrites seen (row-level expiry — the table is
+            # WINDOW-bounded so the write is O(window), and on real Iceberg
+            # it is a row-delete touching matched files; pages, by
+            # contrast, is corpus-sized and now rides the latest-wins read
+            # policy) in full every round — nothing to rotate there
             rotation.insert(1, "seen")
         if (
             self.trap_max_urls is not None
@@ -1616,9 +1634,14 @@ class CrawlEngine:
         else:
             delta["seen"] = seen_delta
             hints["seen"] = metrics["n_new_urls"]
-        if self.ttl_rounds is not None or "pages" in fold_tables:
+        if "pages" in fold_tables:
+            # fold resolves the latest-wins chain to one row per key (TTL)
+            # or concatenates the appends (permanent) — next_pages is the
+            # policy-resolved read + this round's delta either way
             full["pages"] = next_pages
         else:
+            # TTL included: re-crawled rows APPEND a newer version; the
+            # read policy resolves latest-wins, the rotation fold compacts
             delta["pages"] = new_pages
             hints["pages"] = metrics["n_ok"]
         if "dlq" in fold_tables:
