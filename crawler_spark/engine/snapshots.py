@@ -1130,6 +1130,14 @@ class SnapshotStore:
         paths = [info["path"] for info in entry["tables"].values()]
         if entry.get("blob_dir"):
             paths.append(entry["blob_dir"])
+        # the round's staggered cohort FOLD element (snap-NNNNN-fold) is
+        # referenced only via blob_chain but written by THIS round — a
+        # vetoed/superseded staged round must release it like its delta
+        # dir, or repeated vetoed audits strand fold dirs until a
+        # remove_orphans pass
+        for d in entry.get("blob_chain") or []:
+            if d.endswith(f"snap-{entry['round']:05d}-fold"):
+                paths.append(d)
         return paths
 
     def _release_entry_dirs(self, man: dict[str, Any], entry: dict[str, Any]) -> int:

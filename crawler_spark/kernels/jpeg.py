@@ -38,7 +38,12 @@ import struct
 
 import numpy as np
 
-MAX_PIXELS_DEFAULT = 1 << 26  # mirrors multimodal.MAX_DECODE_PIXELS
+# Tighter than multimodal.MAX_DECODE_PIXELS (1<<26): this decoder's working
+# set is several float64 planes plus per-block coefficient arrays built in
+# Python loops, so a ceiling-sized baseline JPEG costs GBs of transient
+# allocations and minutes of scan decode — 16 Mpixel (~4096x4096, larger
+# than any sane crawled photo) bounds both memory and CPU per image.
+MAX_PIXELS_DEFAULT = 1 << 24
 
 # zigzag scan order: ZIGZAG[k] = flat (row-major) index of the k-th
 # coefficient in scan order (T.81 Figure A.6, derived procedurally — walk
@@ -593,7 +598,11 @@ def _decode_scan(frame, scan_comps, qtables, huff, segments, restart_interval):
                         raise ValueError("AC run past end of block")
                     zz[k] = _extend(reader.read_bits(size), size)
                     k += 1
-                coef[ci].append(zz * q)
+                # zz holds SCAN-order coefficients; q is NATURAL-order —
+                # dequantize with the table permuted into scan order
+                # (multiplying by q directly only cancels out for uniform
+                # tables, which is exactly what hid this in round-trips)
+                coef[ci].append(zz * q[ZIGZAG])
     for ci, (hs, vs) in enumerate(order):
         blocks = np.array(coef[ci], dtype=np.float64)[:, UNZIGZAG].reshape(
             -1, 8, 8

@@ -132,6 +132,23 @@ def _real_decode(doc_id: int, ref: str, payload: bytes, n_features: int) -> dict
     elif payload[:2] == b"BM":
         w, h, _, px = decode_bmp_bytes(payload)
         nc = 3
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, channels, _bits, samples = decode_wav_bytes(payload)
+        # audio maps onto the image-shaped contract as (n_samples x 1 x
+        # channels); features = normalized 16-bin amplitude histogram
+        hist, _ = np.histogram(
+            samples.astype(np.float64), bins=n_features,
+            range=(-32768, 32768),
+        )
+        feats = (hist / max(samples.size, 1)).astype(float)
+        return {
+            "doc_id": doc_id,
+            "media_ref": ref,
+            "width": int(len(samples)),
+            "height": 1,
+            "n_channels": int(channels),
+            "features": [float(v) for v in feats],
+        }
     else:
         return None
     flat = px.reshape(-1).astype(np.float64)
@@ -154,15 +171,24 @@ def decode_media(
     ref_col: str = "media_ref",
     n_features: int = 16,
     fake: bool = False,
+    errors: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (one pass, no shuffle).
 
-    fake=False runs the REAL from-scratch codecs (JPEG/PNG/GIF/BMP — see
-    kernels/jpeg.py and the codecs below) and raises NotImplementedError
-    only for formats that genuinely need external libraries (video frames
-    via ffmpeg). fake=True keeps the deterministic digest-derived stand-in
-    for schema/plumbing tests.
-    """
+    fake=False runs the REAL from-scratch codecs (JPEG/PNG/GIF/BMP/WAV —
+    see kernels/jpeg.py and the codecs below) and raises
+    NotImplementedError only for formats that genuinely need external
+    libraries (video frames via ffmpeg). fake=True keeps the deterministic
+    digest-derived stand-in for schema/plumbing tests.
+
+    ``errors``: 'raise' (default — a corrupt/unknown payload fails the
+    stage, the right contract for curated fixtures) or 'null' — the
+    PRODUCTION contract for crawled media, where one hostile or
+    progressive-encoded image among millions must not kill the job: the
+    failing row keeps its identity columns with null dims/features and the
+    pipeline filters or quarantines downstream."""
+    if errors not in ("raise", "null"):
+        raise ValueError("errors must be 'raise' or 'null'")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,15 +200,28 @@ def decode_media(
             else:
                 rows = []
                 for r in pdf.to_dict("records"):
-                    out = _real_decode(
-                        r[id_col], r[ref_col], r[payload_col], n_features
-                    )
-                    if out is None:
-                        raise NotImplementedError(
-                            "unrecognized media format: real decode covers "
-                            "JPEG/PNG/GIF/BMP; video frame extraction needs "
-                            "ffmpeg (not in this container)"
+                    try:
+                        out = _real_decode(
+                            r[id_col], r[ref_col], r[payload_col], n_features
                         )
+                        if out is None:
+                            raise NotImplementedError(
+                                "unrecognized media format: real decode "
+                                "covers JPEG/PNG/GIF/BMP/WAV; video frame "
+                                "extraction needs ffmpeg (not in this "
+                                "container)"
+                            )
+                    except Exception:
+                        if errors == "raise":
+                            raise
+                        out = {
+                            "doc_id": r[id_col],
+                            "media_ref": r[ref_col],
+                            "width": None,
+                            "height": None,
+                            "n_channels": None,
+                            "features": None,
+                        }
                     rows.append(out)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
@@ -321,6 +360,9 @@ def decode_bmp_bytes(payload: bytes):
         raise ValueError(f"only 24-bit BMP supported, got {bpp}")
     bottom_up = height > 0
     height = abs(height)
+    # same attacker-controlled-header guard as PNG/GIF/JPEG: a negative or
+    # huge i32 dimension must fail loudly, not reshape into empty/garbage
+    _check_decode_dims(width, height, "BMP")
     row_bytes = width * 3
     stride = row_bytes + ((-row_bytes) % 4)
     raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height,

@@ -83,10 +83,13 @@ def q_frontier_crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = eng.crawl_order()
     want = sorted(sim.crawl_order)
     if got != want:
+        diff = next(
+            ((a, b) for a, b in zip(got, want) if a != b),
+            "(length-only divergence)",  # prefix case: zip finds no pair
+        )
         raise AssertionError(
             f"engine crawl order diverged from simulator: {len(got)} vs "
-            f"{len(want)} rows; first diff: "
-            f"{next((a, b) for a, b in zip(got, want) if a != b)}"
+            f"{len(want)} rows; first diff: {diff}"
         )
     return (
         eng.store.read(spark, "pages")

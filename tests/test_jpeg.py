@@ -205,3 +205,20 @@ def test_decode_media_real_dispatch(spark):
     with pytest.raises(Exception) as ei:
         decode_media(bad, fake=False).collect()
     assert "NotImplementedError" in str(ei.value)
+
+
+def test_non_uniform_qtable_roundtrip():
+    """Review finding: dequantization multiplied SCAN-order coefficients by
+    the NATURAL-order table — exact for uniform tables (every prior test),
+    garbage (err 255) for the non-uniform tables every real-world JPEG
+    uses. Error must be bounded by the quantization steps."""
+    rng = np.random.default_rng(3)
+    q = np.ones(64, dtype=np.int64)
+    q[1], q[8], q[9], q[35] = 11, 99, 24, 40
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    w, h, nc, px = decode_jpeg_bytes(encode_jpeg(img, q))
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 60
+    # and a constant block still round-trips exactly (DC-only; qDC=1)
+    vals = rng.integers(0, 256, (2, 2))
+    cimg = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(decode_jpeg_bytes(encode_jpeg(cimg, q))[3], cimg)

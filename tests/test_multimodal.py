@@ -409,3 +409,64 @@ def test_decode_gif_dataframe(spark):
     r = decode_gif(df).collect()[0]
     assert (r["width"], r["height"], r["n_colors"]) == (2, 2, 256)
     assert r["mean_r"] == 10.0 and r["mean_g"] == 20.0 and r["mean_b"] == 30.0
+
+
+def test_real_decode_wav_dispatch(spark):
+    """Review finding: the real-decode dispatcher documented WAV but had no
+    RIFF/WAVE branch — audio in a mixed media table raised
+    NotImplementedError despite the in-repo codec."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_media, encode_wav
+
+    samples = ((np.arange(64) * 7919) % 65536 - 32768).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, "/a.wav", bytearray(encode_wav(16000, samples)))],
+        "doc_id long, media_ref string, payload binary",
+    )
+    r = decode_media(df, fake=False).head()
+    assert (r.width, r.height, r.n_channels) == (64, 1, 1)
+    assert abs(sum(r.features) - 1.0) < 1e-6
+
+
+def test_real_decode_errors_null_isolates_rows(spark):
+    """Review finding: one hostile payload among millions must not kill the
+    stage — errors='null' degrades the failing row to null dims/features
+    while good rows decode."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import decode_media, encode_png
+
+    y, x = np.mgrid[0:4, 0:6]
+    good = encode_png(
+        6, 4, np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256], -1
+                       ).astype(np.uint8)
+    )
+    rows = [
+        (1, "/good.png", bytearray(good)),
+        (2, "/trunc.png", bytearray(good[:20])),   # corrupt known format
+        (3, "/video.mp4", bytearray(b"\x00\x00\x00 ftypmp42--")),  # unknown
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_ref string, payload binary"
+    ).coalesce(1)
+    out = {r.doc_id: r for r in decode_media(df, fake=False, errors="null").collect()}
+    assert (out[1].width, out[1].height) == (6, 4)
+    assert out[2].width is None and out[2].features is None
+    assert out[3].width is None
+    # default stays fail-fast
+    with pytest.raises(Exception):
+        decode_media(df, fake=False).collect()
+
+
+def test_bmp_rejects_nonpositive_dims():
+    """Review finding: BMP skipped the decode-dims guard — a negative i32
+    width reshaped into garbage instead of raising."""
+    import struct
+
+    from crawler_spark.operators.multimodal import decode_bmp_bytes, encode_bmp
+
+    good = bytearray(encode_bmp(4, 3, __import__("numpy").zeros((3, 4, 3), dtype="uint8")))
+    struct.pack_into("<i", good, 18, -1)
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_bmp_bytes(bytes(good))
