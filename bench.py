@@ -88,6 +88,8 @@ HEADLINE = [
     "recrawl_schedule",
     # r04 additions: real baseline JFIF codec
     "multimodal_decode_jpg",
+    # r05 additions: real box resample, MP4 metadata, JSON-LD extraction
+    "multimodal_resample",
 ]
 
 

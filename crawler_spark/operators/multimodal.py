@@ -9,9 +9,11 @@ The Spark-side plumbing — schemas, mapInPandas batch shape, partition
 behavior — is real and tested, and so are the image/audio codecs: BMP, WAV,
 PNG, GIF (below) and baseline JFIF JPEG (kernels/jpeg.py) are decoded
 from-scratch with stdlib + numpy. `decode_media(fake=False)` dispatches to
-them by magic bytes; the remaining honest stubs are video frame extraction
-(ffmpeg) and pixel resampling (PIL), which raise NotImplementedError unless
-`fake=True` substitutes the deterministic sha-derived contract stand-in.
+them by magic bytes, and `resize_media(fake=False)` runs a REAL exact
+area-average pixel resample over the decoded planes (numpy integer weight
+matrices — see resample_plane; the r04 PIL stub is gone). The remaining
+honest stub is video FRAME extraction (ffmpeg); MP4 container metadata is
+parsed for real by the ISO-BMFF box walk further down.
 
 Scale notes: payloads ride Arrow record batches — cap
 `spark.sql.execution.arrow.maxRecordsPerBatch` (and/or pre-repartition by
@@ -240,31 +242,155 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+RESAMPLED_SCHEMA = T.StructType(
+    RESIZED_SCHEMA.fields
+    + [
+        T.StructField("out_mean_c0", T.DoubleType()),
+        T.StructField("out_mean_c1", T.DoubleType()),
+        T.StructField("out_mean_c2", T.DoubleType()),
+    ]
+)
+
+
+def box_weights(n_in: int, n_out: int):
+    """Integer overlap weights for an exact area-average (box) resample of
+    n_in source cells onto n_out output cells, shape (n_out, n_in).
+
+    Working in coordinates scaled by n_out, output cell i spans
+    [i*n_in, (i+1)*n_in) and source cell s spans [s*n_out, (s+1)*n_out); the
+    weight is the (integer) overlap length, so each output row sums to
+    exactly n_in and the weighted pixel sums stay in int64 — no float
+    accumulation, which is what lets the SQL oracle replay the resample
+    bit-exactly. Covers downsample AND upsample (partial-overlap weights)."""
+    import numpy as np
+
+    i = np.arange(n_out, dtype=np.int64)[:, None]
+    s = np.arange(n_in, dtype=np.int64)[None, :]
+    lo = np.maximum(i * n_in, s * n_out)
+    hi = np.minimum((i + 1) * n_in, (s + 1) * n_out)
+    return np.maximum(hi - lo, 0)
+
+
+def resample_plane(px, out_w: int, out_h: int):
+    """Exact area-average resample of an (h, w, c) uint8 plane to
+    (out_h, out_w, c) float64 — the from-scratch replacement for the former
+    PIL stub: ~15 lines of integer weight matrices + tensordot. Each output
+    pixel is the area-weighted mean of the source pixels its back-projected
+    box covers (PIL's Image.resize(..., BOX) semantics)."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[0], px.shape[1]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    wy = box_weights(h, out_h)          # (out_h, h), rows sum to h
+    wx = box_weights(w, out_w)          # (out_w, w), rows sum to w
+    # integer numerator: out_num[i, j, c] = sum_y sum_x wy[i,y]*wx[j,x]*px
+    num = np.tensordot(wy, np.tensordot(px.astype(np.int64), wx.T, axes=([1], [0])),
+                       axes=([1], [0]))          # (out_h, c, out_w) -> fix axes
+    num = np.swapaxes(num, 1, 2)                 # (out_h, out_w, c)
+    return num.astype(np.float64) / (w * h)
+
+
+def fit_box(width: int, height: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a target x target box: longest edge ->
+    target, floor division, min 1."""
+    longest = max(width, height)
+    return (max(1, width * target // longest), max(1, height * target // longest))
+
+
 def resize_media(
-    decoded: DataFrame, target: int = 64, fake: bool = False
+    df: DataFrame,
+    target: int = 64,
+    fake: bool = False,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Image-resize plumbing over decoded rows: aspect-preserving fit into a
-    target x target box (longest edge -> target, floor, min 1). The pixel
-    resample itself is the stubbed codec step (PIL on a real cluster); the
-    dimension arithmetic, batch shape, and schema are real. mapInPandas,
-    shuffle-free."""
+    """Image resize: aspect-preserving fit into a target x target box
+    (longest edge -> target, floor, min 1), then a REAL exact area-average
+    (box) pixel resample — numpy integer weight matrices, no PIL/cv2 (the
+    former stub is gone; see resample_plane).
 
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    fake=False (the real path) takes rows with a raw ``payload_col`` binary
+    column, decodes via the from-scratch codecs (JPEG/PNG/GIF/BMP), resamples,
+    and emits per-channel means of the RESAMPLED image in stored channel
+    order — computed from the exact integer numerators so the SQL oracle can
+    replay them. fake=True keeps the r03 dims-only arithmetic contract over
+    already-decoded (doc_id, media_ref, width, height) rows.
+
+    mapInPandas, shuffle-free either way; pixel data never leaves the task."""
+
+    if fake:
+
+        def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                longest = pdf[["width", "height"]].max(axis=1)
+                out_w = (pdf["width"] * target // longest).clip(lower=1).astype("int32")
+                out_h = (pdf["height"] * target // longest).clip(lower=1).astype("int32")
+                out = pdf[["doc_id", "media_ref", "width", "height"]].copy()
+                out["out_width"] = out_w
+                out["out_height"] = out_h
+                yield out
+
+        return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resample needs PIL/cv2 (not in this container); "
-                    "run with fake=True for the arithmetic-only contract"
+            rows = []
+            for r in pdf.to_dict("records"):
+                payload = bytes(r[payload_col] or b"")
+                w, h, px = _decode_pixels(payload)
+                out_w, out_h = fit_box(w, h, target)
+                wy, wx = box_weights(h, out_h), box_weights(w, out_w)
+                num = np.tensordot(
+                    wy, np.tensordot(px.astype(np.int64), wx.T, axes=([1], [0])),
+                    axes=([1], [0]),
+                )  # (out_h, c, out_w), exact int64
+                # channel means of the resampled image from the integer
+                # totals: one double division, replayable in SQL
+                denom = float(w * h * out_w * out_h)
+                totals = num.sum(axis=(0, 2))
+                rows.append(
+                    {
+                        "doc_id": r[id_col],
+                        "media_ref": r.get("media_ref"),
+                        "width": w,
+                        "height": h,
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "out_mean_c0": float(totals[0]) / denom,
+                        "out_mean_c1": float(totals[1]) / denom if len(totals) > 1 else None,
+                        "out_mean_c2": float(totals[2]) / denom if len(totals) > 2 else None,
+                    }
                 )
-            longest = pdf[["width", "height"]].max(axis=1)
-            out_w = (pdf["width"] * target // longest).clip(lower=1).astype("int32")
-            out_h = (pdf["height"] * target // longest).clip(lower=1).astype("int32")
-            out = pdf[["doc_id", "media_ref", "width", "height"]].copy()
-            out["out_width"] = out_w
-            out["out_height"] = out_h
-            yield out
+            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLED_SCHEMA.fields])
 
-    return decoded.mapInPandas(_resize, RESIZED_SCHEMA)
+    return df.mapInPandas(_resample, RESAMPLED_SCHEMA)
+
+
+def _decode_pixels(payload: bytes):
+    """Magic-byte dispatch to the from-scratch image codecs -> (w, h,
+    (h, w, c) uint8 plane in the codec's stored channel order)."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from crawler_spark.kernels.jpeg import decode_jpeg_bytes
+
+        w, h, _nc, px = decode_jpeg_bytes(payload)
+    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+        w, h, _, px = decode_png_bytes(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, _, px = decode_gif_bytes(payload)
+    elif payload[:2] == b"BM":
+        w, h, _, px = decode_bmp_bytes(payload)
+    else:
+        raise ValueError("unrecognized image payload (JPEG/PNG/GIF/BMP supported)")
+    import numpy as np
+
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    return w, h, px
 
 
 def frame_sample_plan(

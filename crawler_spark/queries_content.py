@@ -1628,6 +1628,85 @@ FROM dims
 """
 
 
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resample end-to-end (the r04 PIL stub is gone): a genuine
+    24-bit BMP is encoded per doc (same pixel formula as the BMP decode
+    oracle), decoded by the spec-driven BMP parser, area-average (box)
+    resampled into a 3x3 fit box by integer weight matrices
+    (operators/multimodal.py resample_plane), and the per-channel means of
+    the RESAMPLED image are emitted. Both up- and downsampling occur across
+    the fixture dims (w 2..7, h 1..5 -> out dims 1..3). The oracle replays
+    the exact integer overlap-weight formula in SQL — a resample that
+    misweights partial overlaps, flips axes, or averages in float fails the
+    hash. Channel order is BMP stored order (BGR = c0,c1,c2)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import encode_bmp, resize_media
+
+    @F.pandas_udf(T.BinaryType())
+    def bmp_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            w, h = 2 + did % 6, 1 + did % 5
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (did + 3 * x + 7 * y) % 256,
+                    (2 * did + 5 * x + 11 * y) % 256,
+                    (3 * did + x + 13 * y) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(encode_bmp(w, h, px))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", bmp_payload(F.col("doc_id")).alias("payload")
+    )
+    out = resize_media(docs, target=3, fake=False)
+    return out.select(
+        "doc_id", "width", "height", "out_width", "out_height",
+        F.round("out_mean_c0", 4).alias("out_mean_c0"),
+        F.round("out_mean_c1", 4).alias("out_mean_c1"),
+        F.round("out_mean_c2", 4).alias("out_mean_c2"),
+    )
+
+
+O_MULTIMODAL_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 6 AS w, 1 + doc_id % 5 AS h,
+         greatest(1, (2 + doc_id % 6) * 3 // greatest(2 + doc_id % 6, 1 + doc_id % 5)) AS ow,
+         greatest(1, (1 + doc_id % 5) * 3 // greatest(2 + doc_id % 6, 1 + doc_id % 5)) AS oh
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, ow, oh,
+         greatest(0, least((gi.i + 1) * h, (gy.y + 1) * oh) - greatest(gi.i * h, gy.y * oh))
+           * greatest(0, least((gj.j + 1) * w, (gx.x + 1) * ow) - greatest(gj.j * w, gx.x * ow))
+           AS wt,
+         (doc_id + 3*gx.x + 7*gy.y) % 256 AS c0,
+         (2*doc_id + 5*gx.x + 11*gy.y) % 256 AS c1,
+         (3*doc_id + gx.x + 13*gy.y) % 256 AS c2
+  FROM d,
+       LATERAL unnest(generate_series(0, CAST(oh - 1 AS INT))) AS gi(i),
+       LATERAL unnest(generate_series(0, CAST(ow - 1 AS INT))) AS gj(j),
+       LATERAL unnest(generate_series(0, CAST(h - 1 AS INT))) AS gy(y),
+       LATERAL unnest(generate_series(0, CAST(w - 1 AS INT))) AS gx(x)
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(any_value(ow) AS INT) AS out_width,
+       CAST(any_value(oh) AS INT) AS out_height,
+       round(CAST(sum(wt * c0) AS DOUBLE) / (any_value(w) * any_value(h) * any_value(ow) * any_value(oh)), 4) AS out_mean_c0,
+       round(CAST(sum(wt * c1) AS DOUBLE) / (any_value(w) * any_value(h) * any_value(ow) * any_value(oh)), 4) AS out_mean_c1,
+       round(CAST(sum(wt * c2) AS DOUBLE) / (any_value(w) * any_value(h) * any_value(ow) * any_value(oh)), 4) AS out_mean_c2
+FROM cells GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-driven frame count, every-10th
     index exploded to rows (the per-frame decode is the stubbed codec)."""
@@ -2686,6 +2765,7 @@ QUERIES = {
     "xpath_extract": q_xpath_extract,
     "content_normalize": q_content_normalize,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_resample": q_multimodal_resample,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -2731,6 +2811,7 @@ ORACLES = {
     "xpath_extract": O_XPATH_EXTRACT,
     "content_normalize": O_CONTENT_NORMALIZE,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
+    "multimodal_resample": O_MULTIMODAL_RESAMPLE,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,

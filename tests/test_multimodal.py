@@ -470,3 +470,74 @@ def test_bmp_rejects_nonpositive_dims():
     struct.pack_into("<i", good, 18, -1)
     with pytest.raises(ValueError, match="non-positive"):
         decode_bmp_bytes(bytes(good))
+
+
+# ---------------------------------------------------------- real resample
+
+def test_box_weights_exact():
+    """Integer overlap weights: rows sum to n_in; upsample 2->3 has the
+    half-overlap middle row; downsample 4->2 is pure 2:1 binning."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import box_weights
+
+    assert (box_weights(2, 3) == np.array([[2, 0], [1, 1], [0, 2]])).all()
+    assert (box_weights(4, 2) == np.array([[2, 2, 0, 0], [0, 0, 2, 2]])).all()
+    for n_in, n_out in [(7, 3), (3, 7), (5, 5), (1, 4)]:
+        w = box_weights(n_in, n_out)
+        assert w.shape == (n_out, n_in)
+        assert (w.sum(axis=1) == n_in).all()
+
+
+def test_resample_plane_matches_bruteforce_area_average():
+    """The exact area-average against a float brute force over back-projected
+    boxes — catches axis flips, misweighted partial overlaps, off-by-ones."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import resample_plane
+
+    rng = np.random.default_rng(7)
+    for (h, w, oh, ow) in [(5, 7, 2, 3), (2, 2, 3, 3), (6, 4, 6, 4), (1, 9, 1, 2)]:
+        a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = resample_plane(a, ow, oh)[:, :, 0]
+        sy, sx = h / oh, w / ow
+        for i in range(oh):
+            for j in range(ow):
+                tot = wsum = 0.0
+                for y in range(h):
+                    for x in range(w):
+                        oy = max(0.0, min((i + 1) * sy, y + 1) - max(i * sy, y))
+                        ox = max(0.0, min((j + 1) * sx, x + 1) - max(j * sx, x))
+                        tot += oy * ox * float(a[y, x])
+                        wsum += oy * ox
+                assert abs(got[i, j] - tot / wsum) < 1e-9
+
+
+def test_resize_media_real_pixels(spark):
+    """resize_media(fake=False) end-to-end over a real encoded BMP: decode,
+    fit-box dims, and resampled channel means equal the integer-numerator
+    formula (no PIL, no stub)."""
+    import numpy as np
+
+    from crawler_spark.operators.multimodal import (
+        box_weights,
+        encode_bmp,
+        fit_box,
+        resize_media,
+    )
+
+    h, w = 5, 7
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(3 * x + 7 * y) % 256, (5 * x + 11 * y) % 256,
+                   (x + 13 * y) % 256], axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(w, h, px)))], "doc_id long, payload binary"
+    )
+    row = resize_media(df, target=3, fake=False).collect()[0]
+    ow, oh = fit_box(w, h, 3)
+    assert (row.width, row.height, row.out_width, row.out_height) == (w, h, ow, oh)
+    wy, wx = box_weights(h, oh), box_weights(w, ow)
+    for c, got in enumerate([row.out_mean_c0, row.out_mean_c1, row.out_mean_c2]):
+        num = (wy[:, :, None, None] * wx[None, None, :, :]
+               * px[None, :, None, :, c].astype(np.int64)).sum()
+        assert got == num / (w * h * ow * oh)
