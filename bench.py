@@ -90,6 +90,7 @@ HEADLINE = [
     "multimodal_decode_jpg",
     # r05 additions: real box resample, MP4 metadata, JSON-LD extraction
     "multimodal_resample",
+    "multimodal_video_meta",
 ]
 
 

@@ -1072,3 +1072,184 @@ def decode_jpeg(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(_run, JPEG_DECODED_SCHEMA)
+
+
+# -------------------------------------------------- MP4 / ISO-BMFF metadata
+#
+# The honest half of the video stub: frame EXTRACTION genuinely needs ffmpeg,
+# but width/height/duration/track-count live in the ISO-BMFF (MPEG-4 Part 12)
+# `moov` box tree — `mvhd` for timescale+duration, one `tkhd` per `trak` for
+# track dims — parseable with stdlib struct in the same bounds-checked style
+# as the WARC/BMP walks. Reference: the crawler stores video blobs opaquely
+# (storage.py is format-blind); metadata parity here is against the published
+# ISO/IEC 14496-12 box layout.
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+# hostile-input caps, same philosophy as MAX_DECODE_PIXELS: an attacker-
+# controlled size field must never drive an unbounded loop or allocation
+MAX_MP4_BOXES = 10_000
+MAX_MP4_DEPTH = 8
+
+
+def _mp4_box(size: int, btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I4s", size, btype) + body
+
+
+def encode_mp4_meta(
+    brand: bytes,
+    timescale: int,
+    duration: int,
+    track_dims: list[tuple[int, int]],
+    wide_mvhd: bool = False,
+) -> bytes:
+    """Constructive ISO-BMFF fixture encoder: ftyp + moov(mvhd + trak(tkhd)*).
+    wide_mvhd=True writes a version-1 mvhd (64-bit duration) so the parser's
+    version branch is exercised. Dims are 16.16 fixed point, per spec."""
+    import struct
+
+    ftyp_body = brand + struct.pack(">I", 0) + brand
+    ftyp = _mp4_box(8 + len(ftyp_body), b"ftyp", ftyp_body)
+    if wide_mvhd:
+        mvhd_body = (
+            struct.pack(">B3s", 1, b"\x00\x00\x00")
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">ih", 0x00010000, 0x0100) + b"\x00" * 10
+            + b"\x00" * 36 + b"\x00" * 24
+            + struct.pack(">I", len(track_dims) + 1)
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">B3s", 0, b"\x00\x00\x00")
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">ih", 0x00010000, 0x0100) + b"\x00" * 10
+            + b"\x00" * 36 + b"\x00" * 24
+            + struct.pack(">I", len(track_dims) + 1)
+        )
+    mvhd = _mp4_box(8 + len(mvhd_body), b"mvhd", mvhd_body)
+    traks = b""
+    for tid, (w, h) in enumerate(track_dims, start=1):
+        tkhd_body = (
+            struct.pack(">B3s", 0, b"\x00\x00\x07")
+            + struct.pack(">IIII", 0, 0, tid, 0)
+            + struct.pack(">I", min(duration, 0xFFFFFFFF)) + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        tkhd = _mp4_box(8 + len(tkhd_body), b"tkhd", tkhd_body)
+        traks += _mp4_box(8 + len(tkhd), b"trak", tkhd)
+    moov = _mp4_box(8 + len(mvhd) + len(traks), b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int, depth: int, budget: list):
+    """Yield (type, body_start, body_end) for each box in [start, end).
+    Bounds-checked: size >= 8 (or the 64-bit largesize form, >= 16), boxes
+    may not overrun the parent, and a global box-count budget stops
+    pathological self-nesting payloads."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError(f"MP4 box count exceeds {MAX_MP4_BOXES}")
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # "to end of file" (top level only, per spec)
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"MP4 box {btype!r} size {size} overruns parent "
+                f"[{start},{end})"
+            )
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Parse ftyp brand + moov/mvhd timescale+duration + per-trak tkhd dims
+    from an ISO-BMFF stream. Returns brand, n_tracks, timescale, duration,
+    duration_ms (integer floor of duration*1000/timescale), and the max
+    track width/height (16.16 fixed -> integer pixels, floor)."""
+    import struct
+
+    payload = bytes(payload or b"")
+    budget = [MAX_MP4_BOXES]
+    brand, timescale, duration = None, None, None
+    n_tracks, width, height = 0, 0, 0
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal brand, timescale, duration, n_tracks, width, height
+        if depth > MAX_MP4_DEPTH:
+            raise ValueError(f"MP4 box nesting exceeds {MAX_MP4_DEPTH}")
+        for btype, b0, b1 in _walk_boxes(payload, start, end, depth, budget):
+            if btype == b"ftyp" and b1 - b0 >= 4:
+                brand = payload[b0 : b0 + 4].decode("ascii", "replace")
+            elif btype in (b"moov", b"trak"):
+                if btype == b"trak":
+                    n_tracks += 1
+                walk(b0, b1, depth + 1)
+            elif btype == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    timescale, duration = struct.unpack_from(">IQ", payload, b0 + 20)
+                else:
+                    timescale, duration = struct.unpack_from(">II", payload, b0 + 12)
+            elif btype == b"tkhd":
+                ver = payload[b0]
+                # width/height are the LAST 8 bytes of the tkhd body
+                w_fx, h_fx = struct.unpack_from(">II", payload, b1 - 8)
+                width = max(width, w_fx >> 16)
+                height = max(height, h_fx >> 16)
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp box)")
+    walk(0, len(payload), 0)
+    if timescale is None or timescale <= 0:
+        raise ValueError("missing or invalid mvhd timescale")
+    return {
+        "brand": brand,
+        "n_tracks": n_tracks,
+        "timescale": int(timescale),
+        "duration": int(duration),
+        "duration_ms": int(duration) * 1000 // int(timescale),
+        "width": int(width),
+        "height": int(height),
+    }
+
+
+def parse_mp4(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """MP4 metadata parse via mapInPandas (shuffle-free map stage)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_meta(bytes(payload))
+                rows.append({"doc_id": int(did), **m})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_META_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, MP4_META_SCHEMA)

@@ -1707,6 +1707,74 @@ FROM cells GROUP BY doc_id
 """
 
 
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata end-to-end (the honest half of the video
+    stub — frame extraction still needs ffmpeg, but dims/duration/track
+    count live in the ISO-BMFF box tree): a genuine MP4 ftyp+moov(mvhd+trak
+    (tkhd)*) stream is encoded per doc — every 5th doc gets a version-1
+    (64-bit duration) mvhd — and parsed back by the bounds-checked box walk
+    in operators/multimodal.py (parse_mp4_meta). The oracle re-derives
+    brand/track-count/timescale/duration/dims from the fixture formulas, so
+    a parser that misreads the mvhd version branch, the 16.16 fixed-point
+    dims, or the trak recursion fails the hash."""
+    from crawler_spark.operators.multimodal import encode_mp4_meta, parse_mp4
+
+    @F.pandas_udf(T.BinaryType())
+    def mp4_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            brand = b"isom" if did % 2 == 0 else b"mp42"
+            n_tracks = 1 + did % 3
+            dims = [
+                (16 * (1 + (did + t) % 20), 16 * (1 + (did + 2 * t) % 15))
+                for t in range(n_tracks)
+            ]
+            wide = did % 5 == 0
+            duration = 100000 + did * 37 + ((1 << 32) if wide else 0)
+            out.append(
+                encode_mp4_meta(
+                    brand, 1000 * (1 + did % 3), duration, dims, wide_mvhd=wide
+                )
+            )
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", mp4_payload(F.col("doc_id")).alias("payload")
+    )
+    return parse_mp4(docs)
+
+
+O_MULTIMODAL_VIDEO_META = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+         CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+         CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+         CAST(100000 + doc_id * 37
+              + CASE WHEN doc_id % 5 = 0 THEN 4294967296 ELSE 0 END
+              AS BIGINT) AS duration
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         16 * (1 + (doc_id + g.t) % 20) AS tw,
+         16 * (1 + (doc_id + 2 * g.t) % 15) AS th
+  FROM d, LATERAL unnest(generate_series(0, CAST(n_tracks - 1 AS INT))) AS g(t)
+)
+SELECT d.doc_id,
+       any_value(d.brand) AS brand,
+       any_value(d.n_tracks) AS n_tracks,
+       any_value(d.timescale) AS timescale,
+       any_value(d.duration) AS duration,
+       CAST(any_value(d.duration) * 1000 // any_value(d.timescale) AS BIGINT) AS duration_ms,
+       CAST(max(t.tw) AS INT) AS width,
+       CAST(max(t.th) AS INT) AS height
+FROM d JOIN t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-driven frame count, every-10th
     index exploded to rows (the per-frame decode is the stubbed codec)."""
@@ -2766,6 +2834,7 @@ QUERIES = {
     "content_normalize": q_content_normalize,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_resample": q_multimodal_resample,
+    "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -2812,6 +2881,7 @@ ORACLES = {
     "content_normalize": O_CONTENT_NORMALIZE,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
     "multimodal_resample": O_MULTIMODAL_RESAMPLE,
+    "multimodal_video_meta": O_MULTIMODAL_VIDEO_META,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,

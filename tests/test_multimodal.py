@@ -541,3 +541,71 @@ def test_resize_media_real_pixels(spark):
         num = (wy[:, :, None, None] * wx[None, None, :, :]
                * px[None, :, None, :, c].astype(np.int64)).sum()
         assert got == num / (w * h * ow * oh)
+
+
+# ------------------------------------------------------ MP4 metadata parse
+
+def test_mp4_meta_roundtrip_and_v1_mvhd():
+    """Box walk reads ftyp brand, mvhd timescale/duration (both version 0
+    and the 64-bit version 1 layout), counts traks, and converts the 16.16
+    fixed-point tkhd dims — max over tracks."""
+    from crawler_spark.operators.multimodal import encode_mp4_meta, parse_mp4_meta
+
+    m = parse_mp4_meta(encode_mp4_meta(b"isom", 1000, 5432, [(320, 240), (640, 360)]))
+    assert m == {"brand": "isom", "n_tracks": 2, "timescale": 1000,
+                 "duration": 5432, "duration_ms": 5432, "width": 640, "height": 360}
+    big = (1 << 32) + 90000
+    m1 = parse_mp4_meta(
+        encode_mp4_meta(b"mp42", 90000, big, [(1920, 1080)], wide_mvhd=True)
+    )
+    assert m1["duration"] == big and m1["duration_ms"] == big * 1000 // 90000
+    assert (m1["width"], m1["height"]) == (1920, 1080)
+
+
+def test_mp4_meta_hostile_inputs():
+    """Attacker-controlled size fields: overrunning box, sub-header size,
+    box-count bomb, nesting bomb, and non-MP4 magic all fail loudly before
+    any unbounded loop or allocation."""
+    import struct
+
+    import pytest as _pytest
+
+    from crawler_spark.operators.multimodal import (
+        MAX_MP4_BOXES,
+        encode_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    good = encode_mp4_meta(b"isom", 1000, 100, [(8, 8)])
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(good + struct.pack(">I4s", 1 << 30, b"free"))
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(good + struct.pack(">I4s", 4, b"free"))
+    with _pytest.raises(ValueError, match="ISO-BMFF"):
+        parse_mp4_meta(b"notanmp4file....")
+    # box-count bomb: ftyp + 10001 minimal 'free' boxes
+    bomb = good[:20] + struct.pack(">I4s", 8, b"free") * (MAX_MP4_BOXES + 1)
+    with _pytest.raises(ValueError, match="box count"):
+        parse_mp4_meta(bomb)
+    # nesting bomb: trak-in-trak 12 deep
+    inner = struct.pack(">I4s", 8, b"free")
+    for _ in range(12):
+        inner = struct.pack(">I4s", 8 + len(inner), b"trak") + inner
+    with _pytest.raises(ValueError, match="nesting"):
+        parse_mp4_meta(good[:20] + struct.pack(">I4s", 8 + len(inner), b"moov") + inner)
+
+
+def test_parse_mp4_dataframe(spark):
+    """parse_mp4 mapInPandas contract over two encoded containers."""
+    from crawler_spark.operators.multimodal import encode_mp4_meta, parse_mp4
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp4_meta(b"isom", 1000, 2000, [(64, 48)]))),
+            (2, bytearray(encode_mp4_meta(b"mp42", 600, 90, [(32, 32), (16, 64)]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in parse_mp4(df).collect()}
+    assert (got[1].width, got[1].height, got[1].duration_ms) == (64, 48, 2000)
+    assert (got[2].n_tracks, got[2].width, got[2].height, got[2].duration_ms) == (2, 32, 64, 150)
