@@ -91,6 +91,7 @@ HEADLINE = [
     # r05 additions: real box resample, MP4 metadata, JSON-LD extraction
     "multimodal_resample",
     "multimodal_video_meta",
+    "jsonld_extract",
 ]
 
 

@@ -109,6 +109,7 @@ class CrawlEngine:
         conditional_recrawl: bool = False,
         adaptive_ttl: int | None = None,
         domain_politeness: bool = False,
+        jsonld_extract: bool = False,
     ):
         """ttl_rounds: windowed URL-seen membership (the reference's 24 h
         Redis TTL, redis_cache.py:55-75 + settings.py:72-75, in round units):
@@ -255,6 +256,11 @@ class CrawlEngine:
             raise ValueError("adaptive_ttl must be >= 1 round")
         self.adaptive_ttl = adaptive_ttl
         self.domain_politeness = domain_politeness
+        # JSON-LD structured-data extraction alongside the selector map:
+        # every fetched page's <script type="application/ld+json"> blocks
+        # flattened (kernels/jsonld.py) into the pages table's jsonld_json
+        # column (same JSON-string shape as extracted_json)
+        self.jsonld_extract = jsonld_extract
         # log_feed: additionally append each round's fetch_log rows to an
         # append-only feed directory for live tailing via
         # streaming.crawl_stream.tail_fetch_log (the reference's WebSocket
@@ -664,6 +670,8 @@ class CrawlEngine:
             " fetched_round int, fetch_order int, raw_html string,"
             " extracted_json string"
         )
+        if self.jsonld_extract:
+            schema += ", jsonld_json string"
         if self.conditional_recrawl:
             # stored validator + link set for the 304 path
             schema += (
@@ -1080,6 +1088,15 @@ class CrawlEngine:
             F.col("content").alias("raw_html"),
             "extracted_json",
         ]
+        if self.jsonld_extract:
+            from crawler_spark.functions.selector_udfs import extract_jsonld
+
+            with_extract = extract_jsonld(with_extract, "content", out_col="__ld")
+            with_extract = with_extract.withColumn(
+                "jsonld_json",
+                F.when(F.size("__ld") > 0, F.to_json("__ld")),
+            ).drop("__ld")
+            page_cols += ["jsonld_json"]
         if self.conditional_recrawl:
             # persist the strong validator + link set WITH the page: the next
             # re-crawl's 304 check is a column read, and its link

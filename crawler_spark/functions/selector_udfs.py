@@ -114,3 +114,32 @@ def extract_json_by_host(
         return pd.Series(out)
 
     return df.withColumn(out_col, _extract(F.col(host_col), F.col(html_col)))
+
+
+JSONLD_ROW_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("block_idx", T.IntegerType()),
+            T.StructField("item_idx", T.IntegerType()),
+            T.StructField("item_type", T.StringType()),
+            T.StructField("field", T.StringType()),
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+
+
+def extract_jsonld(df: DataFrame, html_col: str, out_col: str = "jsonld") -> DataFrame:
+    """JSON-LD structured-data extraction (kernels/jsonld.py) as a vectorized
+    pandas UDF: one DOM build + json parse per page, rows of the flatten
+    contract as an array<struct> column. Map-only, no shuffle; explode
+    downstream for long-format rows."""
+
+    @pandas_udf(returnType=JSONLD_ROW_TYPE)
+    def _extract(html: pd.Series) -> pd.Series:
+        from crawler_spark.kernels.jsonld import flatten_jsonld
+
+        return pd.Series([flatten_jsonld(doc) for doc in html])
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))

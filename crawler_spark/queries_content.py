@@ -753,6 +753,95 @@ UNION ALL SELECT doc_id, 'hrefs', 1, '/files/' || ids || '_2.pdf' FROM d
 """
 
 
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data extraction (kernels/jsonld.py): every page
+    carries a schema.org node (LegalDocument/Article alternating) with a
+    nested author object, an int identifier, and a keyword array; every 3rd
+    page adds an @graph block with two items; every 4th page adds a BROKEN
+    block (`{broken`) that must be skipped without shifting extraction. The
+    real parser (tolerant DOM -> stdlib json -> deterministic flatten) runs
+    through the vectorized pandas UDF; the oracle reconstructs the expected
+    (block_idx, item_idx, item_type, field, idx, value) rows in SQL, so a
+    parser that drops nested paths, misorders list idx, mishandles non-string
+    scalars, or dies on the broken block fails the hash."""
+    from crawler_spark.functions.selector_udfs import extract_jsonld
+
+    docs = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    typ = F.when(F.col("doc_id") % 2 == 0, "LegalDocument").otherwise("Article")
+    block0 = F.concat(
+        F.lit('<script type="application/ld+json">{"@context":"https://schema.org",'
+              '"@type":"'), typ,
+        F.lit('","name":"Doc '), ids,
+        F.lit('","identifier":'), ids,
+        F.lit(',"datePublished":"2024-01-'), dd,
+        F.lit('","author":{"@type":"Organization","name":"Portal '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"},"keywords":["k'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('","k'), (F.col("doc_id") % 4 + 1).cast("string"),
+        F.lit('"]}</script>'),
+    )
+    block1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@graph":[{"@type":"WebPage",'
+                  '"url":"https://portal'), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".go.id/p/"), ids,
+            F.lit('"},{"@type":"BreadcrumbList","numberOfItems":'),
+            (F.col("doc_id") % 4 + 1).cast("string"),
+            F.lit("}]}</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<script type="application/ld+json">{broken</script>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), block0, block1, broken,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    out = extract_jsonld(docs.select("doc_id", html.alias("html")), "html")
+    return out.select("doc_id", F.explode("jsonld").alias("r")).select(
+        "doc_id", "r.block_idx", "r.item_idx", "r.item_type",
+        "r.field", "r.idx", "r.value",
+    )
+
+
+O_JSONLD_EXTRACT = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'LegalDocument' ELSE 'Article' END AS typ,
+         CAST(doc_id AS VARCHAR) AS ids,
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+  FROM documents
+),
+rows0 AS (
+  SELECT doc_id, 0 AS block_idx, 0 AS item_idx, typ AS item_type,
+         '@context' AS field, 0 AS idx, 'https://schema.org' AS value FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'name', 0, 'Doc ' || ids FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'identifier', 0, ids FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'datePublished', 0, '2024-01-' || dd FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'author.@type', 0, 'Organization' FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'author.name', 0,
+         'Portal ' || CAST(doc_id % 7 AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'keywords', 0,
+         'k' || CAST(doc_id % 3 AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, 0, 0, typ, 'keywords', 1,
+         'k' || CAST(doc_id % 4 + 1 AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, 1, 0, 'WebPage', 'url', 0,
+         'https://portal' || CAST(doc_id % 5 AS VARCHAR) || '.go.id/p/' || ids
+         FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 1, 1, 'BreadcrumbList', 'numberOfItems', 0,
+         CAST(doc_id % 4 + 1 AS VARCHAR) FROM d WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+       CAST(item_idx AS INT) AS item_idx, item_type, field,
+       CAST(idx AS INT) AS idx, value
+FROM rows0
+"""
+
+
 def q_content_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: the full ContentNormalizer pipeline (content_normalizer.py:
     37-97,122-186,278-397) over synthetic pages exercising every stage —
@@ -2832,6 +2921,7 @@ QUERIES = {
     "selector_extract": q_selector_extract,
     "xpath_extract": q_xpath_extract,
     "content_normalize": q_content_normalize,
+    "jsonld_extract": q_jsonld_extract,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_resample": q_multimodal_resample,
     "multimodal_video_meta": q_multimodal_video_meta,
@@ -2879,6 +2969,7 @@ ORACLES = {
     "selector_extract": O_SELECTOR_EXTRACT,
     "xpath_extract": O_XPATH_EXTRACT,
     "content_normalize": O_CONTENT_NORMALIZE,
+    "jsonld_extract": O_JSONLD_EXTRACT,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
     "multimodal_resample": O_MULTIMODAL_RESAMPLE,
     "multimodal_video_meta": O_MULTIMODAL_VIDEO_META,
