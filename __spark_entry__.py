@@ -34,61 +34,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green stalwarts go last. Names absent from the current registry are
 # skipped, so this list may lead the code by a round.
 _CHECK_FIRST = [
-    # --- r04 priority 1: the 7 entries NO driver board has ever reached
-    # (green in the r03 judge's own sf0.01 sweep, but the cross-round union
-    # needs a driver row — VERDICT r03 "Next round" item 2)
-    "request_retry",
-    "website_statistics",
-    "stratified_split",
-    "curation_pipeline",
-    "config_history_versions",
-    "dlq_stats_category",
-    "log_level_stats",
-    # --- r04 priority 2: implementation or oracle changed in r04
-    "multimodal_decode_jpg",      # new this round: real baseline JFIF codec
-    "browser_executor",           # static-DOM render layer replaced identity
-    "warc_ingest",                # header parse relaxed to WARC/1.1 "name:value"
-    "multimodal_decode_png",      # absolute pixel-ceiling guard added
-    "multimodal_decode_gif",      # absolute pixel-ceiling guard added
-    "seen_probe_exact",           # TTL-mode tombstone delta chain
-    "frontier_crawl_pages",       # hard-gated vs exported simulator tables
-    "frontier_round_metrics",     # hard-gated vs exported simulator tables
-    # --- r04 priority 3: newest r03 features with only one green row
-    "politeness_domain_group",
-    "recrawl_schedule",
-    "crawl_traps",
-    "host_circuit_breaker",
-    "sitemap_expand",
-    "conditional_recrawl",
-    "scheduled_job_tick",
-    "line_dedup",
-    "line_dedup_incremental",
-    "pii_scrub",
-    "scrape_batch",
-    "metrics_export",
-    "retry_failure_rates",
-    "log_trace_scan",
-    "content_normalize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "stream_window_counts",
-    "stream_dedup_counts",
-    "stream_host_budget",
-    "stream_span_extract",
-    "robots_gate",
-    "workflow_toposort",
-    "cron_next_run",
-    "retry_history",
-    "seed_outcomes",
-    "duplicate_groups_provenance",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "duplicate_components",
-    "api_executor",
-    "http_executor",
-    "config_merge",
-    "data_attr_extract",
-    "ann_ivf_train",
+    # --- r05 priority 1: new queries this round (real box resample, MP4
+    # metadata, JSON-LD extraction)
+    "multimodal_resample",
+    "multimodal_video_meta",
+    "jsonld_extract",
+    # --- r05 priority 2: everything reading the snapshot store — the TTL
+    # seen expiry floor, the file-level pages fold, and fold-ref pruning
+    # all changed the store's read/commit paths this round
+    "seen_probe_exact",
+    "frontier_crawl_pages",
+    "frontier_round_metrics",
+    "page_upsert",
+    "retention_expiry",
+    "log_range_scan",
+    # --- r05 priority 3: the r01/r02 stalwarts with no driver row in 2+
+    # rounds (cross-round union freshness — VERDICT r04 item 6)
+    "url_normalize_hash",
+    "url_seen_antijoin",
+    "priority_frontier",
+    "politeness_budget",
+    "politeness_pacing",
+    "http_classify",
+    "backoff_schedule",
+    "retry_routing",
+    "pagination_expand",
+    "stop_classify",
+    "hot_host_salting",
+    "global_rate_window",
+    "page_listing",
+    "topk_common_hashes",
+    "pagination_detect",
+    "json_extract",
+    "dlq_views",
+    "workflow_result_agg",
+    "backoff_jitter",
+    "error_classify",
+    "pagination_strategy",
+    "url_equivalence",
+    "frontier_peek",
+    "crawl_executor",
+    "idempotent_enqueue",
+    "step_validation",
+    "varsub_conditions",
+    "exact_dup_marking",
+    "content_hash_stats",
+    "page_stats",
+    "simhash_fingerprint",
+    "simhash_near_dup",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_profile",
+    "doc_fingerprint",
+    "span_extract",
+    "multimodal_meta",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "multimodal_decode",
+    "dedup_ngram_jaccard",
+    "duplicate_groups",
+    "ann_ivf_topk",
+    "selector_extract",
+    "xpath_extract",
     "simhash_incremental",
     "minhash_incremental",
     "stream_near_dup",

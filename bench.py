@@ -298,6 +298,48 @@ def run_scaling_workload(cpus: int, n_urls: int, mode: str = "round") -> dict:
             "urls_per_sec": round(n_urls / wall, 1),
         }
 
+    if mode == "ttlround":
+        # the FULL TTL-mode engine round loop (r05 ask: scaling evidence
+        # with TTL merge-on-read seen/pages, the expiry floor, staggered
+        # compaction, and the file-level pages fold all ON). Fixture web,
+        # fixed round count; throughput = fetched pages/s over the loop.
+        # Caveat recorded with the number: a superstep round carries ~20
+        # fixed driver actions (commit, manifest, metrics) that do not
+        # shrink with cores, so this row UNDERSTATES plan scalability at
+        # fixture scale — read it as "no regression", not as the ceiling.
+        import tempfile
+
+        from crawler_spark.engine.corpus import (
+            CorpusSpec, build_corpus, robots_map, seed_urls,
+        )
+        from crawler_spark.engine.superstep import CrawlEngine
+
+        spec = CorpusSpec(
+            n_hosts=64, listing_pages=8, details_per_page=8,
+            hosts_with_robots=8,
+        )
+        n_rounds = 8
+        with tempfile.TemporaryDirectory() as root:
+            eng = CrawlEngine(
+                spark, root, build_corpus(spec), robots_map(spec),
+                per_host_budget=4, ttl_rounds=3,
+            )
+            eng.init_frontier(seed_urls(spec))
+            for rnd in (0, 1):  # warm-up rounds (codegen + worker pool)
+                eng.run_round(rnd)
+            t0 = time.time()
+            fetched = 0
+            for rnd in range(2, 2 + n_rounds):
+                m = eng.run_round(rnd)
+                fetched += m.get("n_fetched", 0) or 0
+            wall = time.time() - t0
+        spark.stop()
+        return {
+            "cpus": cpus, "n_urls": fetched, "wall_sec": round(wall, 2),
+            "urls_per_sec": round(fetched / wall, 1),
+            "note": "8 TTL rounds, fixed driver overhead included",
+        }
+
     if mode == "probe":
         # the r03-final dedup arbiter at two parallelism levels: candidates
         # repartition on shard, each task probes its shard's bloom + exact
@@ -441,6 +483,7 @@ def main() -> None:
             ("span", "span_parse_throughput"),
             ("probe", "seen_probe_dedup"),
             ("curation", "curation_decontaminate"),
+            ("ttlround", "ttl_engine_round_loop"),
         ):
             best: dict[int, dict] = {}
             for _ in range(trials):

@@ -210,6 +210,15 @@ class SnapshotStore:
         return list(reversed(paths))
 
     @staticmethod
+    def _is_live(path: str, live: set[str]) -> bool:
+        """A dir is live if referenced directly OR if any live reference
+        points INSIDE it — file-level fold refs (base_paths holding file
+        paths) must keep the parent snap dir on disk."""
+        return path in live or any(
+            x.startswith(path + os.sep) for x in live
+        )
+
+    @staticmethod
     def _chain_rows(chain: list[tuple[int, dict]]) -> int:
         return (
             sum(info.get("rows", 0) for _, info in chain)
@@ -431,9 +440,25 @@ class SnapshotStore:
         # first (stored order), then chain entries oldest-first — readers
         # (mergeSchema field order) must see the same order pruned or not
         if chain:
-            for base in chain[-1][1].get("base_paths", []):
-                io["dirs_unpruned"] += 1
-                kept.append(base)
+            term = chain[-1][1]
+            if term.get("base_unique") and term.get("base_files"):
+                # file-level fold refs: individually bloom-prunable through
+                # their ORIGINAL dir's sidecar (min/max stats stayed with
+                # the old entry, but the sidecar lives beside the files)
+                for path, _rows in term["base_files"]:
+                    parent, fname = os.path.split(path)
+                    io["files_total"] += 1
+                    fidx = self._load_file_index(parent) if eq_preds else None
+                    if fidx is not None and not self._bloom_may_match(
+                        fidx, fname, eq_preds
+                    ):
+                        continue
+                    io["files_kept"] += 1
+                    kept.append(path)
+            else:
+                for base in term.get("base_paths", []):
+                    io["dirs_unpruned"] += 1
+                    kept.append(base)
         for _, info in reversed(chain):
             lineage = info.get("lineage") or []
             idx_cols = [
@@ -574,17 +599,27 @@ class SnapshotStore:
         keys = policy["keys"]
         w = self._latest_wins_window(policy)
         # oldest-first element list: folded base_paths, then chain paths
-        elements: list[tuple[str, bool]] = []  # (path, known_unique)
-        for p in chain[-1][1].get("base_paths", []):
-            elements.append((p, False))
+        elements: list[tuple[list[str], bool]] = []  # (paths, known_unique)
+        terminal = chain[-1][1]
+        if not terminal.get("base_unique"):
+            # expiry-fold base: a raw chain segment, resolved per element
+            for p in terminal.get("base_paths", []):
+                elements.append(([p], False))
         for _, info in reversed(chain):
+            paths = [info["path"]]
+            if info is terminal and info.get("base_unique"):
+                # file-level fold refs are latest-wins-resolved and key-
+                # disjoint from the rewrite — ONE element with the terminal,
+                # so the read plan stays independent of how many files are
+                # folded by reference (no per-file claimed-broadcast builds)
+                paths = list(info.get("base_paths", [])) + paths
             elements.append(
-                (info["path"], info.get("mode", "full") != "delta")
+                (paths, info.get("mode", "full") != "delta")
             )
         out = None
         claimed = None
-        for path, unique in reversed(elements):  # newest-first
-            el = spark.read.option("mergeSchema", "true").parquet(path)
+        for paths, unique in reversed(elements):  # newest-first
+            el = spark.read.option("mergeSchema", "true").parquet(*paths)
             if not unique:
                 el = (
                     el.withColumn("__rn", F.row_number().over(w))
@@ -601,6 +636,102 @@ class SnapshotStore:
             k = el.select(*keys)
             claimed = k if claimed is None else claimed.unionByName(k)
         return out
+
+    def _table_floor(self, rounds: list[dict], table: str) -> tuple[str, Any] | None:
+        """Latest expiry floor declared for `table` within `rounds`
+        (newest entry wins — floors only ever advance). Resolved over the
+        caller's rounds list, so read_at time travel sees the historical
+        floor. Falls back to the manifest-level floor that expire_snapshots
+        preserves when the declaring entries leave the retention window —
+        that floor predates every kept round, so it is valid for any
+        rounds subset."""
+        for entry in reversed(rounds):
+            fl = entry.get("floors", {}).get(table)
+            if fl is not None:
+                return fl[0], fl[1]
+        fl = self.manifest().get("floors", {}).get(table)
+        return (fl[0], fl[1]) if fl is not None else None
+
+    def plan_file_fold(
+        self, spark: SparkSession, table: str, probe_col: str
+    ) -> dict[str, Any] | None:
+        """Plan a FILE-LEVEL chain fold (rewrite_data_files-with-filter):
+        split the terminal snapshot's files into the set that MAY hold a
+        version superseded by newer chain deltas (must be rewritten) and
+        the set provably untouched (folded by reference). Affectedness is
+        decided from metadata alone — the per-file bloom sidecar on
+        `probe_col` probed with the deltas' claimed keys — no data scan of
+        the base. Files without a bloom (no sidecar, carried refs whose
+        parent lost its index) conservatively join the rewrite set.
+
+        Returns {"rewrite_paths": [...], "keep_files": [[path, rows], ...],
+        "rewrite_rows": int} — rewrite_paths includes every newer chain
+        element (their rows are re-resolved with the affected files) — or
+        None when there is no chain to fold or no sidecar exists at all
+        (the caller falls back to the full rewrite)."""
+        chain = self._live_chain(self.manifest()["rounds"], table)
+        if len(chain) < 2:
+            return None
+        terminal = chain[-1][1]
+        delta_paths = [info["path"] for _, info in chain[:-1]]
+        claimed = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*delta_paths)
+            .select(probe_col)
+            .distinct()
+            .toPandas()[probe_col]
+            .to_numpy()
+        )
+        hashes = self._index_key_hashes(claimed) if len(claimed) else None
+        # terminal candidates: its own lineage files + any file refs a
+        # previous file-level fold carried (only when resolved-unique —
+        # an expiry-fold base is a raw chain, not splittable file-wise)
+        cands: list[tuple[str, int]] = []
+        lineage = terminal.get("lineage") or []
+        if not lineage:
+            return None
+        cands += [
+            (os.path.join(terminal["path"], it["partition"]), int(it["rows"]))
+            for it in lineage
+        ]
+        if terminal.get("base_paths"):
+            if terminal.get("base_unique") and terminal.get("base_files"):
+                cands += [(fr[0], int(fr[1])) for fr in terminal["base_files"]]
+            else:
+                return None  # expiry-folded base: fall back to full rewrite
+        rewrite: list[str] = []
+        keep: list[list[Any]] = []
+        rewrite_rows = 0
+        any_bloom = False
+        # zero-row files hold nothing to supersede OR keep: dropping them
+        # here is the fold's free dead-file cleanup
+        cands = [(p, r) for p, r in cands if r > 0]
+        for path, rows in cands:
+            parent, fname = os.path.split(path)
+            fidx = self._load_file_index(parent)
+            bf = (
+                fidx.get(probe_col, {}).get("files", {}).get(fname)
+                if fidx
+                else None
+            )
+            if bf is None:
+                rewrite.append(path)
+                rewrite_rows += rows
+                continue
+            any_bloom = True
+            if hashes is not None and bool(bf.contains_many(hashes).any()):
+                rewrite.append(path)
+                rewrite_rows += rows
+            else:
+                keep.append([path, rows])
+        if not any_bloom or not keep:
+            return None  # no index, or nothing keepable: plain full fold
+        return {
+            "rewrite_paths": rewrite + delta_paths,
+            "keep_files": keep,
+            "rewrite_rows": rewrite_rows
+            + sum(info.get("rows", 0) for _, info in chain[:-1]),
+        }
 
     def _resolve_read(
         self,
@@ -622,6 +753,19 @@ class SnapshotStore:
             if resolve
             else None
         )
+        floor = self._table_floor(rounds, table)
+        if floor is not None:
+            if policy is not None:
+                # a floor on a latest-wins table would need the same
+                # version-preservation argument as key pruning — not
+                # supported (no engine table combines both)
+                raise ValueError(
+                    f"expiry floor on policy table {table!r} is unsupported"
+                )
+            # the floor is SEMANTIC (the store applies the exact filter),
+            # and doubles as a manifest prune predicate so aged
+            # round-partition files are skipped, not read-then-filtered
+            prune = list(prune or []) + [(floor[0], ">=", floor[1])]
         if prune:
             if policy is not None:
                 bad = [c for c, _, _ in prune if c not in policy["keys"]]
@@ -673,6 +817,11 @@ class SnapshotStore:
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+        if floor is not None:
+            # exact row-level cut on kept files (a kept file may straddle
+            # the floor); the manifest prune above already skipped files
+            # wholly below it
+            df = df.filter(F.col(floor[0]) >= F.lit(floor[1]))
         dels_name = self.MERGE_ON_READ.get(table)
         if resolve and dels_name is not None:
             dels_chain = self._live_chain(rounds, dels_name)
@@ -799,6 +948,11 @@ class SnapshotStore:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        floor = self._table_floor(rounds, table)
+        if floor is not None:
+            # the expiry floor AS OF this round (floors declared later are
+            # out of scope of the time-travel view)
+            df = df.filter(F.col(floor[0]) >= F.lit(floor[1]))
         dels_name = self.MERGE_ON_READ.get(table)
         if resolve and dels_name is not None:
             # the delete keys AS OF the same round — recursing through
@@ -959,8 +1113,29 @@ class SnapshotStore:
         branch: str | None = None,
         cluster_by: dict[str, list[str]] | None = None,
         file_index: dict[str, list[str]] | None = None,
+        floors: dict[str, tuple[str, Any]] | None = None,
+        base_refs: dict[str, dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """Write all round outputs, then flip the manifest atomically.
+
+        `base_refs`: {table: {"files": [[path, rows], ...], "unique": bool}}
+        — a FILE-LEVEL fold (Iceberg's rewrite_data_files-with-filter): the
+        table's `full` DataFrame holds only the REWRITTEN rows, and the
+        listed existing files are folded in BY REFERENCE (they become the
+        entry's base_paths, kept alive by prefix-aware liveness). "unique"
+        records that the referenced files are already latest-wins-resolved
+        and key-disjoint from the rewrite, so policy reads skip their
+        per-element window.
+
+        `floors`: {table: (column, min_value)} — a metadata-only expiry
+        floor (Iceberg's drop-partition analogue for a table partitioned on
+        `column`): every read of the table filters `column >= min_value`,
+        with chain files wholly below the floor pruned at the manifest
+        level. Advancing the floor each round makes row expiry an O(1)
+        metadata operation; the aged rows leave disk physically when the
+        table's next FULL commit (compaction-rotation fold) rewrites only
+        surviving rows. Floors are resolved newest-entry-wins, so read_at
+        time travel sees the floor as of that round.
         Lineage = per-spark-partition row counts captured at write time.
 
         `tables` are full snapshots (the table's complete state as of this
@@ -1010,6 +1185,8 @@ class SnapshotStore:
             "tables": {},
             "metrics": metrics or {},
         }
+        if floors:
+            entry["floors"] = {t: list(cv) for t, cv in floors.items()}
 
         def _write(name: str, df: DataFrame, mode: str) -> None:
             stem = "snap" if mode == "full" else "delta"
@@ -1083,6 +1260,14 @@ class SnapshotStore:
 
         for name, df in tables.items():
             _write(name, df, "full")
+            ref = (base_refs or {}).get(name)
+            if ref:
+                info = entry["tables"][name]
+                info["base_files"] = [list(fr) for fr in ref["files"]]
+                info["base_paths"] = [fr[0] for fr in ref["files"]]
+                info["base_rows"] = int(sum(fr[1] for fr in ref["files"]))
+                if ref.get("unique"):
+                    info["base_unique"] = True
         for name, df in (delta_tables or {}).items():
             _write(name, df, "delta")
         if blobs:
@@ -1156,7 +1341,7 @@ class SnapshotStore:
                 live.add(r["blob_dir"])
         removed = 0
         for p in self._entry_own_paths(entry):
-            if p not in live and os.path.isdir(p):
+            if not self._is_live(p, live) and os.path.isdir(p):
                 shutil.rmtree(p)
                 self._index_cache.pop(p, None)  # dir gone -> blooms stale
                 removed += 1
@@ -1331,6 +1516,13 @@ class SnapshotStore:
             return {"removed_dirs": 0, "kept_rounds": len(rounds)}
         dropped, kept = rounds[:-keep_last], rounds[-keep_last:]
         n_dropped = len(dropped)
+        # expiry floors declared only by dropped entries must survive as the
+        # manifest-level fallback (newest dropped declaration per table);
+        # kept entries' own declarations still win at read time, so this
+        # never moves a floor backwards
+        for entry in dropped:
+            for t, fl in entry.get("floors", {}).items():
+                man.setdefault("floors", {})[t] = list(fl)
 
         # Per table: state at any round is a CHAIN (full base + deltas).
         # Iceberg's expire_snapshots removes data files only when NO
@@ -1442,7 +1634,7 @@ class SnapshotStore:
                 # a dropped entry releases its own dir AND any base fold it
                 # carried (deferred reclamation of earlier expiries' files)
                 for p in [info["path"], *info.get("base_paths", [])]:
-                    if p not in live_paths and os.path.isdir(p):
+                    if not self._is_live(p, live_paths) and os.path.isdir(p):
                         shutil.rmtree(p)
                         removed += 1
             # a dropped round releases its own blob dir AND every chain
@@ -1509,7 +1701,7 @@ class SnapshotStore:
                 if not name.startswith(("snap-", "delta-")):
                     continue
                 p = os.path.join(sub, name)
-                if norm(p) in live or not os.path.isdir(p):
+                if self._is_live(norm(p), live) or not os.path.isdir(p):
                     continue
                 if now - os.path.getmtime(p) < grace_seconds:
                     skipped_young += 1

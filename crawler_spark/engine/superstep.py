@@ -235,6 +235,11 @@ class CrawlEngine:
         self.max_depth = max_depth
         self.domain_priority = dict(domain_priority or {})
         self.file_index = dict(file_index or {})
+        # pages always carries a per-file url_hash bloom sidecar: it is
+        # what lets the rotation fold rewrite only files holding superseded
+        # versions (plan_file_fold) and point lookups open only admitted
+        # files — Iceberg's write.metadata bloom properties, default-on
+        self.file_index.setdefault("pages", ["url_hash"])
         self.breaker = breaker
         self.trap_max_urls = trap_max_urls
         if conditional_recrawl and ttl_rounds is None:
@@ -1450,10 +1455,10 @@ class CrawlEngine:
         # delta + equality-delete keys), and TTL-mode pages commit
         # merge-on-read too (version-append deltas + the latest-wins read
         # policy) — per-round IO is O(delta) regardless of crawl age for
-        # EVERY corpus-sized table. The one remaining full write is TTL
-        # mode's seen table (row-level expiry): it is WINDOW-bounded by
-        # construction, and on real Iceberg it is a row-delete touching
-        # matched files only.
+        # EVERY corpus-sized table, INCLUDING TTL-mode seen: row expiry is
+        # an advancing manifest floor on seen_round (drop-partition
+        # analogue), so the table commits only the round's fresh cohort and
+        # aged cohorts are reclaimed at the rotation fold.
         #
         # STAGGERED compaction (rewrite_data_files spread over rounds):
         # folding every chain on the modulo round made that round's wall
@@ -1467,13 +1472,13 @@ class CrawlEngine:
         # REBUILD_EVERY folds THIS round regardless of rotation (quiet
         # rounds can starve a slot; the bound holds on the chain itself).
         rotation = ["frontier", "pages", "fetch_log", "dlq", "retry_history"]
-        if self.ttl_rounds is None:
-            # TTL mode rewrites seen (row-level expiry — the table is
-            # WINDOW-bounded so the write is O(window), and on real Iceberg
-            # it is a row-delete touching matched files; pages, by
-            # contrast, is corpus-sized and now rides the latest-wins read
-            # policy) in full every round — nothing to rotate there
-            rotation.insert(1, "seen")
+        # seen rotates in BOTH modes now: TTL expiry is an advancing
+        # manifest-level floor (Iceberg's drop-partition analogue for a
+        # table partitioned by seen_round — O(1) metadata per round, reads
+        # partition-pruned to the window), so TTL rounds commit O(delta)
+        # seen deltas and the fold slot is when aged round-partitions
+        # physically leave disk
+        rotation.insert(1, "seen")
         if (
             self.trap_max_urls is not None
             and self.store.table_path("url_templates") is not None
@@ -1646,16 +1651,57 @@ class CrawlEngine:
             "fetch_log": prev_rows["fetch_log"] + metrics["n_fetched"],
             "retry_history": prev_rows["retry_history"] + n_failed,
         }
-        if self.ttl_rounds is not None or "seen" in fold_tables:
+        if "seen" in fold_tables:
+            # the rotation fold (or permanent-mode backstop): under TTL
+            # this is the drop-partition moment — next_seen is already
+            # window-filtered, so aged cohorts physically leave disk here
             full["seen"] = next_seen
+        elif self.ttl_rounds is not None and metrics["n_new_urls"] == 0:
+            # nothing fresh: expiry is entirely the floor advance below —
+            # an empty delta would grow the chain without adding membership
+            pass
         else:
             delta["seen"] = seen_delta
             hints["seen"] = metrics["n_new_urls"]
+        base_refs: dict[str, dict[str, Any]] = {}
         if "pages" in fold_tables:
-            # fold resolves the latest-wins chain to one row per key (TTL)
-            # or concatenates the appends (permanent) — next_pages is the
-            # policy-resolved read + this round's delta either way
-            full["pages"] = next_pages
+            # FILE-LEVEL fold (rewrite_data_files-with-filter): pages IS
+            # the corpus, so a full-table fold is a full-corpus rewrite at
+            # 100 TB. plan_file_fold splits the terminal snapshot by the
+            # per-file url_hash bloom sidecar probed with the chain
+            # deltas' claimed keys: only files that MAY hold a superseded
+            # version are rewritten (plus the deltas themselves); the rest
+            # fold by reference — fold bytes ∝ superseded-version files,
+            # not |pages|, on a corpus where most pages never re-crawl.
+            plan = self.store.plan_file_fold(spark, "pages", "url_hash")
+            if plan is not None:
+                affected = spark.read.option("mergeSchema", "true").parquet(
+                    *plan["rewrite_paths"]
+                )
+                if self.ttl_rounds is not None:
+                    from crawler_spark.operators.merge import merge_latest_wins
+
+                    # every version of every claimed key is in the rewrite
+                    # set (bloom has no false negatives), so resolving the
+                    # affected subset alone is exact
+                    full["pages"] = merge_latest_wins(
+                        affected, new_pages, keys=["host", "url_hash"],
+                        order_col="fetched_round",
+                        tiebreak_cols=["fetch_order"],
+                    )
+                else:
+                    full["pages"] = affected.unionByName(
+                        new_pages, allowMissingColumns=True
+                    )
+                base_refs["pages"] = {
+                    "files": plan["keep_files"], "unique": True,
+                }
+                hints["pages"] = max(
+                    1, plan["rewrite_rows"] + metrics["n_ok"]
+                )
+            else:
+                # no sidecar / nothing keepable: the plain full fold
+                full["pages"] = next_pages
         else:
             # TTL included: re-crawled rows APPEND a newer version; the
             # read policy resolves latest-wins, the rotation fold compacts
@@ -1771,6 +1817,23 @@ class CrawlEngine:
             blob_chain=blob_chain, delta_tables=delta, row_hints=hints,
             branch=self._staging_branch,
             file_index=self.file_index,
+            base_refs=base_refs or None,
+            # folds range-cluster pages on the policy key (Iceberg's write
+            # sort order): files get tight DISJOINT key ranges, so the NEXT
+            # file-level fold's affected set tracks claimed-key locality
+            # instead of every file bloom-admitting some claimed key —
+            # the sorted-write exchange is paid only at fold cadence
+            cluster_by=(
+                {"pages": ["host", "url_hash"]} if "pages" in full else None
+            ),
+            # TTL row expiry = advancing this floor (metadata-only): every
+            # read of seen prunes to seen_round >= round - ttl, exactly the
+            # window the old per-round full rewrite materialized
+            floors=(
+                {"seen": ("seen_round", round_no - self.ttl_rounds)}
+                if self.ttl_rounds is not None
+                else None
+            ),
         )
         flagged.unpersist()
         selected.unpersist()
