@@ -39,6 +39,8 @@ _CHECK_FIRST = [
     "multimodal_resample",
     "multimodal_video_meta",
     "jsonld_extract",
+    "substring_dedup",
+    "substring_dedup_incremental",
     # --- r05 priority 2: everything reading the snapshot store — the TTL
     # seen expiry floor, the file-level pages fold, and fold-ref pruning
     # all changed the store's read/commit paths this round

@@ -482,3 +482,64 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring (k-token window) duplication statistics — the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" pass re-expressed Spark-first: every k-token window of every
+    document is hashed (60-bit md5 prefix, the repo's shared oracle-
+    replayable key), a window is DUPLICATED when its hash occurs >= 2 times
+    across the corpus (covers both cross-document boilerplate and
+    within-document repetition — the suffix-array criterion restricted to
+    fixed-length windows), and each document reports its window count,
+    duplicated-window count, and duplicated fraction.
+
+    100 TB plan: windows never materialize as strings off-task — the
+    explode emits (doc_id, hash) pairs only; ONE shuffle builds the global
+    hash -> occurrence count (map-side combinable), the count joins back
+    CO-PARTITIONED on the hash (the groupBy's own partitioning, no extra
+    exchange), and the per-doc rollup is a second combinable aggregation.
+    Compare line_dedup (distinct-doc threshold + broadcast strip): this
+    operator keeps the full multiset semantics a suffix-array pass needs.
+    Zero UDF. Reference: the crawler has no training-curation analogue
+    (SURVEY §2.9) — this is a beyond-reference LLM-pipeline operator."""
+    from crawler_spark.functions.text import md5_60bit_col, word_ngrams_col
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngrams_col(F.col(text_col), k).alias("wins"),
+    )
+    exploded = base.select(
+        "doc_id", F.explode("wins").alias("w")
+    ).select("doc_id", md5_60bit_col(F.col("w")).alias("h"))
+    counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        exploded.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_occ") >= 2).cast("int")).alias("n_dup_windows"),
+        )
+    )
+    # zero-window docs (< k tokens) keep a row with explicit zeros
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("int").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("int").alias("n_dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_windows") / F.col("n_windows"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -2623,6 +2623,195 @@ JOIN clean USING (doc_id)
 """
 
 
+_SUBSTR_HDR = "putusan mahkamah agung republik indonesia nomor tahun berkekuatan"
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (8-token window) duplication statistics — the
+    Lee et al. dedup criterion restricted to fixed-length windows
+    (operators/dedup.py duplicated_window_stats). Duplication is planted
+    in-query so both duplication modes provably occur: a shared 8-token
+    header is PREPENDED to even doc_ids (cross-document duplication) and
+    APPENDED to doc_id % 5 == 0 (within-document repetition for doc_ids
+    divisible by 10, where the same doc carries the header twice). The
+    oracle replays tokenization, window slicing, the 60-bit md5-prefix
+    hash, and the global occurrence counts in SQL — an implementation that
+    dedupes per-document, drops boundary-straddling windows, or counts
+    distinct docs instead of occurrences fails the hash."""
+    from crawler_spark.operators.dedup import duplicated_window_stats
+
+    docs = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_SUBSTR_HDR + " ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _SUBSTR_HDR)).otherwise(F.lit("")),
+    )
+    return duplicated_window_stats(
+        docs.select("doc_id", text2.alias("text")), k=8
+    )
+
+
+O_SUBSTRING_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'putusan mahkamah agung republik indonesia nomor tahun berkekuatan '
+               ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 5 = 0
+               THEN ' putusan mahkamah agung republik indonesia nomor tahun berkekuatan'
+               ELSE '' END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS toks
+  FROM d
+),
+win AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(generate_series(1, len(toks)-7),
+                                  i -> array_to_string(toks[i:i+7], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS wins
+  FROM tok
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(wins) AS w FROM win)
+),
+occ AS (
+  SELECT h, count(*) AS n_occ FROM h GROUP BY h
+),
+per_doc AS (
+  SELECT h.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN occ.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM h JOIN occ USING (h)
+  GROUP BY h.doc_id
+)
+SELECT w.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS INT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS INT) AS n_dup_windows,
+       round(coalesce(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 0.0), 4)
+         AS dup_frac
+FROM win w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+"""
+
+
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the window-occurrence index behind
+    substring_dedup (the standing-corpus production flow): the corpus
+    (doc_id % 10 != 0) owns a STANDING (window_hash, n_occ) count table; a
+    new round's delta docs (doc_id % 10 == 0) contribute their own counts;
+    occurrence counts are ADDITIVE so the merge is one map-side-combinable
+    SUM over delta + standing — never a corpus rescan — and the delta docs'
+    duplication stats are computed against the MERGED index (a window that
+    only becomes duplicated because the delta re-introduced it must already
+    count as duplicated for the delta doc that did). Standing index
+    recomputed from the corpus split here (no persisted state in the
+    oracle harness — same convention as line_dedup_incremental /
+    minhash_incremental); in the engine it is a snapshot table and the
+    per-round cost is O(delta windows). Output: the delta docs' rows."""
+    from crawler_spark.functions.text import md5_60bit_col, word_ngrams_col
+
+    docs = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_SUBSTR_HDR + " ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _SUBSTR_HDR)).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id", word_ngrams_col(text2, 8).alias("wins")
+    )
+    exploded = base.select("doc_id", F.explode("wins").alias("w")).select(
+        "doc_id", md5_60bit_col(F.col("w")).alias("h")
+    )
+    standing = (
+        exploded.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    delta = exploded.filter(F.col("doc_id") % 10 == 0)
+    delta_counts = delta.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    merged = (
+        standing.unionByName(delta_counts)
+        .groupBy("h").agg(F.sum("n_occ").alias("n_occ"))
+    )
+    per_doc = (
+        delta.join(merged, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_occ") >= 2).cast("int")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        base.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("int").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("int").alias("n_dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_windows") / F.col("n_windows"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+O_SUBSTRING_DEDUP_INCREMENTAL = r"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'putusan mahkamah agung republik indonesia nomor tahun berkekuatan '
+               ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 5 = 0
+               THEN ' putusan mahkamah agung republik indonesia nomor tahun berkekuatan'
+               ELSE '' END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS toks
+  FROM d
+),
+win AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(generate_series(1, len(toks)-7),
+                                  i -> array_to_string(toks[i:i+7], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS wins
+  FROM tok
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(wins) AS w FROM win)
+),
+occ AS (
+  SELECT h, count(*) AS n_occ FROM h GROUP BY h
+),
+per_doc AS (
+  SELECT h.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN occ.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM h JOIN occ USING (h)
+  WHERE h.doc_id % 10 = 0
+  GROUP BY h.doc_id
+)
+SELECT w.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS INT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS INT) AS n_dup_windows,
+       round(coalesce(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 0.0), 4)
+         AS dup_frac
+FROM win w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+WHERE w.doc_id % 10 = 0
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus repeated-line removal (CCNet-style boilerplate dedup):
     hash every line, count the DISTINCT documents it appears in, and strip
@@ -2936,6 +3125,8 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "stratified_split": q_stratified_split,
     "curation_pipeline": q_curation_pipeline,
+    "substring_dedup": q_substring_dedup,
+    "substring_dedup_incremental": q_substring_dedup_incremental,
     "line_dedup": q_line_dedup,
     "line_dedup_incremental": q_line_dedup_incremental,
     "pii_scrub": q_pii_scrub,
@@ -2983,6 +3174,8 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "gopher_quality": O_GOPHER_QUALITY,
     "stratified_split": O_STRATIFIED_SPLIT,
+    "substring_dedup": O_SUBSTRING_DEDUP,
+    "substring_dedup_incremental": O_SUBSTRING_DEDUP_INCREMENTAL,
     "line_dedup": O_LINE_DEDUP,
     "line_dedup_incremental": O_LINE_DEDUP_INCREMENTAL,
     "pii_scrub": O_PII_SCRUB,

@@ -46,3 +46,23 @@ def test_line_dedup_removes_exactly_the_boilerplate(spark):
             assert r.n_removed >= 1, doc_id
         # removal never exceeds the line count and cleaned shrinks with it
         assert 0 <= r.n_removed <= r.n_lines
+
+
+def test_duplicated_window_stats_exact(spark):
+    """Known tiny corpus, k=3: window multiset semantics (within-doc
+    repetition counts), cross-doc duplication, zero-window short docs."""
+    from crawler_spark.operators.dedup import duplicated_window_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),     # windows: abc bcd cda dab abc -> abc x2
+            (2, "a b c x y"),         # abc (dup w/ doc1), bcx, cxy
+            (3, "q r"),               # < k tokens -> zero windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicated_window_stats(docs, k=3).collect()}
+    assert (got[1].n_windows, got[1].n_dup_windows) == (5, 2)  # both "a b c"
+    assert got[1].dup_frac == 0.4
+    assert (got[2].n_windows, got[2].n_dup_windows) == (3, 1)
+    assert (got[3].n_windows, got[3].n_dup_windows, got[3].dup_frac) == (0, 0, 0.0)
