@@ -8,7 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark.plans.audit import (
+    count_occurrences,
     count_shuffles,
+    formatted_plan,
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -382,3 +384,47 @@ def test_line_dedup_incremental_broadcasts_updated_index(spark):
     assert has_broadcast_join(df)
     assert count_occurrences(df, "CartesianProduct") == 0
     assert count_shuffles(df) <= 8
+
+
+def test_jsonld_extract_is_map_only(spark):
+    """JSON-LD extraction is a pure map stage: the fixture build + pandas
+    UDF + explode must compile to ZERO exchanges (span_extract's cost
+    class — embarrassingly parallel over pages)."""
+    from crawler_spark.queries_content import q_jsonld_extract
+
+    df = q_jsonld_extract(spark, SF)
+    # the one Exchange is _docs' deliberate scan-spreading repartition
+    assert count_shuffles(df) <= 1, formatted_plan(df)[:1500]
+
+
+def test_multimodal_resample_is_map_only(spark):
+    """Encode -> decode -> box-resample never shuffles: payloads and pixel
+    planes stay inside the task."""
+    from crawler_spark.queries_content import q_multimodal_resample
+
+    df = q_multimodal_resample(spark, SF)
+    assert count_shuffles(df) <= 1, formatted_plan(df)[:1500]
+
+
+def test_multimodal_video_meta_is_map_only(spark):
+    from crawler_spark.queries_content import q_multimodal_video_meta
+
+    df = q_multimodal_video_meta(spark, SF)
+    assert count_shuffles(df) <= 1, formatted_plan(df)[:1500]
+
+
+def test_substring_dedup_shuffle_budget(spark):
+    """The window-dedup pass: one hash-count aggregation (map-side
+    combinable), one co-partitioned join-back, one per-doc rollup, one
+    zero-window left join — the Exchange count must stay within that
+    budget (an accidental repartition or a non-combinable agg breaks it),
+    and the count aggregation must be partial (map-side combine)."""
+    from crawler_spark.queries_content import q_substring_dedup
+
+    df = q_substring_dedup(spark, SF)
+    n = count_shuffles(df)
+    # +1 for _docs' scan-spreading repartition
+    assert n <= 6, f"{n} exchanges: {formatted_plan(df)[:2000]}"
+    assert count_occurrences(df, r"partial_count") > 0, (
+        "hash-count aggregation lost its map-side combine"
+    )
