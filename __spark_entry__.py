@@ -41,6 +41,7 @@ _CHECK_FIRST = [
     "jsonld_extract",
     "substring_dedup",
     "substring_dedup_incremental",
+    "multimodal_audio_meta",
     # --- r05 priority 2: everything reading the snapshot store — the TTL
     # seen expiry floor, the file-level pages fold, and fold-ref pruning
     # all changed the store's read/commit paths this round

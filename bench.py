@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_resample",
     "multimodal_video_meta",
     "jsonld_extract",
+    "multimodal_audio_meta",
     # substring_dedup(+incremental) are registry+oracle entries but NOT
     # headline: the window explode is ~9 s at sf0.1 by construction (the
     # full Lee-et-al pass is a batch curation job, not a per-round query)

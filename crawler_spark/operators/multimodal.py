@@ -1253,3 +1253,119 @@ def parse_mp4(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(_run, MP4_META_SCHEMA)
+
+
+# ------------------------------------------------------ MP3 frame metadata
+#
+# MPEG-1 Layer III audio: bitrate/samplerate/duration live in the per-frame
+# 4-byte headers (ISO/IEC 11172-3), walkable with the same bounds-checked
+# stdlib style as the MP4/WARC/BMP parsers. An ID3v2 tag (syncsafe size) is
+# skipped first, per the informal ID3 spec. Frame payloads are opaque — the
+# honest boundary stays MDCT synthesis (an actual audio decode), which the
+# metadata contract does not need.
+
+MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 160, 192, 224, 256, 320]  # kbps, index 1..14
+MP3_RATES_V1 = [44100, 48000, 32000]                # samplerate index 0..2
+MAX_MP3_FRAMES = 1_000_000  # bomb cap: ~7 h of audio
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def encode_mp3(bitrate_kbps: int, sample_rate: int, n_frames: int,
+               id3_bytes: int = 0) -> bytes:
+    """Constructive MPEG-1 Layer III fixture: optional ID3v2 tag (syncsafe
+    size) + n_frames valid frame headers with zeroed payloads, padding
+    bit 0."""
+    import struct
+
+    br_idx = MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = MP3_RATES_V1.index(sample_rate)
+    # 11 sync bits | version 11 (MPEG-1) | layer 01 (III) | no-CRC 1
+    b1 = 0xFF
+    b2 = 0xFB
+    b3 = (br_idx << 4) | (sr_idx << 2)  # padding 0, private 0
+    b4 = 0x00
+    frame_len = 144_000 * bitrate_kbps // sample_rate
+    frame = bytes((b1, b2, b3, b4)) + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3_bytes:
+        size = id3_bytes
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3" + struct.pack(">BB", 4, 0) + b"\x00" + syncsafe
+        out += b"\x00" * id3_bytes
+    return out + frame * n_frames
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers: skip an ID3v2 tag, then read
+    each frame's bitrate/samplerate indices and advance by the derived
+    frame length. Returns the first frame's bitrate/samplerate plus frame
+    count and integer duration (1152 samples per Layer III frame)."""
+    payload = bytes(payload or b"")
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    bitrate = sample_rate = None
+    n_frames = 0
+    while pos + 4 <= len(payload):
+        b1, b2, b3, _b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        if (b2 & 0x18) != 0x18 or (b2 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx, sr_idx = (b3 >> 4) & 0x0F, (b3 >> 2) & 0x03
+        if not (1 <= br_idx <= 14) or sr_idx > 2:
+            raise ValueError(f"invalid bitrate/samplerate index at {pos}")
+        br = MP3_BITRATES_V1L3[br_idx]
+        sr = MP3_RATES_V1[sr_idx]
+        if bitrate is None:
+            bitrate, sample_rate = br, sr
+        padding = (b3 >> 1) & 1
+        frame_len = 144_000 * br // sr + padding
+        if frame_len < 4:
+            raise ValueError("degenerate MP3 frame length")
+        n_frames += 1
+        if n_frames > MAX_MP3_FRAMES:
+            raise ValueError(f"MP3 frame count exceeds {MAX_MP3_FRAMES}")
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "bitrate_kbps": int(bitrate),
+        "sample_rate": int(sample_rate),
+        "n_frames": int(n_frames),
+        "duration_ms": n_frames * 1152 * 1000 // sample_rate,
+    }
+
+
+def parse_mp3(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """MP3 metadata parse via mapInPandas (shuffle-free map stage)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp3_meta(bytes(payload))
+                rows.append({"doc_id": int(did), **m})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_META_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_run, MP3_META_SCHEMA)

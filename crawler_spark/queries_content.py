@@ -1864,6 +1864,57 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 metadata end-to-end: a genuine MPEG-1 Layer III frame
+    sequence is encoded per doc — every 4th doc behind an ID3v2 tag
+    (syncsafe size, must be skipped) — and walked back frame-by-frame by
+    the bounds-checked header parser (operators/multimodal.py
+    parse_mp3_meta). The oracle re-derives bitrate/samplerate/frame-count/
+    integer duration from the fixture formulas, so a parser that misreads
+    the bitrate table, the syncsafe ID3 size, or the frame-length formula
+    (144000*kbps/samplerate) fails the hash."""
+    from crawler_spark.operators.multimodal import (
+        MP3_BITRATES_V1L3, MP3_RATES_V1, encode_mp3, parse_mp3,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def mp3_payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            out.append(
+                encode_mp3(
+                    MP3_BITRATES_V1L3[1 + did % 14],
+                    MP3_RATES_V1[did % 3],
+                    10 + did % 30,
+                    id3_bytes=(100 + did % 50) if did % 4 == 0 else 0,
+                )
+            )
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", mp3_payload(F.col("doc_id")).alias("payload")
+    )
+    return parse_mp3(docs)
+
+
+O_MULTIMODAL_AUDIO_META = """
+WITH d AS (
+  SELECT doc_id,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + doc_id % 14] AS br,
+         ([44100,48000,32000])[1 + doc_id % 3] AS sr,
+         10 + doc_id % 30 AS nf
+  FROM documents
+)
+SELECT doc_id,
+       CAST(br AS INT) AS bitrate_kbps,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(nf AS INT) AS n_frames,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+FROM d
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-driven frame count, every-10th
     index exploded to rows (the per-frame decode is the stubbed codec)."""
@@ -3114,6 +3165,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_resample": q_multimodal_resample,
     "multimodal_video_meta": q_multimodal_video_meta,
+    "multimodal_audio_meta": q_multimodal_audio_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_wav": q_multimodal_decode_wav,
@@ -3164,6 +3216,7 @@ ORACLES = {
     "multimodal_resize": O_MULTIMODAL_RESIZE,
     "multimodal_resample": O_MULTIMODAL_RESAMPLE,
     "multimodal_video_meta": O_MULTIMODAL_VIDEO_META,
+    "multimodal_audio_meta": O_MULTIMODAL_AUDIO_META,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode_bmp": O_MULTIMODAL_DECODE_BMP,
     "multimodal_decode_wav": O_MULTIMODAL_DECODE_WAV,

@@ -609,3 +609,48 @@ def test_parse_mp4_dataframe(spark):
     got = {r.doc_id: r for r in parse_mp4(df).collect()}
     assert (got[1].width, got[1].height, got[1].duration_ms) == (64, 48, 2000)
     assert (got[2].n_tracks, got[2].width, got[2].height, got[2].duration_ms) == (2, 32, 64, 150)
+
+
+# ------------------------------------------------------- MP3 frame metadata
+
+def test_mp3_meta_roundtrip_and_id3_skip():
+    from crawler_spark.operators.multimodal import encode_mp3, parse_mp3_meta
+
+    m = parse_mp3_meta(encode_mp3(128, 44100, 25))
+    assert m == {"bitrate_kbps": 128, "sample_rate": 44100, "n_frames": 25,
+                 "duration_ms": 25 * 1152 * 1000 // 44100}
+    # ID3v2 tag (syncsafe size crossing a 7-bit boundary) must be skipped
+    m2 = parse_mp3_meta(encode_mp3(320, 32000, 7, id3_bytes=200))
+    assert (m2["bitrate_kbps"], m2["n_frames"]) == (320, 7)
+
+
+def test_mp3_meta_hostile_inputs():
+    import pytest as _pytest
+
+    from crawler_spark.operators.multimodal import encode_mp3, parse_mp3_meta
+
+    with _pytest.raises(ValueError, match="frame sync"):
+        parse_mp3_meta(b"\x00" * 64)
+    with _pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3_meta(b"")
+    # a free-format frame (bitrate index 0) must be rejected, not loop
+    bad = bytearray(encode_mp3(128, 44100, 2))
+    bad[2] = 0x00  # bitrate index 0, samplerate index 0
+    with _pytest.raises(ValueError, match="invalid bitrate"):
+        parse_mp3_meta(bytes(bad))
+    # mid-stream garbage after a valid frame
+    good = encode_mp3(64, 48000, 1)
+    with _pytest.raises(ValueError, match="frame sync"):
+        parse_mp3_meta(good + b"nonsense-bytes")
+
+
+def test_parse_mp3_dataframe(spark):
+    from crawler_spark.operators.multimodal import encode_mp3, parse_mp3
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp3(192, 48000, 40)))],
+        "doc_id long, payload binary",
+    )
+    r = parse_mp3(df).collect()[0]
+    assert (r.bitrate_kbps, r.sample_rate, r.n_frames) == (192, 48000, 40)
+    assert r.duration_ms == 40 * 1152 * 1000 // 48000
