@@ -1135,7 +1135,10 @@ class SnapshotStore:
         metadata operation; the aged rows leave disk physically when the
         table's next FULL commit (compaction-rotation fold) rewrites only
         surviving rows. Floors are resolved newest-entry-wins, so read_at
-        time travel sees the floor as of that round.
+        time travel sees the floor as of that round. CDC note: floor
+        advances emit NO delete events through read_changes (same as
+        Iceberg drop-partition) — a change consumer derives expiry from
+        the floor value itself, not from row-level deletes.
         Lineage = per-spark-partition row counts captured at write time.
 
         `tables` are full snapshots (the table's complete state as of this

@@ -76,16 +76,29 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
     from magic bytes with built-in expressions."""
     p = F.col(payload_col)
     magic = F.hex(F.substring(p, 1, 4))
+    # offset signatures: ISO-BMFF's ftyp sits at byte 5, RIFF/WAVE's format
+    # tag at byte 9 — all still JVM expressions, no UDF
+    at5 = F.hex(F.substring(p, 5, 4))
+    at9 = F.hex(F.substring(p, 9, 4))
     fmt = (
         F.when(magic.startswith("89504E47"), "png")
         .when(magic.startswith("FFD8FF"), "jpg")
         .when(magic.startswith("47494638"), "gif")
+        .when(magic.startswith("424D"), "bmp")
         .when(magic.startswith("25504446"), "pdf")
+        .when(at5 == "66747970", "mp4")                     # ....ftyp
+        .when((magic == "52494646") & (at9 == "57415645"), "wav")  # RIFF..WAVE
+        .when(magic.startswith("494433"), "mp3")            # ID3
+        .when(magic.startswith("FFFB") | magic.startswith("FFFA"), "mp3")
         .otherwise("bin")
     )
-    media_type = F.when(fmt.isin("png", "jpg", "gif"), "image").when(
-        fmt == "pdf", "document"
-    ).otherwise("binary")
+    media_type = (
+        F.when(fmt.isin("png", "jpg", "gif", "bmp"), "image")
+        .when(fmt.isin("wav", "mp3"), "audio")
+        .when(fmt == "mp4", "video")
+        .when(fmt == "pdf", "document")
+        .otherwise("binary")
+    )
     return df.withColumn(
         "media_meta",
         F.struct(

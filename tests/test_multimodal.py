@@ -41,6 +41,31 @@ def test_metadata_sniffing(media):
     assert len(shas) == 4 and all(len(s) == 64 for s in shas)
 
 
+def test_metadata_sniffing_av_formats(spark):
+    """The r05 formats the repo actually parses sniff JVM-side too: ISO-BMFF
+    (ftyp at byte 5), RIFF/WAVE (format tag at byte 9), MP3 (ID3 or frame
+    sync), BMP."""
+    from crawler_spark.operators.multimodal import (
+        encode_bmp, encode_mp3, encode_mp4_meta, encode_wav,
+    )
+    import numpy as np
+
+    rows = [
+        (1, bytearray(encode_mp4_meta(b"isom", 1000, 10, [(8, 8)]))),
+        (2, bytearray(encode_wav(8000, np.zeros(4, dtype=np.int16)))),
+        (3, bytearray(encode_mp3(128, 44100, 1))),
+        (4, bytearray(encode_mp3(128, 44100, 1, id3_bytes=30))),
+        (5, bytearray(encode_bmp(2, 1, np.zeros((1, 2, 3), dtype=np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.media_type, r.format)
+           for r in with_media_metadata(df).select("doc_id", "media_meta.*").collect()}
+    assert got == {
+        1: ("video", "mp4"), 2: ("audio", "wav"), 3: ("audio", "mp3"),
+        4: ("audio", "mp3"), 5: ("image", "bmp"),
+    }
+
+
 def test_decode_real_rejects_corrupt_and_unknown(media):
     """fake=False dispatches to the real codecs now: the fixture's payloads
     are either corrupt (magic bytes + junk -> codec ValueError) or unknown
