@@ -421,6 +421,30 @@ def frame_sample_plan(
         ).alias("frame_idx"),
     )
 
+
+def frame_sample_plan_from_meta(
+    parsed: DataFrame, fps: float = 25.0, every_s: float = 2.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling driven by REAL container metadata (parse_mp4 output):
+    one sampled frame index every ``every_s`` seconds of the mvhd duration,
+    at an assumed/probed frame rate — the plan a production extractor hands
+    to its (ffmpeg) decode step. All JVM expressions: total frames =
+    floor(duration_ms/1000 * fps), indices 0, every_s*fps, 2*every_s*fps...
+    Rows with zero duration keep a single frame-0 row (poster frame)."""
+    total = F.greatest(
+        F.lit(1),
+        F.floor(F.col("duration_ms") / F.lit(1000.0) * F.lit(float(fps))),
+    ).cast("long")
+    step = max(1, int(round(every_s * fps)))
+    return parsed.select(
+        id_col,
+        "duration_ms",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), total - 1, F.lit(step).cast("long"))
+        ).alias("frame_idx"),
+    )
+
 # --------------------------------------------------------------- real codecs
 #
 # BMP and WAV are fully decodable with stdlib struct + numpy — no PIL/ffmpeg

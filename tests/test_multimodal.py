@@ -679,3 +679,26 @@ def test_parse_mp3_dataframe(spark):
     r = parse_mp3(df).collect()[0]
     assert (r.bitrate_kbps, r.sample_rate, r.n_frames) == (192, 48000, 40)
     assert r.duration_ms == 40 * 1152 * 1000 // 48000
+
+
+def test_frame_sample_plan_from_real_meta(spark):
+    """Sampling indices derive from the REAL mvhd duration: 10 s at 25 fps
+    sampled every 2 s -> frames 0,50,100,150,200; a zero-duration container
+    keeps its poster frame."""
+    from crawler_spark.operators.multimodal import (
+        encode_mp4_meta, frame_sample_plan_from_meta, parse_mp4,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp4_meta(b"isom", 1000, 10_000, [(64, 48)]))),
+            (2, bytearray(encode_mp4_meta(b"isom", 1000, 0, [(32, 32)]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    frames = frame_sample_plan_from_meta(parse_mp4(df), fps=25.0, every_s=2.0)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(got[1]) == [0, 50, 100, 150, 200]
+    assert got[2] == [0]
